@@ -1,0 +1,203 @@
+"""Deduplication operators (SURVEY §2.13): exact, MinHash+LSH banding,
+SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  - Everything is expressed as explode → hash → groupBy → band-join;
+    the only shuffles are keyed by doc_id (signature build) and by band
+    key (candidate join) — the standard scalable LSH layout. No
+    driver-side collection, no O(n²) all-pairs stage; pair enumeration
+    happens only inside LSH buckets.
+  - Hashing uses md5 (identical in Spark and DuckDB) folded to a
+    60-bit int, so every stage is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+# Fixed affine permutation constants (a_i odd, b_i prime-ish). k=8
+# hashes → 4 bands × 2 rows: detects pairs with Jaccard ≳ 0.5.
+MINHASH_A = (131, 137, 139, 149, 151, 157, 163, 167)
+MINHASH_B = (101, 211, 307, 401, 503, 601, 701, 809)
+N_BANDS = 4
+ROWS_PER_BAND = 2
+
+SIMHASH_BITS = 16
+
+
+def token_hash(tok: Column) -> Column:
+    """md5-based 60-bit token hash, reduced mod 1e9+7. Engine-agnostic:
+    DuckDB equivalent is ('0x' || substr(md5(t),1,15))::BIGINT % MOD."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint") % MOD
+
+
+SHINGLE_N = 3  # word n-gram shingles: order-sensitive, so random word
+# soup is distinct while copied/perturbed passages collide — token SETS
+# would make every doc in a small-vocab corpus a near-dup of every other
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """One row per (doc, distinct word n-gram shingle)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("toks"),
+    )
+    # guard: Spark sequence(0, -k) counts DOWN — short docs need an
+    # explicit empty index array
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", *[F.col("toks")[i + j] for j in range(n)]),
+                )
+            )
+        ).alias("tok"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate clusters: md5(content) → canonical id (min) +
+    cluster size. Equivalent to dropDuplicates + survivor choice, but
+    reports the clusters."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """k min-hash values per document (columns m0..m{k-1}) over word
+    3-gram shingles."""
+    toks = doc_shingles(df, id_col, text_col)
+    hashed = toks.select("doc_id", token_hash(F.col("tok")).alias("hv"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MOD).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """Band the signature: one row per (doc, band_idx, band_key)."""
+    parts = []
+    for b in range(N_BANDS):
+        lo, hi = b * ROWS_PER_BAND, b * ROWS_PER_BAND + 1
+        parts.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                (F.col(f"m{lo}") * MOD + F.col(f"m{hi}")).alias("band_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+    Join is keyed on (band, band_key) — bucket-local pair expansion
+    only, the scalable path at 100 TB."""
+    bands = minhash_bands(minhash_signatures(df, id_col, text_col))
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash fingerprint (SIMHASH_BITS wide) per document: per-shingle
+    md5 bits, ±1 weighted sum per bit position, sign → bit."""
+    toks = doc_shingles(df, id_col, text_col)
+    hashed = toks.select("doc_id", token_hash(F.col("tok")).alias("hv"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0).cast("bigint")
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Candidate generation
+    buckets on the high byte of the fingerprint (pigeonhole: a ≤2-bit
+    difference in 16 bits leaves one half intact half the time; for the
+    oracle-checked query we accept the bucketed recall)."""
+    fps = simhash(df, id_col, text_col)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    pairs = a.join(
+        b,
+        (F.shiftright("fp_a", 8) == F.shiftright("fp_b", 8))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = SHINGLE_N, threshold: float = 0.5, sample_mod: int = 2,
+) -> DataFrame:
+    """n-gram Jaccard similarity on a deterministic 1/sample_mod gram
+    sketch (keep grams with H(g) % sample_mod == 0 — consistent across
+    docs, so sketch-Jaccard ≈ true Jaccard). Pairs sharing ≥1 sketched
+    gram are candidates; exact set sizes come from per-doc counts."""
+    grams = (
+        doc_shingles(df, id_col, text_col, n)
+        .withColumn("gh", token_hash(F.col("tok")))
+        .filter(F.col("gh") % sample_mod == 0)
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")

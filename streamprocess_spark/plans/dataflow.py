@@ -1,0 +1,303 @@
+"""Queue/dispatch dataflow semantics as declarative queries
+(SURVEY §2.1-§2.2, §2.4, M2).
+
+The reference's queue behaviors — priority routing, job-type dispatch,
+retry-with-demotion, dead-lettering, EDF ordering, request↔result
+correlation — re-expressed as pure DataFrame transforms over the
+`events` table, which stands in for the job stream (event_type ≈ job
+type, user_id ≈ session, ts ≈ enqueued_at, props ≈ JSON payload).
+
+Everything here is batch-checkable against DuckDB; the same transforms
+are reused by streaming.queue_flow on a readStream input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocess_spark.io.tables import load_tables
+from streamprocess_spark.plans.registry import register
+from streamprocess_spark.plans.util import dsum, sql_dsum
+from streamprocess_spark.schemas import EVENT_PROPS
+
+# Priority mapping (reference: Priority enum LOW=0..REALTIME=3,
+# protos/stream_process.proto:12-17; routing redis_queue.py:117-118).
+PRIORITY_OF_TYPE = {
+    "error": 3,     # REALTIME
+    "purchase": 2,  # HIGH
+    "signup": 1,    # NORMAL
+    # click/view (and unknown) default LOW=0, mirroring default-normal
+    # routing at redis_queue.py:117-118
+}
+
+# Dispatch table (reference: stt_worker.py:115-137, ocr_worker.py:118-146;
+# unknown type → nack-no-retry → dead letter).
+HANDLER_OF_TYPE = {
+    "click": "stt_chunk",
+    "view": "stt_batch",
+    "purchase": "ocr_single",
+    "signup": "ocr_batch",
+}
+
+
+def priority_col(etype: Column) -> Column:
+    expr = F.lit(0)
+    for k, v in PRIORITY_OF_TYPE.items():
+        expr = F.when(etype == k, F.lit(v)).otherwise(expr)
+    return expr.cast("int")
+
+
+def handler_col(etype: Column) -> Column:
+    expr = F.lit("dead_letter")
+    for k, v in HANDLER_OF_TYPE.items():
+        expr = F.when(etype == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+_PRIO_SQL = (
+    "CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2 "
+    "WHEN 'signup' THEN 1 ELSE 0 END"
+)
+_HANDLER_SQL = (
+    "CASE event_type WHEN 'click' THEN 'stt_chunk' WHEN 'view' THEN 'stt_batch' "
+    "WHEN 'purchase' THEN 'ocr_single' WHEN 'signup' THEN 'ocr_batch' "
+    "ELSE 'dead_letter' END"
+)
+
+
+@register(
+    "q11_priority_routing",
+    oracle=f"""
+    SELECT {_PRIO_SQL} AS priority,
+           count(*) AS n_jobs,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1
+    """,
+    covers=("R1", "R2", "O1", "A5"),
+    doc="Priority fan-out routing + per-stream depth (redis_queue.py:42-47,"
+        "117-118,346-362). At scale: write side becomes partitionBy(priority).",
+)
+def q11_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("priority", priority_col(F.col("event_type")))
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n_jobs"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "q12_job_dispatch",
+    oracle=f"""
+    SELECT {_HANDLER_SQL} AS handler, count(*) AS n_jobs
+    FROM events
+    GROUP BY 1
+    """,
+    covers=("R3", "S11"),
+    doc="Job-type dispatch with unknown→dead_letter "
+        "(stt_worker.py:115-137; redis_consumer.go:285-298).",
+)
+def q12_job_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("handler", handler_col(F.col("event_type")))
+        .groupBy("handler")
+        .agg(F.count(F.lit(1)).alias("n_jobs"))
+    )
+
+
+@register(
+    "q13_retry_demotion",
+    oracle=f"""
+    WITH jobs AS (
+        SELECT event_id,
+               {_PRIO_SQL} AS priority,
+               cast(event_id % 5 AS int) AS retry_count
+        FROM events
+    )
+    SELECT greatest(priority - retry_count, 0) AS demoted_priority,
+           (retry_count > 3) AS dead_lettered,
+           count(*) AS n_jobs,
+           min(event_id) AS first_job
+    FROM jobs
+    GROUP BY 1, 2
+    """,
+    covers=("S11", "S12", "P14"),
+    doc="Retry bookkeeping with priority demotion and dead-letter after "
+        "max retries (redis_queue.py:278-303: requeue at priority-1, "
+        "≤3 retries; redis_consumer.go:258-298).",
+)
+def q13_retry_demotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    jobs = ev.select(
+        "event_id",
+        priority_col(F.col("event_type")).alias("priority"),
+        (F.col("event_id") % 5).cast("int").alias("retry_count"),
+    )
+    return (
+        jobs.select(
+            F.greatest(F.col("priority") - F.col("retry_count"), F.lit(0)).alias(
+                "demoted_priority"
+            ),
+            (F.col("retry_count") > 3).alias("dead_lettered"),
+            "event_id",
+        )
+        .groupBy("demoted_priority", "dead_lettered")
+        .agg(F.count(F.lit(1)).alias("n_jobs"), F.min("event_id").alias("first_job"))
+    )
+
+
+@register(
+    "q14_json_envelope",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE cast(json_extract_string(props, '$.k') AS int) > 50)
+               AS n_high_k,
+           cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+               AS total_k
+    FROM events
+    GROUP BY event_type
+    """,
+    covers=("R4", "R6", "§2.10-json"),
+    doc="JSON job-envelope decode via from_json with explicit schema "
+        "(redis_queue.py:122 json envelope; defensive .get() access "
+        "stt_worker.py:141-145 → permissive parse).",
+)
+def q14_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    parsed = ev.withColumn("p", F.from_json("props", EVENT_PROPS))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(F.col("p.k") > 50, 1)).alias("n_high_k"),
+        F.sum(F.col("p.k").cast("bigint")).alias("total_k"),
+    )
+
+
+@register(
+    "q15_edf_order",
+    oracle="""
+    SELECT event_id, user_id, ts AS deadline
+    FROM events
+    ORDER BY ts, event_id
+    LIMIT 100
+    """,
+    covers=("B2", "O2"),
+    doc="Earliest-deadline-first batch ordering (EDF scheduler contract, "
+        "stt_worker.py:173,411): sort by deadline with unique tie-break, "
+        "take the batch head. Plans as TakeOrderedAndProject (no full sort).",
+)
+def q15_edf_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select("event_id", "user_id", F.col("ts").alias("deadline"))
+        .orderBy(F.asc("deadline"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "q16_length_bucketing",
+    oracle="""
+    SELECT CASE WHEN n_chars <= 128 THEN 128
+                WHEN n_chars <= 256 THEN 256
+                WHEN n_chars <= 384 THEN 384
+                WHEN n_chars <= 512 THEN 512
+                ELSE 2147483647 END AS bucket,
+           count(*) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS total_chars,
+           cast(sum(CASE WHEN n_chars <= 128 THEN 128
+                WHEN n_chars <= 256 THEN 256
+                WHEN n_chars <= 384 THEN 384
+                WHEN n_chars <= 512 THEN 512
+                ELSE 2147483647 END - n_chars) AS bigint) AS padding_waste
+    FROM documents
+    GROUP BY 1
+    """,
+    covers=("B3", "B4", "B5", "P3"),
+    doc="Length bucketing to cut padding waste (_bucket_by_length, "
+        "stt_worker.py:359-379; size buckets ocr_worker.py:412-434). "
+        "The padding_waste column is exactly what the buckets minimize. "
+        "At scale: repartition('bucket') co-locates equal-length items "
+        "so Arrow batches are padding-efficient.",
+)
+def q16_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.when(F.col("n_chars") <= 128, 128)
+        .when(F.col("n_chars") <= 256, 256)
+        .when(F.col("n_chars") <= 384, 384)
+        .when(F.col("n_chars") <= 512, 512)
+        .otherwise(2147483647)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("bucket") - F.col("n_chars")).alias("padding_waste"),
+        )
+    )
+
+
+@register(
+    "q17_request_result_join",
+    oracle="""
+    SELECT r.user_id,
+           count(*) AS n_matched,
+           min(r.event_id) AS first_request
+    FROM events r JOIN events s
+      ON r.user_id = s.user_id
+     AND s.ts > r.ts AND s.ts <= r.ts + INTERVAL 1 HOUR
+    WHERE r.event_type = 'view' AND s.event_type = 'purchase'
+    GROUP BY r.user_id
+    """,
+    covers=("J1", "T11", "S10"),
+    doc="Request↔result correlation as an interval join: each 'view' "
+        "request matched to 'purchase' results within 1 h "
+        "(wait_for_result, redis_queue.py:329-344). Streaming analog = "
+        "watermarked stream-stream join (streaming.joins).",
+)
+def q17_request_result_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    req = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    res = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+    )
+    joined = req.join(
+        res,
+        (F.col("r_user") == F.col("s_user"))
+        & (F.col("s_ts") > F.col("r_ts"))
+        & (F.col("s_ts") <= F.col("r_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy(F.col("r_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.min("r_id").alias("first_request"),
+    )
+
+
+@register(
+    "q18_zip_explode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    covers=("J2", "§2.12-UDTF"),
+    doc="Positional zip of batch items with per-item results "
+        "(zip(bucket_items, results), stt_worker.py:289-300) via "
+        "posexplode — one row per (doc, position, token).",
+)
+def q18_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )

@@ -1,0 +1,375 @@
+"""LLM-training-data pipeline queries (SURVEY §2.13, M6): dedup,
+similarity search, text analysis over `documents` / `embeddings`.
+
+Oracle SQL mirrors the Spark operators token for token: the shared
+md5→60-bit hash makes MinHash/SimHash bit-identical across engines;
+dot products accumulate in decimal (order-independent, exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocess_spark.io.tables import load_tables
+from streamprocess_spark.operators import dedup as D
+from streamprocess_spark.operators import similarity as S
+from streamprocess_spark.operators import text as X
+from streamprocess_spark.plans.registry import register
+from streamprocess_spark.plans.util import sql_davg
+
+# DuckDB fragments mirroring operators.text / operators.dedup
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
+_HASH = f"(('0x' || substr(md5({{v}}), 1, 15))::BIGINT % {D.MOD})"
+_STOPLIST = "['" + "','".join(X.STOPWORDS) + "']"
+
+# word 3-gram shingle CTEs (1-indexed lists; range end-exclusive →
+# i = 1..len-2 covers every trigram; len<3 → empty)
+_SHINGLES = f"""
+    tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tok
+        FROM tk
+    )"""
+
+
+@register(
+    "q40_text_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, {_TOKS} AS toks, text FROM documents
+    ), m AS (
+        SELECT lang,
+               cast(len(toks) AS bigint) AS n_tokens,
+               cast(len(list_filter(toks, x -> list_contains({_STOPLIST}, lower(x))))
+                    AS bigint) AS n_stop,
+               cast(length(text) AS bigint) AS n_chars
+        FROM t
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS total_tokens,
+           {sql_davg('cast(n_tokens as double)', 'avg_tokens')},
+           {sql_davg('cast(n_stop as double) / greatest(cast(n_tokens as double), 1.0)',
+                     'avg_stop_ratio')},
+           cast(sum(n_chars) AS bigint) AS total_chars
+    FROM m GROUP BY lang
+    """,
+    covers=("§2.13-text", "A4"),
+    doc="Per-language token statistics: token counting, stopword "
+        "ratios, char totals — pure Catalyst expressions, zero UDFs.",
+    bench=True,
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    m = docs.select(
+        "lang",
+        X.token_count("text").alias("n_tokens"),
+        X.stopword_count("text").alias("n_stop"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(
+        F.col("n_tokens").cast("double"), F.lit(1.0)
+    )
+    from streamprocess_spark.plans.util import davg
+
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        davg(F.col("n_tokens").cast("double"), "avg_tokens"),
+        davg(stop_ratio, "avg_stop_ratio"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q41_quality_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               cast(len(toks) AS double) AS n,
+               cast(len(list_filter(toks, x -> list_contains({_STOPLIST}, lower(x))))
+                    AS double) AS n_stop,
+               cast(list_sum(list_transform(toks, x -> length(x))) AS double) AS sum_len
+        FROM t
+    ), q AS (
+        SELECT doc_id,
+               round(greatest(0.0, least(1.0,
+                   0.5 * least(n / 64.0, 1.0)
+                 + 0.3 * least((sum_len / greatest(n, 1.0)) / 5.0, 1.0)
+                 + 0.2 * (1.0 - n_stop / greatest(n, 1.0)))), 6) AS quality
+        FROM m
+    )
+    SELECT cast(floor(quality * 10.0) AS int) AS decile,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM q GROUP BY 1
+    """,
+    covers=("§2.13-text", "R5"),
+    doc="Document quality scoring (length/stopword/token-shape "
+        "heuristics) bucketed into deciles — the filter stage of a "
+        "training-data pipeline.",
+)
+def q41_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    q = docs.select("doc_id", X.quality_score("text").alias("quality"))
+    return (
+        q.withColumn("decile", F.floor(F.col("quality") * 10.0).cast("int"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "['" + "','".join(X.LANG_MARKERS[lang]) + "']"
+    return f"len(list_filter(toks, x -> list_contains({markers}, lower(x))))"
+
+
+_N_LANGS = len(X.LANG_MARKERS)
+_ENCODED = ", ".join(
+    f"{_lang_score_sql(lang)} * {_N_LANGS} + {_N_LANGS - 1 - i}"
+    for i, lang in enumerate(X.LANG_MARKERS)
+)
+_DECODE = "CASE greatest(" + _ENCODED + f") % {_N_LANGS} " + " ".join(
+    f"WHEN {_N_LANGS - 1 - i} THEN '{lang}'"
+    for i, lang in enumerate(X.LANG_MARKERS)
+) + " ELSE 'unknown' END"
+
+
+@register(
+    "q42_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, {_TOKS} AS toks FROM documents
+    )
+    SELECT lang AS labeled_lang, {_DECODE} AS pred_lang, count(*) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+    covers=("§2.13-text",),
+    doc="Language-ID heuristic: arg-max over marker-vocabulary hit "
+        "counts (confusion matrix vs the labeled lang column).",
+)
+def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            X.predicted_lang("text").alias("pred_lang"),
+        )
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q43_fingerprint_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique,
+           count(*) - count(DISTINCT fp) AS n_dups
+    FROM t GROUP BY source
+    """,
+    covers=("§2.13-dedup", "A2-shape"),
+    doc="Canonical-form fingerprint dedup (order/duplication-"
+        "insensitive md5 of the sorted token set) per source.",
+)
+def q43_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select("doc_id", "source", X.fingerprint("text").alias("fp"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dups"),
+    )
+
+
+@register(
+    "q44_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS cluster_size
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    covers=("§2.13-dedup",),
+    doc="Exact duplicate clusters by content hash; survivor = min id "
+        "(the distributed dropDuplicates-with-audit form).",
+)
+def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(({a} * hv + {b}) % {D.MOD}) AS m{i}"
+        for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    return f"""{_SHINGLES}, h AS (
+        SELECT doc_id, {_HASH.format(v='tok')} AS hv FROM sh
+    ), sig AS (
+        SELECT doc_id, {mins} FROM h GROUP BY doc_id
+    )"""
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, m{2*b} * {D.MOD} + m{2*b+1} AS band_key FROM sig"
+    for b in range(D.N_BANDS)
+)
+
+
+@register(
+    "q45_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_sig_sql()}, bands AS ({_BANDS_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    covers=("§2.13-dedup",),
+    doc="MinHash+LSH near-dup candidates: shingle→minhash(k=8)→band(4×2)"
+        "→bucket join. The only non-doc-keyed shuffle is the band-key "
+        "equi-join — the scalable 100 TB layout.",
+    bench=True,
+)
+def q45_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_candidates(docs, "doc_id", "text")
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(D.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "q46_simhash",
+    oracle=f"""
+    WITH {_SHINGLES}, h AS (
+        SELECT doc_id, {_HASH.format(v='tok')} AS hv FROM sh
+    ), sums AS (
+        SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, cast({_SIMHASH_FP} AS bigint) AS simhash FROM sums
+    """,
+    covers=("§2.13-dedup",),
+    doc="SimHash fingerprints (16-bit, md5 bit-votes) — near-dup pairs "
+        "come from hamming distance over high-byte buckets "
+        "(simhash_near_pairs).",
+)
+def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "q47_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES}, sk AS (
+        SELECT doc_id, {_HASH.format(v='tok')} AS gh FROM sh
+        WHERE {_HASH.format(v='tok')} % 2 = 0
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM sk GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sk a JOIN sk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(cast(inter AS double)
+                 / cast(sa.sz + sb.sz - inter AS double), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(cast(inter AS double)
+                / cast(sa.sz + sb.sz - inter AS double), 6) >= 0.5
+    """,
+    covers=("§2.13-dedup",),
+    doc="Word-trigram Jaccard near-dup pairs on a deterministic 1/2 "
+        "gram sketch (H(g)%2==0 — consistent sampling, so sketch "
+        "Jaccard ≈ true Jaccard).",
+)
+def q47_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text")
+
+
+_DOT_FP = (
+    "cast(cast(sum(cast(floor(a * b * 1000000000000.0) AS bigint)) AS bigint)"
+    " AS double) / 1000000000000.0"
+)
+_NORM_FP = (
+    "cast(cast(sum(cast(floor(a * a * 1000000000000.0) AS bigint)) AS bigint)"
+    " AS double) / 1000000000000.0"
+)
+
+
+@register(
+    "q48_embedding_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+        SELECT q.qid, c.vec_id AS cid,
+               unnest(q.qe)::DOUBLE AS a, unnest(c.embedding)::DOUBLE AS b
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.qid
+    ), dots AS (
+        SELECT qid, cid, {_DOT_FP} AS dot FROM pairs GROUP BY qid, cid
+    ), norms AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM embeddings)
+        GROUP BY vec_id
+    ), scored AS (
+        SELECT qid, cid,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+        FROM dots JOIN norms nq ON nq.vec_id = qid
+                  JOIN norms nc ON nc.vec_id = cid
+    )
+    SELECT qid, cid, rank, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               cast(row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS int) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    covers=("§2.13-similarity",),
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast "
+        "queries, JVM-side zip_with/aggregate dot products in exact "
+        "decimal, per-query rank. The exactness baseline for ANN.",
+    bench=True,
+)
+def q48_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "q49_ann_lsh_topk",
+    oracle=None,  # hyperplane generation is not reasonably SQL-expressible;
+    # recall vs q48 is asserted in tests/test_similarity.py
+    covers=("§2.13-similarity",),
+    doc="Approximate NN: sign-random-projection LSH buckets (md5-seeded "
+        "hyperplanes), search only within the query's bucket — the "
+        "100 TB scale path (equi-join on bucket id, no cross join).",
+)
+def q49_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_topk_lsh(emb, queries, k=5)

@@ -1,0 +1,125 @@
+"""Structured Streaming queries run to convergence (SURVEY §2.3, §2.11,
+M3) — each is a REAL readStream→writeStream pipeline executed with
+Trigger.AvailableNow inside the builder, returning the converged memory
+-sink contents as a batch DataFrame. The oracles are the batch twins'
+SQL: converged streaming state must equal the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocess_spark.plans import analytic_windows as AW
+from streamprocess_spark.plans.registry import QUERIES, register
+from streamprocess_spark.plans.util import dsum
+from streamprocess_spark.streaming.core import events_stream, run_to_completion
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=QUERIES["q20_tumbling_window"].oracle,
+    covers=("T2", "S7", "§2.11-tumbling"),
+    doc="Tumbling 5-min event-time window over a file-replayed events "
+        "stream (readStream→window→memory sink, AvailableNow). "
+        "Converged state hash-matches the batch oracle.",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle=QUERIES["q21_sliding_window"].oracle,
+    covers=("T3", "§2.11-sliding"),
+    doc="Sliding 10/5-min window on the replayed stream (overlap-carry "
+        "analog, config.py:121-122).",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle=QUERIES["q22_session_window"].oracle,
+    covers=("T5", "T10", "§2.11-session", "§2.11-watermark"),
+    doc="Watermarked session_window (gap analog of the 300 ms VAD "
+        "endpoint) in APPEND mode: a far-future sentinel flushes the "
+        "watermark so converged append output equals the batch result — "
+        "the is_final flush semantics (stt_worker.py:396-417).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = events_stream(spark, sf_dir, with_sentinel=True)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", AW.SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events",
+                "session_value")
+        # sentinel exclusion must key off an AGGREGATED column: a plain
+        # user_id filter would be predicate-pushed below the
+        # EventTimeWatermark node and the sentinel would never advance
+        # the watermark (its own far-future session is withheld anyway)
+        .filter(F.col("session_start") < F.lit("2099-01-01").cast("timestamp"))
+    )
+    return run_to_completion(agg, "append")
+
+
+@register(
+    "stream_priority_routing",
+    oracle=QUERIES["q11_priority_routing"].oracle,
+    covers=("R1", "R2", "S6", "S7"),
+    doc="Stateless routing on the stream (priority assignment per "
+        "record) + converged per-priority depth counts; the streaming "
+        "form of the XADD fan-out (redis_queue.py:117-130).",
+)
+def stream_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.dataflow import priority_col
+
+    stream, _ = events_stream(spark, sf_dir)
+    agg = (
+        stream.withColumn("priority", priority_col(F.col("event_type")))
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n_jobs"), dsum("value", "total_value"))
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_dedup_ids",
+    oracle="""
+    SELECT user_id, count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    covers=("T8-shape", "§2.11-state", "S12"),
+    doc="Streaming dropDuplicates (exactly-once per (user, type) — the "
+        "idempotent result-store write, redis_queue.py:305-314) then "
+        "converged per-user distinct-type counts.",
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = events_stream(spark, sf_dir)
+    agg = (
+        stream.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    return run_to_completion(agg, "complete")

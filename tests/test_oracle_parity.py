@@ -1,0 +1,37 @@
+"""Differential test: every oracle-bearing query must match DuckDB
+bit-for-bit at sf0.001 (the driver runs the same check at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamprocess_spark.plans import QUERIES, oracle_sql_map, query_map
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connection
+
+ORACLES = oracle_sql_map()
+NAMES = sorted(ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity(spark, duck, name):
+    qdf = query_map()[name](spark, SF_DIR)
+    spark_pdf = qdf.toPandas()
+    duck_pdf = duck.sql(ORACLES[name]).df()
+    assert len(spark_pdf) > 0, f"{name}: empty result"
+    problems = compare(spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_all_queries_have_nonempty_results(spark):
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            df = spec.builder(spark, SF_DIR)
+            assert df.count() >= 0, name
