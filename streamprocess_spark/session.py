@@ -19,6 +19,8 @@ on local[N]):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -57,3 +59,34 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_PYFILES_SENT: set[str] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the streamprocess_spark package to Python workers.
+
+    Pandas-UDF closures reference this module; when the driving
+    process imported it via a sys.path entry the forked workers don't
+    share (e.g. the harness runs from another cwd), deserialization
+    fails with ModuleNotFoundError. addPyFile with a package zip fixes
+    that for local and cluster mode alike. Idempotent per session."""
+    sid = spark.sparkContext.applicationId
+    if sid in _PYFILES_SENT:
+        return
+    import streamprocess_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(streamprocess_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"streamprocess_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(sid)

@@ -1,0 +1,117 @@
+"""Stateful sessionizer correctness (SURVEY M4): deterministic chunk
+replay, streaming == batch convergence, reference-derived invariants
+(segment conservation, overlap carry, VAD endpoints)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from streamprocess_spark.io.tables import load_tables
+from streamprocess_spark.streaming.core import run_to_completion
+from streamprocess_spark.streaming.sessionizer import (
+    CHUNK_SCHEMA,
+    DEFAULT_CONFIG,
+    SessionizerConfig,
+    _SessionCore,
+    chunks_from_events,
+    sessionize_batch,
+    sessionize_stream,
+)
+from tests.conftest import SF_DIR
+
+CFG = DEFAULT_CONFIG
+
+
+def _chunk(amp: float, cfg: SessionizerConfig = CFG) -> np.ndarray:
+    n = cfg.chunk_samples
+    return (amp * np.sin(np.arange(n) * 2 * np.pi * 5 / n)).astype(np.float32)
+
+
+class TestCore:
+    """Unit tests on the pure session core (reference test style:
+    tests/unit/test_preprocessing.py numeric property assertions)."""
+
+    def test_size_trigger_and_overlap(self):
+        core = _SessionCore.fresh(CFG, "s")
+        # 4 speech chunks = 400ms ≥ 320ms → one partial after chunk 4
+        for i in range(4):
+            core.feed(i * 100, _chunk(0.5), is_final=False)
+        assert len(core.out) == 1
+        seg = core.out[0]
+        assert seg[5] is True and seg[6] == "size"   # partial, size trigger
+        assert seg[2] == 0 and seg[4] == 4 * CFG.chunk_samples
+        # T3: overlap retained
+        assert len(core.buf) == CFG.overlap_samples
+        assert core.buf_start_ms == 400 - CFG.overlap_ms
+
+    def test_vad_endpoint(self):
+        core = _SessionCore.fresh(CFG, "s")
+        core.feed(0, _chunk(0.5), is_final=False)       # speech
+        core.feed(100, _chunk(0.0), is_final=False)     # silence 100
+        core.feed(200, _chunk(0.0), is_final=False)     # silence 200
+        assert len(core.out) == 0
+        core.feed(300, _chunk(0.0), is_final=False)     # silence 300 → endpoint
+        assert len(core.out) == 1
+        assert core.out[0][6] == "vad"
+        assert core.in_speech is False
+
+    def test_silence_only_never_triggers_vad(self):
+        core = _SessionCore.fresh(CFG, "s")
+        for i in range(3):                               # 300ms silence, no speech
+            core.feed(i * 100, _chunk(0.0), is_final=False)
+        # in_speech never set → no vad endpoint; 300ms < 320ms → no size
+        assert len(core.out) == 0
+        core.feed(300, _chunk(0.0), is_final=False)      # 400ms → size trigger
+        assert len(core.out) == 1 and core.out[0][6] == "size"
+
+    def test_final_flush_conservation(self):
+        core = _SessionCore.fresh(CFG, "s")
+        for i in range(6):
+            core.feed(i * 100, _chunk(0.4), is_final=(i == 5))
+        finals = [s for s in core.out if not s[5]]
+        assert len(finals) == 1 and core.out[-1][6] == "final"
+        # segment conservation (reference: split length conservation,
+        # test_preprocessing.py:105-125): emitted non-overlapped spans
+        # cover exactly the input duration
+        total_ms = 6 * CFG.chunk_ms
+        assert core.out[-1][3] == total_ms
+        assert len(core.buf) == 0
+
+
+@pytest.mark.slow
+class TestConvergence:
+    def test_stream_equals_batch(self, spark):
+        ev = load_tables(spark, SF_DIR)["events"]
+        chunks = chunks_from_events(ev, CFG, max_users=30)
+
+        batch = sessionize_batch(chunks, CFG).toPandas()
+
+        tmp = tempfile.mkdtemp(prefix="sessconv_")
+        chunks.orderBy("ts").coalesce(5).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        streamed = run_to_completion(sessionize_stream(stream, CFG), "append").toPandas()
+
+        cols = list(batch.columns)
+        b = batch.sort_values(cols, ignore_index=True)
+        s = streamed.sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(b, s, check_dtype=False)
+        assert len(b) > 0
+
+    def test_segments_deterministic_across_runs(self, spark):
+        ev = load_tables(spark, SF_DIR)["events"]
+        chunks = chunks_from_events(ev, CFG, max_users=10)
+        a = sessionize_batch(chunks, CFG).toPandas()
+        b = sessionize_batch(chunks, CFG).toPandas()
+        cols = list(a.columns)
+        pd.testing.assert_frame_equal(
+            a.sort_values(cols, ignore_index=True),
+            b.sort_values(cols, ignore_index=True),
+        )
