@@ -1,0 +1,248 @@
+"""Audio scalar-function library (SURVEY §2.10 F1-F10) as Arrow
+pandas UDFs over array<float> / binary columns.
+
+Reference semantics from src/preprocessing/audio_processor.py; all
+implementations are pure NumPy (librosa/scipy/webrtcvad are not in
+this container), with deviations documented per function:
+  F1  resample            (:70-82)   linear-interp (vs librosa kaiser)
+  F2  to_mono             (:84-91)   channel mean
+  F3  normalize_audio     (:93-114)  RMS→dBFS gain, clipped
+  F4  denoise             (:116-157) spectral subtraction α=2 β=0.01
+  F5  high_pass_filter    (:159-180) 1st-order IIR fwd+bwd (vs scipy
+                                      4th-order butter filtfilt)
+  F6  apply_agc           (:182-215) attack/release gain smoothing
+  F7  apply_vad           (:217-278) frame-energy VAD (vs webrtcvad)
+  F8  extract_features    (:384-420) RMS/ZCR/centroid/bandwidth/rolloff
+  F9  decode LINEAR16     (stt_worker.py:381-394) int16/32768
+  F10 preprocess pipeline (:20-68)
+
+Performance: every UDF is vectorized over Arrow batches (one Python
+call per ~10k rows, spark.sql.execution.arrow.maxRecordsPerBatch); at
+100 TB these run embarrassingly parallel per-row with zero shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+EPS = 1e-10
+
+
+# ---------------------------------------------------------------------------
+# numpy cores (unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+def np_decode_linear16(raw: bytes) -> np.ndarray:
+    """F9: PCM16LE bytes → float32 in [-1, 1) (stt_worker.py:387-389)."""
+    return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def np_encode_linear16(x: np.ndarray) -> bytes:
+    return (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def np_resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """F1: linear-interpolation resample (audio_processor.py:70-82)."""
+    if orig_sr == target_sr or len(x) == 0:
+        return x.astype(np.float32)
+    n_out = int(round(len(x) * target_sr / orig_sr))
+    src_t = np.arange(len(x), dtype=np.float64) / orig_sr
+    dst_t = np.arange(n_out, dtype=np.float64) / target_sr
+    return np.interp(dst_t, src_t, x.astype(np.float64)).astype(np.float32)
+
+
+def np_to_mono(x: np.ndarray, channels: int) -> np.ndarray:
+    """F2: interleaved multi-channel → mean (audio_processor.py:84-91)."""
+    if channels <= 1:
+        return x.astype(np.float32)
+    n = len(x) // channels * channels
+    return x[:n].reshape(-1, channels).mean(axis=1).astype(np.float32)
+
+
+def np_normalize(x: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
+    """F3: RMS→dBFS gain with clip (audio_processor.py:93-114)."""
+    rms = float(np.sqrt(np.mean(np.square(x, dtype=np.float64)))) if len(x) else 0.0
+    if rms < EPS:
+        return x.astype(np.float32)
+    gain = 10.0 ** (target_dbfs / 20.0) / rms
+    return np.clip(x * gain, -1.0, 1.0).astype(np.float32)
+
+
+def np_denoise(x: np.ndarray, frame: int = 256, alpha: float = 2.0,
+               beta: float = 0.01) -> np.ndarray:
+    """F4: spectral subtraction (audio_processor.py:116-157): noise
+    spectrum from the first ~5 frames, subtract α·noise, floor β."""
+    if len(x) < frame * 2:
+        return x.astype(np.float32)
+    n_frames = len(x) // frame
+    frames = x[: n_frames * frame].astype(np.float64).reshape(n_frames, frame)
+    spec = np.fft.rfft(frames, axis=1)
+    mag, phase = np.abs(spec), np.angle(spec)
+    noise = mag[: min(5, n_frames)].mean(axis=0)
+    clean = np.maximum(mag - alpha * noise, beta * mag)
+    out = np.fft.irfft(clean * np.exp(1j * phase), n=frame, axis=1).reshape(-1)
+    tail = x[n_frames * frame:]
+    return np.concatenate([out, tail.astype(np.float64)]).astype(np.float32)
+
+
+def np_high_pass(x: np.ndarray, cutoff: float = 80.0,
+                 sr: int = 16000) -> np.ndarray:
+    """F5: first-order IIR high-pass applied forward then backward
+    (zero-phase, filtfilt-like; audio_processor.py:159-180 uses a
+    4th-order Butterworth — documented deviation)."""
+    if len(x) == 0:
+        return x.astype(np.float32)
+    rc = 1.0 / (2.0 * np.pi * cutoff)
+    dt = 1.0 / sr
+    a = rc / (rc + dt)
+
+    def one_pass(sig: np.ndarray) -> np.ndarray:
+        y = np.empty_like(sig)
+        y[0] = sig[0]
+        # y[i] = a*(y[i-1] + x[i] - x[i-1]) — recursive; use the
+        # closed-form via lfilter-style scan
+        prev_y, prev_x = sig[0], sig[0]
+        for i in range(1, len(sig)):
+            prev_y = a * (prev_y + sig[i] - prev_x)
+            prev_x = sig[i]
+            y[i] = prev_y
+        return y
+
+    fwd = one_pass(x.astype(np.float64))
+    bwd = one_pass(fwd[::-1])[::-1]
+    return bwd.astype(np.float32)
+
+
+def np_agc(x: np.ndarray, target: float = 0.1, attack: float = 0.1,
+           release: float = 0.9, frame: int = 160) -> np.ndarray:
+    """F6: automatic gain control with attack/release smoothing at
+    frame granularity (audio_processor.py:182-215)."""
+    if len(x) == 0:
+        return x.astype(np.float32)
+    n_frames = (len(x) + frame - 1) // frame
+    out = np.empty(len(x), dtype=np.float64)
+    gain = 1.0
+    for i in range(n_frames):
+        seg = x[i * frame: (i + 1) * frame].astype(np.float64)
+        amp = np.max(np.abs(seg)) if len(seg) else 0.0
+        desired = target / amp if amp > EPS else gain
+        coef = attack if desired < gain else release
+        gain = coef * gain + (1.0 - coef) * desired
+        out[i * frame: i * frame + len(seg)] = seg * gain
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
+def np_vad_flags(x: np.ndarray, sr: int = 16000, frame_ms: int = 30,
+                 threshold: float = 0.01) -> np.ndarray:
+    """F7: per-frame speech flags by RMS energy (frame cadence follows
+    audio_processor.py:217-278; webrtcvad → energy threshold)."""
+    frame = max(1, sr * frame_ms // 1000)
+    n_frames = len(x) // frame
+    if n_frames == 0:
+        return np.zeros(0, dtype=bool)
+    frames = x[: n_frames * frame].astype(np.float64).reshape(n_frames, frame)
+    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    return rms > threshold
+
+
+def np_features(x: np.ndarray, sr: int = 16000) -> dict[str, float]:
+    """F8: summary spectral features (audio_processor.py:384-420),
+    scalars instead of per-frame arrays (MFCC needs librosa; the
+    centroid/bandwidth/rolloff/ZCR/RMS family is reproduced)."""
+    if len(x) == 0:
+        return {"rms": 0.0, "zcr": 0.0, "centroid": 0.0,
+                "bandwidth": 0.0, "rolloff": 0.0}
+    xd = x.astype(np.float64)
+    rms = float(np.sqrt(np.mean(xd ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(xd)).astype(np.float64))))
+    mag = np.abs(np.fft.rfft(xd))
+    freqs = np.fft.rfftfreq(len(xd), d=1.0 / sr)
+    total = mag.sum() + EPS
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total))
+    cum = np.cumsum(mag)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * cum[-1]))])
+    return {"rms": rms, "zcr": zcr, "centroid": centroid,
+            "bandwidth": bandwidth, "rolloff": rolloff}
+
+
+def np_preprocess(x: np.ndarray, orig_sr: int, channels: int = 1,
+                  target_sr: int = 16000, denoise: bool = False) -> np.ndarray:
+    """F10: resample→mono→normalize→(denoise)→HPF→AGC composition
+    (audio_processor.py:20-68)."""
+    y = np_to_mono(x, channels)
+    y = np_resample(y, orig_sr, target_sr)
+    y = np_normalize(y)
+    if denoise:
+        y = np_denoise(y)
+    y = np_high_pass(y, sr=target_sr)
+    y = np_agc(y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF wrappers (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def decode_linear16_udf(raw: pd.Series) -> pd.Series:
+    return raw.apply(lambda b: np_decode_linear16(b).tolist() if b is not None else None)
+
+
+def resample_udf(orig_sr: int, target_sr: int):
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(samples: pd.Series) -> pd.Series:
+        return samples.apply(
+            lambda a: np_resample(np.asarray(a, dtype=np.float32), orig_sr, target_sr).tolist()
+        )
+    return _udf
+
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def normalize_udf(samples: pd.Series) -> pd.Series:
+    return samples.apply(
+        lambda a: np_normalize(np.asarray(a, dtype=np.float32)).tolist()
+    )
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("centroid", T.DoubleType()),
+    T.StructField("bandwidth", T.DoubleType()),
+    T.StructField("rolloff", T.DoubleType()),
+])
+
+
+def features_udf(sr: int = 16000):
+    @pandas_udf(FEATURE_SCHEMA)
+    def _udf(samples: pd.Series) -> pd.DataFrame:
+        rows = [np_features(np.asarray(a, dtype=np.float32), sr) for a in samples]
+        return pd.DataFrame(rows)
+    return _udf
+
+
+def vad_udf(sr: int = 16000, frame_ms: int = 30, threshold: float = 0.01):
+    @pandas_udf(T.ArrayType(T.BooleanType()))
+    def _udf(samples: pd.Series) -> pd.Series:
+        return samples.apply(
+            lambda a: np_vad_flags(
+                np.asarray(a, dtype=np.float32), sr, frame_ms, threshold
+            ).tolist()
+        )
+    return _udf
+
+
+def preprocess_udf(orig_sr: int, target_sr: int = 16000, denoise: bool = False):
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(samples: pd.Series) -> pd.Series:
+        return samples.apply(
+            lambda a: np_preprocess(
+                np.asarray(a, dtype=np.float32), orig_sr, 1, target_sr, denoise
+            ).tolist()
+        )
+    return _udf

@@ -1,0 +1,294 @@
+"""Image scalar-function library (SURVEY §2.10 F11-F23).
+
+Image model: opaque binary column = raw 8-bit grayscale bytes in
+row-major order, with width/height carried as typed metadata columns
+(FIXTURES.md document_jobs). The container has no OpenCV/PIL, so:
+  - PNG/JPEG decode is STUBBED (decode_image raises
+    NotImplementedError for real formats; the deterministic procedural
+    decoder `fake_decode` generates a seeded bitmap) — the Spark-side
+    plumbing (schema, partitioning, UDF signatures, Arrow batching)
+    is real and tested.
+  - Geometry/threshold/crop/layout ops are real NumPy implementations
+    mirroring src/preprocessing/image_processor.py semantics.
+
+Mapping (reference file:line in image_processor.py):
+  F13 denoise        (:182-196)  3x3 median filter (vs fastNlMeans)
+  F14 enhance        (:198-215)  contrast stretch + gamma 1.2 LUT
+  F15 binarize       (:217-236)  otsu | adaptive-mean | fixed
+  F16 remove_noise   (:238-262)  morphological open (3x3)
+  F17 adjust_dpi     (:264-286)  nearest-neighbor rescale
+  F18 detect_layout  (:288-335)  projection-profile blocks, sorted y,x
+  F19 detect_tables  (:337-369)  long-run line mask → bboxes
+  F20 crop_to_content(:371-398)  non-white bbox + padding
+  F22 validate_image (:422-446)  min/max size + blank-ratio check
+  F23 bbox from quad (ocr_worker.py:373-379) min/max of corner points
+  F11/F12 auto_rotate/deskew: STUB (Hough/minAreaRect need cv2) —
+  raise NotImplementedError with the reference citation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+WHITE = 230  # "non-white" threshold for content detection
+
+
+# ---------------------------------------------------------------------------
+# decode layer
+# ---------------------------------------------------------------------------
+
+def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.ndarray:
+    """Decode an image payload to a HxW uint8 array.
+
+    Only the raw GRAY8 layout is implemented; PNG/JPEG/BMP/TIFF/PDF
+    (the reference's accepted formats, src/grpc_server/server.py:354)
+    require a codec library not present in this container."""
+    if fmt != "GRAY8":
+        raise NotImplementedError(
+            f"decode for {fmt} needs an image codec (PIL/OpenCV); the "
+            "reference decodes via cv2.imdecode (ocr_worker.py:283-308)"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if len(arr) != width * height:
+        raise ValueError(f"payload {len(arr)} != {width}x{height}")
+    return arr.reshape(height, width)
+
+
+def fake_decode(seed: str, width: int, height: int,
+                n_blocks: int = 3) -> np.ndarray:
+    """Deterministic procedural 'document': white page with dark text
+    blocks placed by an md5-seeded PRNG — the conftest-style fixture
+    (reference tests use a white 800x600 page + black rectangles,
+    tests/conftest.py:96-104, test_preprocessing.py:236-252)."""
+    h = hashlib.md5(seed.encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    img = np.full((height, width), 255, dtype=np.uint8)
+    for _ in range(n_blocks):
+        bw = int(rng.integers(width // 8, width // 3))
+        bh = int(rng.integers(height // 16, height // 8))
+        x = int(rng.integers(0, max(1, width - bw)))
+        y = int(rng.integers(0, max(1, height - bh)))
+        img[y: y + bh, x: x + bw] = int(rng.integers(0, 80))
+    return img
+
+
+def auto_rotate(img: np.ndarray) -> np.ndarray:
+    """F11 stub: EXIF + Hough-line rotation (image_processor.py:81-141)
+    requires cv2.HoughLines — not available here."""
+    raise NotImplementedError(
+        "auto_rotate needs cv2 (reference: image_processor.py:81-141)"
+    )
+
+
+def deskew(img: np.ndarray) -> np.ndarray:
+    """F12 stub: minAreaRect deskew (image_processor.py:143-180)."""
+    raise NotImplementedError(
+        "deskew needs cv2 (reference: image_processor.py:143-180)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# real numpy implementations
+# ---------------------------------------------------------------------------
+
+def np_median3(img: np.ndarray) -> np.ndarray:
+    """F13: 3x3 median denoise."""
+    if img.shape[0] < 3 or img.shape[1] < 3:
+        return img
+    stacked = np.stack([
+        img[i: img.shape[0] - 2 + i, j: img.shape[1] - 2 + j]
+        for i in range(3) for j in range(3)
+    ])
+    out = img.copy()
+    out[1:-1, 1:-1] = np.median(stacked, axis=0).astype(np.uint8)
+    return out
+
+
+def np_enhance_contrast(img: np.ndarray, gamma: float = 1.2) -> np.ndarray:
+    """F14: percentile contrast stretch + gamma LUT."""
+    lo, hi = np.percentile(img, [2, 98])
+    if hi <= lo:
+        return img
+    stretched = np.clip((img.astype(np.float64) - lo) / (hi - lo), 0, 1)
+    lut = np.power(stretched, 1.0 / gamma)
+    return (lut * 255).astype(np.uint8)
+
+
+def np_otsu_threshold(img: np.ndarray) -> int:
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    best_t, best_var = 127, -1.0
+    w0 = 0.0
+    sum0 = 0.0
+    sum_all = (np.arange(256) * hist).sum()
+    for t in range(256):
+        w0 += hist[t]
+        if w0 == 0 or w0 == total:
+            continue
+        sum0 += t * hist[t]
+        m0 = sum0 / w0
+        m1 = (sum_all - sum0) / (total - w0)
+        var = w0 * (total - w0) * (m0 - m1) ** 2
+        if var > best_var:
+            best_var, best_t = var, t
+    return best_t
+
+
+def np_binarize(img: np.ndarray, method: str = "otsu",
+                threshold: int = 127) -> np.ndarray:
+    """F15: binarization → strictly {0, 255} domain
+    (test_preprocessing.py:194-210 asserts this)."""
+    if method == "otsu":
+        t = np_otsu_threshold(img)
+    elif method == "adaptive":
+        t = max(1, int(img.mean()) - 2)
+    else:
+        t = threshold
+    return np.where(img > t, 255, 0).astype(np.uint8)
+
+
+def np_morph_open(binary: np.ndarray) -> np.ndarray:
+    """F16: 3x3 erosion then dilation on a {0,255} image."""
+    def erode(x):
+        p = np.pad(x, 1, constant_values=255)
+        return np.min(np.stack([
+            p[i: i + x.shape[0], j: j + x.shape[1]]
+            for i in range(3) for j in range(3)
+        ]), axis=0)
+
+    def dilate(x):
+        p = np.pad(x, 1, constant_values=0)
+        return np.max(np.stack([
+            p[i: i + x.shape[0], j: j + x.shape[1]]
+            for i in range(3) for j in range(3)
+        ]), axis=0)
+
+    return dilate(erode(binary)).astype(np.uint8)
+
+
+def np_resize_nearest(img: np.ndarray, scale: float) -> np.ndarray:
+    """F17: nearest-neighbor rescale (adjust_dpi, :264-286)."""
+    h, w = img.shape
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    yi = (np.arange(nh) * h // nh).clip(0, h - 1)
+    xi = (np.arange(nw) * w // nw).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def _true_runs(mask1d: np.ndarray) -> np.ndarray:
+    """(start, end) pairs of consecutive-True runs, vectorized."""
+    edges = np.flatnonzero(
+        np.diff(np.concatenate([[0], mask1d.view(np.int8), [0]]))
+    )
+    return edges.reshape(-1, 2)
+
+
+def np_detect_layout(img: np.ndarray, dark: int = 128,
+                     min_area: int = 100) -> list[dict]:
+    """F18: projection-profile block detection: dark rows → bands,
+    dark columns within a band → elements; area>=min_area filter
+    (the reference's contour small-area filter, :301-304); output
+    sorted top-to-bottom then left-to-right (:329). Run-length
+    encoded numpy scans — no per-pixel Python loops."""
+    mask = img < dark
+    elements: list[dict] = []
+    for y, y2 in _true_runs(mask.any(axis=1)):
+        bh = int(y2 - y)
+        band_cols = mask[y:y2].any(axis=0)
+        for x, x2 in _true_runs(band_cols):
+            bw = int(x2 - x)
+            if bw * bh >= min_area:
+                aspect = bw / max(bh, 1)
+                etype = "line" if aspect > 5 else ("block" if aspect > 0.5 else "column")
+                elements.append({
+                    "type": etype, "x": int(x), "y": int(y),
+                    "width": bw, "height": bh,
+                })
+    elements.sort(key=lambda e: (e["y"], e["x"]))
+    return elements
+
+
+def np_crop_to_content(img: np.ndarray, padding: int = 10) -> np.ndarray:
+    """F20: bbox of non-white pixels + padding (:371-398)."""
+    mask = img < WHITE
+    if not mask.any():
+        return img
+    ys, xs = np.where(mask)
+    y0, y1 = max(0, ys.min() - padding), min(img.shape[0], ys.max() + 1 + padding)
+    x0, x1 = max(0, xs.min() - padding), min(img.shape[1], xs.max() + 1 + padding)
+    return img[y0:y1, x0:x1]
+
+
+def np_validate_image(img: np.ndarray, min_size: int = 100,
+                      max_size: int = 10000) -> tuple[bool, str]:
+    """F22: size bounds + blank check (:422-446): reject if <1% of
+    pixels are non-white."""
+    h, w = img.shape
+    if h < min_size or w < min_size:
+        return False, "too_small"
+    if h > max_size or w > max_size:
+        return False, "too_large"
+    nonwhite = float((img < WHITE).mean())
+    if nonwhite < 0.01:
+        return False, "blank"
+    return True, "ok"
+
+
+def np_bbox_from_quad(points: list[tuple[float, float]]) -> tuple[int, int, int, int]:
+    """F23: quad corner points → (x, y, w, h)
+    (ocr_worker.py:373-379)."""
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    x, y = int(min(xs)), int(min(ys))
+    return x, y, int(max(xs)) - x, int(max(ys)) - y
+
+
+# ---------------------------------------------------------------------------
+# Spark UDF layer
+# ---------------------------------------------------------------------------
+
+LAYOUT_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("type", T.StringType()),
+    T.StructField("x", T.IntegerType()),
+    T.StructField("y", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+]))
+
+VALIDATE_SCHEMA = T.StructType([
+    T.StructField("valid", T.BooleanType()),
+    T.StructField("reason", T.StringType()),
+])
+
+
+@pandas_udf(LAYOUT_SCHEMA)
+def detect_layout_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    out = []
+    for raw, w, h in zip(image, width, height):
+        img = decode_image(raw, int(w), int(h))
+        out.append(np_detect_layout(img))
+    return pd.Series(out)
+
+
+@pandas_udf(VALIDATE_SCHEMA)
+def validate_image_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.DataFrame:
+    rows = []
+    for raw, w, h in zip(image, width, height):
+        img = decode_image(raw, int(w), int(h))
+        valid, reason = np_validate_image(img)
+        rows.append({"valid": valid, "reason": reason})
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(T.BinaryType())
+def binarize_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    out = []
+    for raw, w, h in zip(image, width, height):
+        img = decode_image(raw, int(w), int(h))
+        out.append(np_binarize(img).tobytes())
+    return pd.Series(out)

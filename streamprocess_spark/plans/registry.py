@@ -91,5 +91,6 @@ def _ensure_loaded() -> None:
     import streamprocess_spark.plans.llm_pipeline  # noqa: F401
     import streamprocess_spark.plans.streaming_queries  # noqa: F401
     import streamprocess_spark.plans.stateful_queries  # noqa: F401
+    import streamprocess_spark.plans.multimodal  # noqa: F401
 
     _LOADED = True
