@@ -202,11 +202,24 @@ def resample_udf(orig_sr: int, target_sr: int):
     return _udf
 
 
-@pandas_udf(T.ArrayType(T.FloatType()))
-def normalize_udf(samples: pd.Series) -> pd.Series:
-    return samples.apply(
-        lambda a: np_normalize(np.asarray(a, dtype=np.float32)).tolist()
-    )
+def normalize_udf(target_dbfs: float = -20.0):
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(samples: pd.Series) -> pd.Series:
+        return samples.apply(
+            lambda a: np_normalize(
+                np.asarray(a, dtype=np.float32), target_dbfs
+            ).tolist()
+        )
+    return _udf
+
+
+def to_mono_udf(channels: int = 2):
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(samples: pd.Series) -> pd.Series:
+        return samples.apply(
+            lambda a: np_to_mono(np.asarray(a, dtype=np.float32), channels).tolist()
+        )
+    return _udf
 
 
 FEATURE_SCHEMA = T.StructType([

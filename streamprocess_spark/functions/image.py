@@ -213,6 +213,17 @@ def np_detect_layout(img: np.ndarray, dark: int = 128,
     return elements
 
 
+def np_detect_tables(img: np.ndarray, min_area: int = 1000) -> list[dict]:
+    """F19: table-region detection (image_processor.py:337-369).
+    Deviation: the reference builds a morphological H/V line mask with
+    cv2; here a table is a projection-profile region whose area
+    exceeds the reference's area>1000 filter (:361)."""
+    return [
+        e for e in np_detect_layout(img, min_area=1)
+        if e["width"] * e["height"] > min_area
+    ]
+
+
 def np_crop_to_content(img: np.ndarray, padding: int = 10) -> np.ndarray:
     """F20: bbox of non-white pixels + padding (:371-398)."""
     mask = img < WHITE
@@ -292,3 +303,45 @@ def binarize_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Se
         img = decode_image(raw, int(w), int(h))
         out.append(np_binarize(img).tobytes())
     return pd.Series(out)
+
+
+@pandas_udf(T.BinaryType())
+def median_denoise_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    """F13 as a binary→binary stage (chains with binarize_udf)."""
+    out = []
+    for raw, w, h in zip(image, width, height):
+        out.append(np_median3(decode_image(raw, int(w), int(h))).tobytes())
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def dark_count_udf(image: pd.Series) -> pd.Series:
+    """Count of dark (<128) pixels in a GRAY8 payload — the terminal
+    check of binarize/denoise chains."""
+    return image.apply(
+        lambda raw: int((np.frombuffer(raw, dtype=np.uint8) < 128).sum())
+    )
+
+
+@pandas_udf(LAYOUT_SCHEMA)
+def detect_tables_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    out = []
+    for raw, w, h in zip(image, width, height):
+        out.append(np_detect_tables(decode_image(raw, int(w), int(h))))
+    return pd.Series(out)
+
+
+CROP_SCHEMA = T.StructType([
+    T.StructField("crop_w", T.IntegerType()),
+    T.StructField("crop_h", T.IntegerType()),
+])
+
+
+@pandas_udf(CROP_SCHEMA)
+def crop_dims_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.DataFrame:
+    """F20 crop-to-content, emitting the cropped dimensions."""
+    rows = []
+    for raw, w, h in zip(image, width, height):
+        cropped = np_crop_to_content(decode_image(raw, int(w), int(h)))
+        rows.append({"crop_w": cropped.shape[1], "crop_h": cropped.shape[0]})
+    return pd.DataFrame(rows)

@@ -301,3 +301,47 @@ def q18_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
         .withColumn("pos", F.col("pos").cast("bigint"))
     )
+
+
+@register(
+    "q19_batch_formation",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) - 1 AS seq,
+               event_id
+        FROM events
+    )
+    SELECT event_type,
+           cast(seq // 16 AS BIGINT) AS batch_id,
+           count(*)::BIGINT AS n_items,
+           cast(min(event_id) AS BIGINT) AS first_item,
+           cast(max(event_id) AS BIGINT) AS last_item
+    FROM seq GROUP BY event_type, seq // 16
+    """,
+    covers=("B1", "B6", "B7-shape"),
+    doc="Dynamic batch formation (BatchAggregator contract, "
+        "stt_worker.py:79-84 max_batch_size=16; server-side coalescing "
+        "cmd/grpc-server/main.go:155-174): arrival-ordered items per "
+        "job type grouped into batches of <=16. Every batch holds 16 "
+        "items except each type's tail — the invariant the reference's "
+        "size trigger enforces. At scale the analog is Arrow batch "
+        "sizing (spark.sql.execution.arrow.maxRecordsPerBatch), not a "
+        "driver-side loop.",
+)
+def q19_batch_formation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("seq", F.row_number().over(w) - 1)
+        .withColumn("batch_id", (F.col("seq") / 16).cast("bigint"))
+        .groupBy("event_type", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("event_id").alias("first_item"),
+            F.max("event_id").alias("last_item"),
+        )
+    )

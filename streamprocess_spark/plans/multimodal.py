@@ -413,3 +413,360 @@ def q55_ocr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l.confidence") * 100, 0).cast("bigint").alias("conf_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining audio scalar functions (F2 mono, F3 normalize, F10 chain)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def _synth_stereo_udf(doc_id: pd.Series) -> pd.Series:
+    """Interleaved 2-channel PCM16: sample j has k = (d*31+j*7)%1025-512."""
+    def synth(d: int) -> bytes:
+        n2 = 2 * (10 + d % 5) * FRAME
+        j = np.arange(n2, dtype=np.int64)
+        k = (d * 31 + j * 7) % 1025 - 512
+        return (k * 32).astype("<i2").tobytes()
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+@pandas_udf(T.BinaryType())
+def _synth_const_amp_udf(doc_id: pd.Series) -> pd.Series:
+    """Constant-magnitude PCM16: |x| = 2^-(1 + d%3) exactly (so RMS is
+    an exact power of two and the 0 dBFS normalize gain is exact);
+    sign of sample i from (d*3 + i*5) % 7 < 4."""
+    def synth(d: int) -> bytes:
+        i = np.arange(4800, dtype=np.int64)
+        sgn = np.where((d * 3 + i * 5) % 7 < 4, 1, -1)
+        return (sgn * (16384 >> (d % 3))).astype("<i2").tobytes()
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+@register(
+    "q57_audio_mono",
+    oracle=f"""
+    WITH au AS (SELECT doc_id, (10 + doc_id % 5) * {FRAME} AS n FROM documents),
+    pair AS (
+        SELECT a.doc_id,
+               (a.doc_id * 31 + (2 * t.i) * 7) % 1025 - 512 AS k1,
+               (a.doc_id * 31 + (2 * t.i + 1) * 7) % 1025 - 512 AS k2
+        FROM au a, range(0, {FRAME} * 15) t(i)
+        WHERE t.i < a.n
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_mono,
+           cast(sum(cast(floor(((k1 + k2) / 2048.0) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS msum_fp
+    FROM pair GROUP BY doc_id
+    """,
+    covers=("F2",),
+    doc="Stereo→mono channel mean (audio_processor.py:84-91): each "
+        "mono sample (k1+k2)/2048 is dyadic, so the fixed-point sum is "
+        "exact in float32, Spark, and DuckDB alike.",
+)
+def q57_audio_mono(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import to_mono_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    mono = to_mono_udf(channels=2)
+    msum = _FP_SUM.format(arr="mono", val="cast(x as double)")
+    return (
+        docs.select("doc_id")
+        .withColumn("stereo", decode_linear16_udf(_synth_stereo_udf(F.col("doc_id"))))
+        .withColumn("mono", mono(F.col("stereo")))
+        .select(
+            "doc_id",
+            F.size("mono").cast("bigint").alias("n_mono"),
+            F.expr(msum).alias("msum_fp"),
+        )
+    )
+
+
+@register(
+    "q58_audio_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id,
+               CASE WHEN (d.doc_id * 3 + t.i * 5) % 7 < 4 THEN 1 ELSE -1 END AS sgn
+        FROM documents d, range(0, 4800) t(i)
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           cast(sum(sgn) * 1000000 AS BIGINT) AS ssum_fp
+    FROM s GROUP BY doc_id
+    """,
+    covers=("F3",),
+    doc="RMS→dBFS normalization (audio_processor.py:93-114) at 0 dBFS "
+        "over constant-magnitude input: RMS is an exact power of two, "
+        "the gain is its exact reciprocal, and every output is exactly "
+        "±1.0 — any gain-math error would break the match.",
+)
+def q58_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import normalize_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    norm0 = normalize_udf(target_dbfs=0.0)
+    ssum = _FP_SUM.format(arr="normed", val="cast(x as double)")
+    return (
+        docs.select("doc_id")
+        .withColumn(
+            "normed",
+            norm0(decode_linear16_udf(_synth_const_amp_udf(F.col("doc_id")))),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(filter(normed, x -> x > 0))").cast("bigint").alias("n_pos"),
+            F.expr(ssum).alias("ssum_fp"),
+        )
+    )
+
+
+@register(
+    "q59_audio_preprocess",
+    oracle=None,  # IIR filtfilt + AGC scan + FFT features: not SQL-expressible
+    covers=("F4", "F5", "F6", "F8", "F10"),
+    doc="Full preprocess composition (audio_processor.py:20-68): "
+        "resample→mono→normalize→HPF→AGC, then spectral feature "
+        "extraction (:384-420). Recursive filters and FFTs have no SQL "
+        "equivalent, so the driver records the rows-only check; "
+        "determinism across runs is still exact (pure numpy on "
+        "deterministic input).",
+)
+def q59_audio_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import features_udf, preprocess_udf
+
+    pre = preprocess_udf(orig_sr=16000, target_sr=16000, denoise=True)
+    feats = features_udf(sr=16000)
+    return (
+        _audio_df(spark, sf_dir)
+        .withColumn("clean", pre(F.col("samples")))
+        .withColumn("f", feats(F.col("clean")))
+        .select(
+            "doc_id",
+            F.size("clean").cast("bigint").alias("n_out"),
+            F.round("f.rms", 6).alias("rms"),
+            F.round("f.centroid", 3).alias("centroid"),
+            F.round("f.rolloff", 3).alias("rolloff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# remaining image functions (F13 denoise, F15 binarize, F19 tables, F20 crop)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q60_image_binarize",
+    oracle=f"""
+    WITH {_BLOCK_CTE}
+    SELECT d.doc_id,
+           cast(coalesce(sum(b.bw * 20), 0) AS BIGINT) AS n_dark
+    FROM documents d LEFT JOIN blk b USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    covers=("F15",),
+    doc="Otsu binarization (image_processor.py:217-236): dark-pixel "
+        "count equals the exact block area the synthesis placed "
+        "(blank/small pages → 0).",
+)
+def q60_image_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import binarize_udf, dark_count_udf
+
+    return (
+        _image_df(spark, sf_dir)
+        .withColumn(
+            "bin", binarize_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .select("doc_id", dark_count_udf(F.col("bin")).alias("n_dark"))
+    )
+
+
+@register(
+    "q61_image_tables",
+    oracle=f"""
+    WITH {_BLOCK_CTE}
+    SELECT doc_id,
+           cast(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1
+                AS BIGINT) AS tidx,
+           cast(x AS BIGINT) AS x,
+           cast(y AS BIGINT) AS y,
+           cast(bw AS BIGINT) AS width,
+           cast(20 AS BIGINT) AS height
+    FROM blk WHERE bw * 20 > 1000
+    """,
+    covers=("F19",),
+    doc="Table-region detection (image_processor.py:337-369, the "
+        "area>1000 filter at :361; morphological line mask needs cv2 — "
+        "deviation documented in functions.image).",
+)
+def q61_image_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import detect_tables_udf
+
+    return (
+        _image_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn(
+            "tables", detect_tables_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .select("doc_id", F.posexplode("tables").alias("tidx", "t"))
+        .select(
+            "doc_id",
+            F.col("tidx").cast("bigint").alias("tidx"),
+            F.col("t.x").cast("bigint").alias("x"),
+            F.col("t.y").cast("bigint").alias("y"),
+            F.col("t.width").cast("bigint").alias("width"),
+            F.col("t.height").cast("bigint").alias("height"),
+        )
+    )
+
+
+@register(
+    "q62_image_crop",
+    oracle=f"""
+    WITH {_BLOCK_CTE}
+    SELECT doc_id,
+           cast(least(160 + (doc_id % 3) * 80, max(x + bw - 1) + 11)
+                - greatest(min(x) - 10, 0) AS BIGINT) AS crop_w,
+           cast(least(120 + (doc_id % 2) * 60, max(y) + 19 + 11)
+                - greatest(min(y) - 10, 0) AS BIGINT) AS crop_h
+    FROM blk GROUP BY doc_id
+    """,
+    covers=("F20",),
+    doc="Crop-to-content (image_processor.py:371-398): non-white bbox "
+        "+ 10px padding; the oracle recomputes the bbox from the block "
+        "formula with the same clamping.",
+)
+def q62_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import crop_dims_udf
+
+    return (
+        _image_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn(
+            "c", crop_dims_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .select(
+            "doc_id",
+            F.col("c.crop_w").cast("bigint").alias("crop_w"),
+            F.col("c.crop_h").cast("bigint").alias("crop_h"),
+        )
+    )
+
+
+@register(
+    "q63_image_denoise_chain",
+    oracle=f"""
+    WITH {_BLOCK_CTE}
+    SELECT d.doc_id,
+           cast(coalesce(sum(b.bw * 20 - 4), 0) AS BIGINT) AS n_dark
+    FROM documents d LEFT JOIN blk b USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    covers=("F13", "F15", "F16-shape"),
+    doc="Chained binary→binary UDF stages (the §3.3 preprocess shape): "
+        "3x3 median denoise (image_processor.py:182-196) then Otsu "
+        "binarize then dark count. The median erases exactly the 4 "
+        "corner pixels of every rectangular block (4 dark vs 5 white "
+        "in the corner window), so n_dark = area - 4 per block.",
+)
+def q63_image_denoise_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import (
+        binarize_udf,
+        dark_count_udf,
+        median_denoise_udf,
+    )
+
+    return (
+        _image_df(spark, sf_dir)
+        .withColumn(
+            "den", median_denoise_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .withColumn(
+            "bin", binarize_udf(F.col("den"), F.col("width"), F.col("height"))
+        )
+        .select("doc_id", dark_count_udf(F.col("bin")).alias("n_dark"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# native-expression scalar ops (F23 bbox-from-quad, §2.10 built-ins)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q64_bbox_quad",
+    oracle="""
+    WITH q AS (
+        SELECT event_id,
+               event_id % 500 + 10 AS a, (event_id * 3) % 400 + 10 AS b,
+               20 + event_id % 80 AS w1, 15 + event_id % 60 AS h1,
+               1 + event_id % 5 AS e, 1 + event_id % 7 AS e2
+        FROM events
+    )
+    SELECT event_id,
+           least(a + e, a + w1, a + w1 - e, a) AS bbox_x,
+           least(b, b + e2, b + h1, b + h1 - e2) AS bbox_y,
+           greatest(a + e, a + w1, a + w1 - e, a)
+               - least(a + e, a + w1, a + w1 - e, a) AS bbox_w,
+           greatest(b, b + e2, b + h1, b + h1 - e2)
+               - least(b, b + e2, b + h1, b + h1 - e2) AS bbox_h
+    FROM q
+    """,
+    covers=("F23",),
+    doc="Bounding box from rotated-quad corner points "
+        "(ocr_worker.py:373-379): array_min/array_max over the corner "
+        "arrays — pure native expressions, no UDF.",
+)
+def q64_bbox_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select("event_id")
+    a = F.col("event_id") % 500 + 10
+    b = (F.col("event_id") * 3) % 400 + 10
+    w1 = F.col("event_id") % 80 + 20
+    h1 = F.col("event_id") % 60 + 15
+    e = F.col("event_id") % 5 + 1
+    e2 = F.col("event_id") % 7 + 1
+    xs = F.array(a + e, a + w1, a + w1 - e, a)
+    ys = F.array(b, b + e2, b + h1, b + h1 - e2)
+    return ev.select(
+        "event_id",
+        F.array_min(xs).alias("bbox_x"),
+        F.array_min(ys).alias("bbox_y"),
+        (F.array_max(xs) - F.array_min(xs)).alias("bbox_w"),
+        (F.array_max(ys) - F.array_min(ys)).alias("bbox_h"),
+    )
+
+
+@register(
+    "q65_scalar_builtins",
+    oracle=r"""
+    SELECT doc_id,
+           concat_ws('-', lang, source) AS tag,
+           substr(trim(text), 1, 50) AS head50,
+           cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           cast(ceil(n_chars / 100.0) AS BIGINT) AS ceil100,
+           cast(pow(2.0, doc_id % 10) AS BIGINT) AS p2,
+           md5(text) AS text_md5,
+           base64(encode(lang)) AS lang_b64
+    FROM documents
+    """,
+    covers=("§2.10-builtins", "O5"),
+    doc="String/math built-ins the reference uses imperatively "
+        "(SURVEY §2.10 tail): concat_ws/trim/substr (stt_worker.py:347, "
+        "ocr/service.py:258), split, ceil (controller.py:326), pow "
+        "(redis_consumer.go:262 backoff), md5 fingerprints, base64 "
+        "(ocr_worker.py:289-291) — all Catalyst expressions.",
+)
+def q65_scalar_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.substring(F.trim(F.col("text")), 1, 50).alias("head50"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("wc"),
+        F.ceil(F.col("n_chars") / F.lit(100.0)).cast("bigint").alias("ceil100"),
+        F.pow(F.lit(2.0), (F.col("doc_id") % 10).cast("double"))
+            .cast("bigint").alias("p2"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+    )
