@@ -331,6 +331,39 @@ def detect_tables_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> 
     return pd.Series(out)
 
 
+def resize_binarize_count_udf(scale: float):
+    """F17 nearest-neighbor rescale chained into binarize + dark count
+    (integer-scale resizes duplicate pixels exactly, so the count
+    scales by scale² — oracle-checkable)."""
+    @pandas_udf(T.LongType())
+    def _udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for raw, w, h in zip(image, width, height):
+            img = np_resize_nearest(decode_image(raw, int(w), int(h)), scale)
+            out.append(int((np_binarize(img) < 128).sum()))
+        return pd.Series(out)
+    return _udf
+
+
+@pandas_udf(T.StructType([
+    T.StructField("out_min", T.IntegerType()),
+    T.StructField("out_max", T.IntegerType()),
+    T.StructField("n_px", T.LongType()),
+]))
+def enhance_stats_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.DataFrame:
+    """F14+F21 contrast/gamma enhancement summary (rows-only check:
+    percentile interpolation is not worth mirroring in SQL)."""
+    rows = []
+    for raw, w, h in zip(image, width, height):
+        img = decode_image(raw, int(w), int(h))
+        out = np_enhance_contrast(img)
+        rows.append({
+            "out_min": int(out.min()), "out_max": int(out.max()),
+            "n_px": int(out.size),
+        })
+    return pd.DataFrame(rows)
+
+
 CROP_SCHEMA = T.StructType([
     T.StructField("crop_w", T.IntegerType()),
     T.StructField("crop_h", T.IntegerType()),

@@ -90,21 +90,28 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_bands(sig: DataFrame) -> DataFrame:
-    """Band the signature: one row per (doc, band_idx, band_key)."""
-    parts = []
-    for b in range(N_BANDS):
-        lo, hi = b * ROWS_PER_BAND, b * ROWS_PER_BAND + 1
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                (F.col(f"m{lo}") * MOD + F.col(f"m{hi}")).alias("band_key"),
-            )
+    """Band the signature: one row per (doc, band_idx, band_key).
+
+    Single explode over an inline struct array — NOT a union of
+    per-band selects: a union would make Catalyst recompute the whole
+    signature subtree (shingle explode + groupBy shuffle) once per
+    band per join side, turning one document scan into 2·N_BANDS scans
+    at 100 TB. One pass also keeps the left/right subplans of the
+    candidate self-join identical, so the band-key exchange is built
+    once and reused."""
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (
+                F.col(f"m{b * ROWS_PER_BAND}") * MOD
+                + F.col(f"m{b * ROWS_PER_BAND + 1}")
+            ).alias("band_key"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(N_BANDS)
+    ])
+    return sig.select("doc_id", F.explode(bands_arr).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -345,3 +345,135 @@ def q19_batch_formation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_item"),
         )
     )
+
+
+@register(
+    "q68_region_blocks",
+    oracle="""
+    WITH blk AS (
+        SELECT d.doc_id, t.k AS bidx,
+               5 + (d.doc_id * 7 + t.k * 13)
+                   % ((160 + (d.doc_id % 3) * 80) - 70) AS x,
+               40 + (d.doc_id * 5 + t.k * 11) % 20 AS bw
+        FROM documents d, range(0, 3) t(k)
+        WHERE d.doc_id % 10 >= 2 AND t.k < 1 + d.doc_id % 3
+    )
+    SELECT doc_id, 'text' AS region_type, cast(bidx AS BIGINT) AS bidx,
+           cast(x AS BIGINT) AS x, cast(bw AS BIGINT) AS width
+    FROM blk WHERE bidx % 2 = 0
+    """,
+    covers=("J3",),
+    doc="Region→block index dereference (DocumentLayout.Region."
+        "text_block_indices, protos/stream_process.proto:300-312): "
+        "explode the region's index array and equi-join it back to the "
+        "block table on (doc_id, block_idx) — all native expressions.",
+)
+def q68_region_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 10 >= 2
+    )
+    nb = (F.col("doc_id") % 3 + 1).cast("int")
+    blocks = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), nb - 1)).alias("bidx")
+    ).select(
+        "doc_id",
+        "bidx",
+        (
+            (F.col("doc_id") * 7 + F.col("bidx") * 13)
+            % ((F.col("doc_id") % 3) * 80 + 90) + 5
+        ).alias("x"),
+        ((F.col("doc_id") * 5 + F.col("bidx") * 11) % 20 + 40).alias("bw"),
+    )
+    regions = docs.select(
+        "doc_id",
+        F.lit("text").alias("region_type"),
+        F.filter(
+            F.sequence(F.lit(0), nb - 1), lambda i: i % 2 == 0
+        ).alias("text_block_indices"),
+    )
+    refs = regions.select(
+        "doc_id", "region_type", F.explode("text_block_indices").alias("bidx")
+    )
+    return refs.join(blocks, ["doc_id", "bidx"]).select(
+        "doc_id",
+        "region_type",
+        F.col("bidx").cast("bigint").alias("bidx"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("bw").cast("bigint").alias("width"),
+    )
+
+
+@register(
+    "q69_config_broadcast",
+    oracle="""
+    WITH cfg AS (
+        SELECT DISTINCT event_type,
+               length(event_type) AS beam,
+               CASE WHEN event_type = 'error' THEN 300 ELSE 1000 END AS deadline_ms
+        FROM events
+    )
+    SELECT e.event_type,
+           count(*)::BIGINT AS n_events,
+           cast(max(c.beam) AS BIGINT) AS beam,
+           cast(max(c.deadline_ms) AS BIGINT) AS deadline_ms
+    FROM events e JOIN cfg c USING (event_type)
+    GROUP BY e.event_type
+    """,
+    covers=("J4",),
+    doc="Per-session config applied to every chunk of the stream "
+        "(server.py:74-78,106): a small config dimension broadcast-"
+        "joined to the event stream — broadcast(), never a shuffle "
+        "join, since config cardinality is tiny at any scale.",
+)
+def q69_config_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cfg = ev.select("event_type").distinct().select(
+        "event_type",
+        F.length("event_type").alias("beam"),
+        F.when(F.col("event_type") == "error", 300).otherwise(1000).alias("deadline_ms"),
+    )
+    return (
+        ev.join(F.broadcast(cfg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("beam").cast("bigint").alias("beam"),
+            F.max("deadline_ms").cast("bigint").alias("deadline_ms"),
+        )
+    )
+
+
+@register(
+    "q70_config_gate",
+    oracle="""
+    WITH first_cfg AS (
+        SELECT user_id, min(ts) AS cfg_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.event_type,
+           cast(sum(CASE WHEN f.cfg_ts IS NULL OR e.ts < f.cfg_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+           cast(sum(CASE WHEN f.cfg_ts IS NOT NULL AND e.ts >= f.cfg_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+    FROM events e LEFT JOIN first_cfg f USING (user_id)
+    GROUP BY e.event_type
+    """,
+    covers=("R7",),
+    doc="Validation gate: chunk-before-config → FAILED_PRECONDITION "
+        "(server.py:90-94). Batch analog: events before a user's first "
+        "'signup' (config) row are rejected; keyed-state analog lives "
+        "in the streaming sessionizer.",
+)
+def q70_config_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    first_cfg = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cfg_ts"))
+    )
+    joined = ev.join(first_cfg, "user_id", "left")
+    rejected = F.col("cfg_ts").isNull() | (F.col("ts") < F.col("cfg_ts"))
+    return joined.groupBy("event_type").agg(
+        F.sum(F.when(rejected, 1).otherwise(0)).cast("bigint").alias("n_rejected"),
+        F.sum(F.when(~rejected, 1).otherwise(0)).cast("bigint").alias("n_accepted"),
+    )

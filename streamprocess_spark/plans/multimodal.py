@@ -690,6 +690,59 @@ def q63_image_denoise_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q66_image_resize",
+    oracle=f"""
+    WITH {_BLOCK_CTE}
+    SELECT d.doc_id,
+           cast(coalesce(sum(b.bw * 20), 0) * 4 AS BIGINT) AS n_dark_2x
+    FROM documents d LEFT JOIN blk b USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    covers=("F17",),
+    doc="DPI adjustment via nearest-neighbor rescale "
+        "(image_processor.py:264-286): a 2x integer upscale duplicates "
+        "every pixel exactly 4x, so the binarized dark count scales by "
+        "4 — verified against the block-area formula.",
+)
+def q66_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import resize_binarize_count_udf
+
+    cnt = resize_binarize_count_udf(2.0)
+    return _image_df(spark, sf_dir).select(
+        "doc_id",
+        cnt(F.col("image"), F.col("width"), F.col("height")).alias("n_dark_2x"),
+    )
+
+
+@register(
+    "q67_image_enhance",
+    oracle=None,  # percentile-stretch interpolation: rows-only check
+    covers=("F14", "F21"),
+    doc="CLAHE-style contrast enhancement + gamma LUT "
+        "(image_processor.py:198-215, enhance_for_ocr :400-420): "
+        "percentile stretch summary stats; deterministic numpy on "
+        "deterministic input, but np.percentile interpolation is not "
+        "mirrored in SQL, so the driver records the rows-only check.",
+)
+def q67_image_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import enhance_stats_udf
+
+    return (
+        _image_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn(
+            "s", enhance_stats_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .select(
+            "doc_id",
+            F.col("s.out_min").cast("bigint").alias("out_min"),
+            F.col("s.out_max").cast("bigint").alias("out_max"),
+            F.col("s.n_px").alias("n_px"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # native-expression scalar ops (F23 bbox-from-quad, §2.10 built-ins)
 # ---------------------------------------------------------------------------
