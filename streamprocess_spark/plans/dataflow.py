@@ -477,3 +477,28 @@ def q70_config_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(rejected, 1).otherwise(0)).cast("bigint").alias("n_rejected"),
         F.sum(F.when(~rejected, 1).otherwise(0)).cast("bigint").alias("n_accepted"),
     )
+
+
+@register(
+    "q71_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           cast(sum(cast(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_fp
+    FROM events GROUP BY event_type
+    """,
+    covers=("A13", "P3-skew"),
+    doc="Two-stage salted aggregation over the 5 hot event-type keys "
+        "(operators/skew.py): at 100 TB a direct groupBy on a "
+        "low-cardinality key funnels each key's full volume to one "
+        "reducer; salting spreads it across n_salts partials, then "
+        "combines. Result is bit-identical to the direct aggregation "
+        "(fixed-point sums are order-independent).",
+)
+def q71_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.skew import salted_sum_count
+    from streamprocess_spark.plans.util import fixed
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    return salted_sum_count(ev, ["event_type"], fixed("value"))

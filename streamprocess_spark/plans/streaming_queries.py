@@ -123,3 +123,52 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_types"))
     )
     return run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_request_result_join",
+    oracle="""
+    SELECT r.event_id AS req_id, s.event_id AS res_id,
+           r.user_id AS user_id
+    FROM events r JOIN events s
+      ON r.user_id = s.user_id
+     AND s.ts >= r.ts AND s.ts <= r.ts + INTERVAL 10 MINUTE
+    WHERE r.event_type IN ('view', 'click') AND s.event_type = 'purchase'
+    """,
+    covers=("J1", "T11", "§2.11-stream-join"),
+    doc="Stream-stream inner join with watermarks + event-time range "
+        "(request↔result correlation, wait_for_result redis_queue.py:"
+        "329-344): requests (view/click) matched to results (purchase) "
+        "for the same user within 10 minutes. Both sides watermarked so "
+        "join state is bounded — the streaming form of the result-store "
+        "TTL (S9, 3600 s SETEX). Inner matches emit eagerly, so the "
+        "converged output equals the batch join without a sentinel.",
+)
+def stream_request_result_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    req_stream, _ = events_stream(spark, sf_dir)
+    res_stream, _ = events_stream(spark, sf_dir)
+    req = (
+        req_stream.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("event_id").alias("req_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("req_ts"),
+        )
+        .withWatermark("req_ts", "20 minutes")
+    )
+    res = (
+        res_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("res_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("res_ts"),
+        )
+        .withWatermark("res_ts", "20 minutes")
+    )
+    joined = req.join(
+        res,
+        (F.col("r_user") == F.col("s_user"))
+        & (F.col("res_ts") >= F.col("req_ts"))
+        & (F.col("res_ts") <= F.col("req_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("req_id", "res_id", F.col("r_user").alias("user_id"))
+    return run_to_completion(joined, "append")
