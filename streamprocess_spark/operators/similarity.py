@@ -46,9 +46,24 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
-    vectors (similarity rounded to 6 dp; ties broken by corpus id)."""
+    vectors (similarity rounded to 6 dp; ties broken by corpus id).
+
+    Scale shape (the part that matters at 100 TB):
+      - queries are broadcast; scoring is a map-only pass over corpus
+        partitions (zip_with/aggregate, whole-stage codegen, no
+        Python);
+      - scores are projected to (qid, cid, cos_sim) BEFORE any
+        shuffle — the embedding arrays never move;
+      - ranking is two-level: row_number per (qid, hash(cid) bucket)
+        keeps k rows per bucket, then a global rank over the
+        nq·n_buckets·k survivors. A single window per qid would send
+        a query's ENTIRE corpus scores to one reducer — the straggler/
+        OOM path. Per-bucket top-k under the same (cos_sim desc, cid)
+        ordering is a superset of the global top-k, so results are
+        identical."""
     q = with_norm(
         queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
@@ -59,66 +74,103 @@ def cosine_topk(
         emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")), "ce"
     ).withColumnRenamed("nrm", "cnrm")
     pairs = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-    scored = pairs.withColumn(
-        "cos_sim",
-        F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6),
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(
+            _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+        ).alias("cos_sim"),
+    )
+    w_local = Window.partitionBy(
+        "qid", F.pmod(F.hash("cid"), F.lit(n_buckets))
+    ).orderBy(F.desc("cos_sim"), F.asc("cid"))
+    cand = (
+        scored.withColumn("r1", F.row_number().over(w_local))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "rank", "cos_sim")
     )
 
 
-def lsh_bucket(
+def _plane_component(table: int, p: int, j: int) -> float:
+    """md5-seeded hyperplane component (deterministic, engine-agnostic):
+    (H(f"{table}:{p}:{j}") % 2001 - 1000) / 1000.0."""
+    import hashlib
+
+    from streamprocess_spark.operators.dedup import MOD
+
+    h = int(hashlib.md5(f"{table}:{p}:{j}".encode()).hexdigest()[:15], 16) % MOD
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def lsh_buckets(
     emb: DataFrame,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
 ) -> DataFrame:
-    """Sign-random-projection LSH bucket id per vector. Hyperplane
-    components are derived from md5 (deterministic, engine-agnostic):
-    r[p][j] = (H(f"{p}:{j}") % 2001 - 1000) / 1000.0 — the scale path
-    for ANN: candidates are searched only within a bucket."""
-    from streamprocess_spark.operators.dedup import MOD  # noqa: F401
-
-    def plane_component(p: int, j: int) -> float:
-        import hashlib
-
-        h = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16) % MOD
-        return ((h % 2001) - 1000) / 1000.0
-
-    bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
-        d = _dot(F.col(vec_col), plane)
-        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(0).cast("bigint")
+    """Multi-table sign-random-projection LSH: one row per
+    (vector, table) with that table's bucket id. Single-table sign-LSH
+    needs ALL planes to agree, so recall collapses as planes grow; the
+    standard fix is L independent tables of m planes — candidates are
+    the union over tables (amplification: 1-(1-p^m)^L). The exploded
+    index is L× the corpus — exactly how production LSH indexes trade
+    space for recall."""
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(_plane_component(t, p, j)) for j in range(dim)]
+            )
+            bucket = bucket + F.when(_dot(F.col(vec_col), plane) > 0,
+                                     F.lit(1 << p)).otherwise(0).cast("bigint")
+        tables.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        bucket.alias("bucket"),
-    )
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
 
 
 def ann_topk_lsh(
-    emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    n_tables: int = 8, n_planes: int = 4, dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket.
-    Trades recall for a corpus-partition-local search; the bucket join
-    is an equi-join on the bucket id (shuffle by bucket, no crossJoin)."""
-    qb = lsh_bucket(queries, n_planes, dim=dim).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    """Approximate top-k: rank only candidates sharing an LSH bucket
+    with the query in ≥1 table. The candidate join is an equi-join on
+    (table, bucket) — shuffle by bucket key, never a crossJoin — and
+    (qid, cid) pairs found in several tables are deduplicated before
+    scoring so each candidate is scored once."""
+    qb = lsh_buckets(queries, n_tables, n_planes, dim=dim).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        "tbl", "bucket",
     )
-    cb = lsh_bucket(emb, n_planes, dim=dim).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+    cb = lsh_buckets(emb, n_tables, n_planes, dim=dim).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        "tbl", "bucket",
     )
-    pairs = cb.join(F.broadcast(qb), "bucket").filter(F.col("cid") != F.col("qid"))
+    pairs = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("cid") != F.col("qid"))
+        .dropDuplicates(["qid", "cid"])
+    )
     qn = F.sqrt(_self_dot(F.col("qe")))
     cn = F.sqrt(_self_dot(F.col("ce")))
-    scored = pairs.withColumn(
-        "cos_sim", F.round(_dot(F.col("qe"), F.col("ce")) / (qn * cn), 6)
+    # project scores before the ranking shuffle — arrays never move
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(_dot(F.col("qe"), F.col("ce")) / (qn * cn), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
