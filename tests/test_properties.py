@@ -1,0 +1,126 @@
+"""Property-based invariants (hypothesis) for the scalar-function
+cores — the randomized strengthening of the reference's fixed-fixture
+assertions (tests/unit/test_preprocessing.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streamprocess_spark.functions import audio as A
+from streamprocess_spark.functions import image as I
+
+float_arrays = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=0, max_size=2000,
+).map(lambda xs: np.asarray(xs, dtype=np.float32))
+
+small_images = st.tuples(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+).map(
+    lambda t: np.random.default_rng(t[2]).integers(
+        0, 256, size=(t[0], t[1]), dtype=np.uint8
+    )
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(float_arrays)
+def test_normalize_never_exceeds_unit(x):
+    y = A.np_normalize(x)
+    assert len(y) == len(x)
+    if len(y):
+        assert np.max(np.abs(y)) <= 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(float_arrays, st.sampled_from([8000, 16000, 44100]),
+       st.sampled_from([8000, 16000, 44100]))
+def test_resample_length_formula(x, orig, target):
+    y = A.np_resample(x, orig, target)
+    if orig == target or len(x) == 0:
+        assert len(y) == len(x)
+    else:
+        assert len(y) == int(round(len(x) * target / orig))
+    assert y.dtype == np.float32
+
+
+@settings(max_examples=50, deadline=None)
+@given(float_arrays)
+def test_decode_encode_roundtrip_error_bound(x):
+    back = A.np_decode_linear16(A.np_encode_linear16(x))
+    assert len(back) == len(x)
+    if len(x):
+        # encode truncates toward zero (1/32767) and scales by 32767
+        # while decode divides by 32768 (1/32768) -> bound ~2.1/32768
+        assert np.max(np.abs(back - np.clip(x, -1.0, 1.0))) <= 2.5 / 32768.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(float_arrays, st.integers(min_value=1, max_value=4))
+def test_to_mono_length(x, ch):
+    y = A.np_to_mono(x, ch)
+    assert len(y) == (len(x) if ch <= 1 else len(x) // ch)
+
+
+@settings(max_examples=50, deadline=None)
+@given(float_arrays)
+def test_vad_flag_count(x):
+    flags = A.np_vad_flags(x, sr=16000, frame_ms=30)
+    assert len(flags) == len(x) // 480
+
+
+@settings(max_examples=50, deadline=None)
+@given(float_arrays)
+def test_agc_bounded(x):
+    y = A.np_agc(x)
+    assert len(y) == len(x)
+    if len(y):
+        assert np.max(np.abs(y)) <= 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(small_images, st.sampled_from(["otsu", "adaptive", "fixed"]))
+def test_binarize_domain_any_image(img, method):
+    out = I.np_binarize(img, method=method)
+    assert out.shape == img.shape
+    assert set(np.unique(out)) <= {0, 255}
+
+
+@settings(max_examples=50, deadline=None)
+@given(small_images)
+def test_crop_preserves_content(img):
+    cropped = I.np_crop_to_content(img, padding=2)
+    assert (cropped < I.WHITE).sum() == (img < I.WHITE).sum()
+    assert cropped.shape[0] <= img.shape[0]
+    assert cropped.shape[1] <= img.shape[1]
+
+
+@settings(max_examples=50, deadline=None)
+@given(small_images)
+def test_layout_boxes_in_bounds_and_sorted(img):
+    elems = I.np_detect_layout(img, min_area=1)
+    h, w = img.shape
+    for e in elems:
+        assert 0 <= e["x"] < w and 0 <= e["y"] < h
+        assert e["x"] + e["width"] <= w
+        assert e["y"] + e["height"] <= h
+    keys = [(e["y"], e["x"]) for e in elems]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(st.floats(0, 1000, allow_nan=False),
+              st.floats(0, 1000, allow_nan=False)),
+    min_size=3, max_size=8,
+))
+def test_bbox_contains_all_points(pts):
+    x, y, w, h = I.np_bbox_from_quad(pts)
+    for px, py in pts:
+        assert x <= px and y <= py
+        # int truncation: the box extends to int(max) on each axis
+        assert px <= x + w + 1 and py <= y + h + 1
