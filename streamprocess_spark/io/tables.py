@@ -73,6 +73,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:
+    # pandas-UDF closures downstream reference this package; make sure
+    # executors can import it regardless of the driver's cwd/deployment
+    # (idempotent per session, no-op cost after the first call)
+    from streamprocess_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     return {name: spark.read.parquet(table_path(sf_dir, name)) for name in TABLE_NAMES}
 
 

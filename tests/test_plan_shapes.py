@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale properties we claim
+(broadcast dims, predicate pushdown, no cartesian products, bounded
+exchanges in the LSH pipeline) must actually appear in the optimized
+plans — `.explain` is part of the test surface, not just a debugging
+aid."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamprocess_spark.plans import query_map
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = query_map()[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_join_queries_broadcast_dimensions(spark):
+    for name in ("q2_shipping_priority", "q3_local_supplier_volume"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "q2_shipping_priority")
+    assert "PushedFilters: [" in plan
+    # the BUILDING segment filter must be pushed, not applied post-scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_config_join_is_broadcast(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "q69_config_broadcast")
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in (
+        "q45_minhash_lsh",
+        "q48_embedding_topk",
+        "q49_ann_lsh_topk",
+        "q47_ngram_jaccard",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_band_plan_is_single_pass(spark):
+    """The banding explode must not multiply the signature subtree:
+    one aggregate per join side, bounded exchange count (a per-band
+    union regressed this to 18 exchanges / 8 scans)."""
+    plan = _plan(spark, "q45_minhash_lsh")
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges <= 8, f"minhash plan regressed: {n_exchanges} exchanges"
+
+
+def test_topk_projects_before_ranking(spark):
+    """cosine_topk must not shuffle embedding arrays through the
+    ranking window — the window input carries only (qid, cid, score)."""
+    plan = _plan(spark, "q48_embedding_topk")
+    lines = plan.splitlines()
+    window_blocks = [
+        i for i, line in enumerate(lines) if "Window" in line and "spec" not in line
+    ]
+    assert window_blocks, "expected window operators in top-k plan"
+    # the rows feeding each ranking window must not include array cols
+    # (column refs render as name#id, e.g. "qe#12")
+    for i in window_blocks:
+        ctx = "\n".join(lines[i : i + 6])
+        assert "qe#" not in ctx and "ce#" not in ctx, ctx
