@@ -321,3 +321,76 @@ def q10_substr_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("n_chars") > 200)
         .select("doc_id", F.substring("text", 1, 50).alias("preview"), "n_chars")
     )
+
+
+@register(
+    "q31_cube_order_stats",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS prio,
+           count(*)::BIGINT AS n_orders,
+           cast(sum(cast(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS total_fp
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    covers=("A13", "free-cube"),
+    doc="CUBE over (status, priority) — the multi-dimensional counter "
+        "matrix the reference maintains as labeled Prometheus counters "
+        "(stt_worker.py:21-39): every label combination plus all "
+        "marginal totals in one pass, free in Catalyst.",
+)
+def q31_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.util import fixed
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(fixed("o_totalprice")).cast("bigint").alias("total_fp"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("prio"),
+            "n_orders",
+            "total_fp",
+        )
+    )
+
+
+@register(
+    "q32_time_functions",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_bucket,
+           cast(extract(dow FROM min(ts)) AS BIGINT) AS dow,
+           cast(extract(minute FROM min(ts)) AS BIGINT) AS first_minute,
+           cast(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    covers=("§2.10-builtins", "A5"),
+    doc="Date/time built-ins the reference uses imperatively "
+        "(time.time() stamps redis_queue.py:115,239, cleanup age math "
+        ":382-397): date_trunc bucketing, day-of-week/minute extraction, "
+        "epoch seconds — all Catalyst expressions with pushdown-safe "
+        "grouping.",
+)
+def q32_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "hour_bucket",
+            (F.dayofweek("first_ts") - 1).cast("bigint").alias("dow"),
+            F.minute("first_ts").cast("bigint").alias("first_minute"),
+            F.floor(F.col("first_ts").cast("timestamp_ltz").cast("double"))
+                .cast("bigint").alias("first_epoch"),
+            "n_events",
+        )
+    )
