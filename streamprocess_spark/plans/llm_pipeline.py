@@ -373,3 +373,52 @@ def q49_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_topk_lsh(emb, queries, k=5)
+
+
+@register(
+    "q72_embedding_neardup",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               unnest(q.embedding)::DOUBLE AS a,
+               unnest(c.embedding)::DOUBLE AS b
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    ), dots AS (
+        SELECT qid, cid, {_DOT_FP} AS dot FROM pairs GROUP BY qid, cid
+    ), norms AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM embeddings)
+        GROUP BY vec_id
+    ), scored AS (
+        SELECT qid, cid,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+        FROM dots JOIN norms nq ON nq.vec_id = qid
+                  JOIN norms nc ON nc.vec_id = cid
+    )
+    SELECT qid AS doc_a, cid AS nearest, cos_sim,
+           CASE WHEN cos_sim >= 0.95 THEN true ELSE false END AS is_near_dup
+    FROM (
+        SELECT qid, cid, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    covers=("§2.13-dedup", "§2.13-similarity"),
+    doc="Embedding-cosine near-duplicate detection: every vector's "
+        "nearest neighbor + similarity, flagged when above the dup "
+        "threshold (no planted dups in the synthetic corpus, so the "
+        "report form keeps the check non-degenerate). Same two-level "
+        "top-k engine as q48 with k=1; at 100 TB the LSH-bucketed "
+        "variant (q49 machinery) generates candidates instead of the "
+        "exact all-pairs pass.",
+)
+def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    nn = S.cosine_topk(emb, emb, k=1)
+    return nn.select(
+        F.col("qid").alias("doc_a"),
+        F.col("cid").alias("nearest"),
+        "cos_sim",
+        (F.col("cos_sim") >= 0.95).alias("is_near_dup"),
+    )
