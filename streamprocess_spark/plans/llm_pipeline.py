@@ -362,12 +362,67 @@ def q48_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q49_ann_lsh_topk",
-    oracle=None,  # hyperplane generation is not reasonably SQL-expressible;
-    # recall vs q48 is asserted in tests/test_similarity.py
+    # The md5-seeded hyperplanes are reproducible in DuckDB, so the
+    # WHOLE approximate pipeline is oracle-checked: plane generation,
+    # sign buckets per table, candidate union, dedup, exact rescoring,
+    # final rank. Bucket membership compares an exact fixed-point dot
+    # against 0, so no float ulp can flip a bucket bit.
+    oracle=f"""
+    WITH planes AS (
+        SELECT r1.t, r2.p, r3.j,
+               (((('0x' || substr(md5(r1.t || ':' || r2.p || ':' || r3.j),
+                    1, 15))::BIGINT % 1000000007) % 2001) - 1000) / 1000.0
+                   AS comp
+        FROM range(0, 8) r1(t), range(0, 4) r2(p), range(0, 64) r3(j)
+    ), dots AS (
+        SELECT e.vec_id, pl.t, pl.p,
+               cast(sum(cast(floor(e.embedding[pl.j + 1]::DOUBLE * pl.comp
+                                   * 1000000000000.0) AS BIGINT)) AS BIGINT)
+                   AS dfp
+        FROM embeddings e, planes pl
+        GROUP BY 1, 2, 3
+    ), buckets AS (
+        SELECT vec_id, t,
+               sum(CASE WHEN dfp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                   AS bucket
+        FROM dots GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cid
+        FROM buckets qb JOIN buckets cb
+          ON qb.t = cb.t AND qb.bucket = cb.bucket
+         AND cb.vec_id != qb.vec_id
+        WHERE qb.vec_id < 10
+    ), pairs AS (
+        SELECT cand.qid, cand.cid,
+               unnest(q.embedding)::DOUBLE AS a,
+               unnest(c.embedding)::DOUBLE AS b
+        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                  JOIN embeddings c ON c.vec_id = cand.cid
+    ), pair_dots AS (
+        SELECT qid, cid, {_DOT_FP} AS dot FROM pairs GROUP BY qid, cid
+    ), norms AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM embeddings)
+        GROUP BY vec_id
+    ), scored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+        FROM pair_dots JOIN norms nq ON nq.vec_id = qid
+                       JOIN norms nc ON nc.vec_id = cid
+    )
+    SELECT qid, cid, rank, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               cast(row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS int)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
     covers=("§2.13-similarity",),
-    doc="Approximate NN: sign-random-projection LSH buckets (md5-seeded "
-        "hyperplanes), search only within the query's bucket — the "
-        "100 TB scale path (equi-join on bucket id, no cross join).",
+    doc="Approximate NN: multi-table sign-random-projection LSH "
+        "(md5-seeded hyperplanes, 8 tables x 4 planes), candidates "
+        "searched only within shared buckets — the 100 TB scale path "
+        "(equi-join on bucket id, no cross join). Fully oracle-checked "
+        "including the plane generation.",
 )
 def q49_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
