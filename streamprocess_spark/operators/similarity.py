@@ -142,6 +142,97 @@ def lsh_buckets(
     ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
 
 
+def _exact_rescore_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Exact cosine rescoring + final rank over a candidate pair set
+    carrying (qid, qe, cid, ce)."""
+    qn = F.sqrt(_self_dot(F.col("qe")))
+    cn = F.sqrt(_self_dot(F.col("ce")))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(_dot(F.col("qe"), F.col("ce")) / (qn * cn), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "cos_sim")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its `probe`
+    nearest centroids by cosine (round 6, centroid-id tie-break).
+    Returns (vec_id, embedding, bucket) — one row per probe. The
+    centroid set is broadcast; assignment is a map-only pass."""
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    vn = F.sqrt(_self_dot(F.col("embedding")))
+    cn = F.sqrt(_self_dot(F.col("cent")))
+    scored = v.join(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(_dot(F.col("embedding"), F.col("cent")) / (vn * cn), 6).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probe)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in the inverted
+    list of their nearest centroid; queries probe their `probe`
+    nearest lists and rescore exactly inside them. Centroids are a
+    deterministic corpus sample (id < n_centroids) standing in for a
+    trained coarse quantizer — the partition-local search shape is
+    identical. At 100 TB: corpus assignment is a one-pass broadcast
+    map, the candidate join is an equi-join on the centroid id, and
+    repartitioning by bucket co-locates each inverted list."""
+    cents = emb.filter(F.col(id_col) < n_centroids)
+    corpus = ivf_assign(emb, cents, probe=1, vec_col=vec_col, id_col=id_col)
+    probes = ivf_assign(queries, cents, probe=probe, vec_col=vec_col, id_col=id_col)
+    pairs = (
+        corpus.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+        )
+        .join(
+            F.broadcast(
+                probes.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"),
+                    "bucket",
+                )
+            ),
+            "bucket",
+        )
+        .filter(F.col("cid") != F.col("qid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    return _exact_rescore_topk(pairs, k)
+
+
 def ann_topk_lsh(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     n_tables: int = 8, n_planes: int = 4, dim: int = 64,
@@ -164,17 +255,4 @@ def ann_topk_lsh(
         .filter(F.col("cid") != F.col("qid"))
         .dropDuplicates(["qid", "cid"])
     )
-    qn = F.sqrt(_self_dot(F.col("qe")))
-    cn = F.sqrt(_self_dot(F.col("ce")))
-    # project scores before the ranking shuffle — arrays never move
-    scored = pairs.select(
-        "qid",
-        "cid",
-        F.round(_dot(F.col("qe"), F.col("ce")) / (qn * cn), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "cid", "rank", "cos_sim")
-    )
+    return _exact_rescore_topk(pairs, k)

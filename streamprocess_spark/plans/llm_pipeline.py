@@ -477,3 +477,74 @@ def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         (F.col("cos_sim") >= 0.95).alias("is_near_dup"),
     )
+
+
+@register(
+    "q73_ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent
+        FROM embeddings WHERE vec_id < 16
+    ), norms AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM embeddings)
+        GROUP BY vec_id
+    ), asg_pairs AS (
+        SELECT e.vec_id, c.cent_id,
+               unnest(e.embedding)::DOUBLE AS a,
+               unnest(c.cent)::DOUBLE AS b
+        FROM embeddings e, cents c
+    ), asg_dots AS (
+        SELECT vec_id, cent_id, {_DOT_FP} AS dot
+        FROM asg_pairs GROUP BY vec_id, cent_id
+    ), asg_scored AS (
+        SELECT d.vec_id, d.cent_id,
+               round(d.dot / (nv.nrm * nc.nrm), 6) AS s
+        FROM asg_dots d JOIN norms nv ON nv.vec_id = d.vec_id
+                        JOIN norms nc ON nc.vec_id = d.cent_id
+    ), ranked AS (
+        SELECT vec_id, cent_id AS bucket,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS rn
+        FROM asg_scored
+    ), corpus_bucket AS (
+        SELECT vec_id AS cid, bucket FROM ranked WHERE rn = 1
+    ), q_bucket AS (
+        SELECT vec_id AS qid, bucket FROM ranked
+        WHERE rn <= 2 AND vec_id < 10
+    ), cand AS (
+        SELECT DISTINCT q.qid, c.cid
+        FROM q_bucket q JOIN corpus_bucket c USING (bucket)
+        WHERE c.cid != q.qid
+    ), pairs AS (
+        SELECT cand.qid, cand.cid,
+               unnest(q.embedding)::DOUBLE AS a,
+               unnest(c.embedding)::DOUBLE AS b
+        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                  JOIN embeddings c ON c.vec_id = cand.cid
+    ), pair_dots AS (
+        SELECT qid, cid, {_DOT_FP} AS dot FROM pairs GROUP BY qid, cid
+    ), scored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+        FROM pair_dots JOIN norms nq ON nq.vec_id = qid
+                       JOIN norms nc ON nc.vec_id = cid
+    )
+    SELECT qid, cid, rank, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               cast(row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS int)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    covers=("§2.13-similarity",),
+    doc="IVF-flat approximate NN: deterministic coarse quantizer "
+        "(corpus sample as centroids), corpus vectors in inverted "
+        "lists, queries probe their 2 nearest lists and rescore "
+        "exactly. The second ANN family next to sign-LSH (q49); fully "
+        "oracle-checked including the assignment step.",
+)
+def q73_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_topk_ivf(emb, queries, k=5, n_centroids=16, probe=2)
