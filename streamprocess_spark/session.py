@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate adds a size()>0 pre-filter above
+        # explode(<expr>); when <expr> is a pandas-UDF column the UDF
+        # chain is then evaluated TWICE (once for the inferred filter,
+        # once for the generator input) — observed doubling the whole
+        # synth→OCR Arrow pipeline. Inner explode drops empty/null
+        # arrays itself, so excluding the rule changes no semantics.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
