@@ -548,3 +548,38 @@ def q73_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_topk_ivf(emb, queries, k=5, n_centroids=16, probe=2)
+
+
+@register(
+    "q74_label_centroids",
+    oracle="""
+    WITH el AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    )
+    SELECT label, cast(dim AS INT) AS dim,
+           count(*)::BIGINT AS n,
+           cast(sum(cast(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_fp
+    FROM el GROUP BY label, dim
+    """,
+    covers=("§2.13-similarity", "A13"),
+    doc="Per-label mean-pooled centroids via element-wise array "
+        "aggregation (posexplode to (label, dim, value), aggregate per "
+        "cell): the cluster-centroid / mean-pooling pattern an IVF "
+        "trainer or class-prototype pipeline runs at scale. Shuffle "
+        "carries (label, dim) cells, never whole vectors.",
+)
+def q74_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.util import fixed
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fixed(F.col("v").cast("double"))).cast("bigint").alias("sum_fp"),
+        )
+    )
