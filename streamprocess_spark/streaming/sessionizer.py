@@ -83,19 +83,24 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("trigger", T.StringType()),       # size|vad|final
     T.StructField("mean_energy", T.DoubleType()),
     T.StructField("transcript", T.StringType()),    # mock decode (F24 stand-in)
+    T.StructField("n_context", T.IntegerType()),    # T9 ring-buffer depth at decode time
 ])
 
 SEGMENT_SCHEMA_DDL = (
     "session_id string, segment_idx int, start_offset_ms long, "
     "end_offset_ms long, n_samples int, is_partial boolean, "
-    "trigger string, mean_energy double, transcript string"
+    "trigger string, mean_energy double, transcript string, n_context int"
 )
 
 # state tuple layout for GroupState (must be a flat Row):
 STATE_SCHEMA_DDL = (
     "buf array<float>, buf_start_ms long, silence_run_ms int, "
-    "in_speech boolean, seg_idx int"
+    "in_speech boolean, seg_idx int, context array<string>"
 )
+
+# T9: transcript context ring buffer — last N partial transcripts kept
+# as decoding context (SessionState.add_result, stt_worker.py:510-520)
+CONTEXT_KEEP = 10
 
 
 def mock_transcribe(session_id: str, seg_idx: int, n_samples: int) -> str:
@@ -111,7 +116,8 @@ class _SessionCore:
 
     def __init__(self, cfg: SessionizerConfig, session_id: str,
                  buf: np.ndarray, buf_start_ms: int, silence_run_ms: int,
-                 in_speech: bool, seg_idx: int):
+                 in_speech: bool, seg_idx: int,
+                 context: list[str] | None = None):
         self.cfg = cfg
         self.session_id = session_id
         self.buf = buf
@@ -119,11 +125,12 @@ class _SessionCore:
         self.silence_run_ms = silence_run_ms
         self.in_speech = in_speech
         self.seg_idx = seg_idx
+        self.context: list[str] = list(context or [])
         self.out: list[tuple] = []
 
     @classmethod
     def fresh(cls, cfg: SessionizerConfig, session_id: str) -> "_SessionCore":
-        return cls(cfg, session_id, np.empty(0, dtype=np.float32), 0, 0, False, 0)
+        return cls(cfg, session_id, np.empty(0, dtype=np.float32), 0, 0, False, 0, [])
 
     def _buffered_ms(self) -> int:
         return int(len(self.buf) * 1000 // self.cfg.sample_rate)
@@ -135,12 +142,19 @@ class _SessionCore:
             return
         seg_ms = self._buffered_ms()
         energy = float(np.sqrt(np.mean(self.buf.astype(np.float64) ** 2)))
+        transcript = mock_transcribe(self.session_id, self.seg_idx, n)
         self.out.append((
             self.session_id, self.seg_idx, self.buf_start_ms,
             self.buf_start_ms + seg_ms, n, is_partial, trigger,
             round(energy, 9),
-            mock_transcribe(self.session_id, self.seg_idx, n),
+            transcript,
+            len(self.context),
         ))
+        # T9: append to the ring AFTER decode (the emitted n_context is
+        # the context depth the decoder saw), keep last CONTEXT_KEEP
+        self.context.append(transcript)
+        if len(self.context) > CONTEXT_KEEP:
+            self.context = self.context[-CONTEXT_KEEP:]
         self.seg_idx += 1
         if is_partial and n > cfg.overlap_samples:
             # T3: retain overlap_ms of context; advance the processed
@@ -213,10 +227,12 @@ def sessionize_stream_fn(cfg: SessionizerConfig):
         session_id = key[0]
         if state.hasTimedOut:
             # T8: idle reap — flush remainder as final
-            (buf, buf_start_ms, silence_run_ms, in_speech, seg_idx) = state.get
+            (buf, buf_start_ms, silence_run_ms, in_speech, seg_idx,
+             context) = state.get
             core = _SessionCore(
                 cfg, session_id, np.asarray(buf, dtype=np.float32),
                 buf_start_ms, silence_run_ms, in_speech, seg_idx,
+                list(context or []),
             )
             core._emit("final", is_partial=False)
             state.remove()
@@ -224,10 +240,12 @@ def sessionize_stream_fn(cfg: SessionizerConfig):
             return
 
         if state.exists:
-            (buf, buf_start_ms, silence_run_ms, in_speech, seg_idx) = state.get
+            (buf, buf_start_ms, silence_run_ms, in_speech, seg_idx,
+             context) = state.get
             core = _SessionCore(
                 cfg, session_id, np.asarray(buf, dtype=np.float32),
                 buf_start_ms, silence_run_ms, in_speech, seg_idx,
+                list(context or []),
             )
         else:
             core = _SessionCore.fresh(cfg, session_id)
@@ -243,7 +261,7 @@ def sessionize_stream_fn(cfg: SessionizerConfig):
             state.update((
                 [float(x) for x in core.buf],
                 core.buf_start_ms, core.silence_run_ms,
-                core.in_speech, core.seg_idx,
+                core.in_speech, core.seg_idx, list(core.context),
             ))
         yield pd.DataFrame(core.out, columns=[f.name for f in SEGMENT_SCHEMA])
 

@@ -115,3 +115,19 @@ class TestConvergence:
             a.sort_values(cols, ignore_index=True),
             b.sort_values(cols, ignore_index=True),
         )
+
+
+def test_context_ring_buffer_caps_at_ten():
+    """T9: transcript ring (stt_worker.py:510-520) — n_context grows
+    per emitted segment and the ring never exceeds CONTEXT_KEEP."""
+    from streamprocess_spark.streaming.sessionizer import CONTEXT_KEEP
+
+    core = _SessionCore.fresh(CFG, "s")
+    # 60 speech chunks → a partial every 4 chunks (size trigger)
+    for i in range(60):
+        core.feed(i * 100, _chunk(0.5), is_final=False)
+    assert len(core.out) >= 12
+    depths = [seg[9] for seg in core.out]
+    assert depths[:3] == [0, 1, 2]          # ring fills segment by segment
+    assert max(depths) == CONTEXT_KEEP      # then caps
+    assert len(core.context) == CONTEXT_KEEP
