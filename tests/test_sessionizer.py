@@ -131,3 +131,66 @@ def test_context_ring_buffer_caps_at_ten():
     assert depths[:3] == [0, 1, 2]          # ring fills segment by segment
     assert max(depths) == CONTEXT_KEEP      # then caps
     assert len(core.context) == CONTEXT_KEEP
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to exercise the timeout branch."""
+
+    def __init__(self, tup, timed_out):
+        self._tup = tup
+        self.hasTimedOut = timed_out
+        self.exists = tup is not None
+        self.removed = False
+        self.updated = None
+
+    @property
+    def get(self):
+        return self._tup
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, tup):
+        self.updated = tup
+
+
+def test_stream_fn_timeout_flushes_and_drops_state():
+    """T8: idle reap (stt_worker.py:419-430) — a timed-out key flushes
+    its remaining buffer as a final segment and removes state."""
+    from streamprocess_spark.streaming.sessionizer import sessionize_stream_fn
+
+    buf = _chunk(0.5).tolist() * 2  # 200ms buffered audio
+    state = _FakeState((buf, 1000, 0, True, 3, ["a", "b"]), timed_out=True)
+    fn = sessionize_stream_fn(CFG)
+    frames = list(fn(("sess-1",), iter(()), state))
+    assert state.removed and state.updated is None
+    out = pd.concat(frames)
+    assert len(out) == 1
+    seg = out.iloc[0]
+    assert seg.trigger == "final" and not seg.is_partial
+    assert seg.segment_idx == 3            # resumes the stored index
+    assert seg.start_offset_ms == 1000
+    assert seg.n_context == 2              # stored ring depth visible
+
+
+def test_stream_fn_updates_state_between_batches():
+    from streamprocess_spark.streaming.sessionizer import sessionize_stream_fn
+
+    pdf = pd.DataFrame({
+        "session_id": ["s"] * 2,
+        "seq": [0, 1],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+        "offset_ms": [0, 100],
+        "duration_ms": [100, 100],
+        "samples": [_chunk(0.5).tolist(), _chunk(0.5).tolist()],
+        "is_final": [False, False],
+    })
+    state = _FakeState(None, timed_out=False)
+    state.exists = False
+    fn = sessionize_stream_fn(CFG)
+    list(fn(("s",), iter([pdf]), state))
+    # 200ms < 320ms trigger: nothing emitted, buffer persisted
+    assert not state.removed and state.updated is not None
+    buf, start_ms, silence, in_speech, seg_idx, context = state.updated
+    assert len(buf) == 2 * CFG.chunk_samples
+    assert in_speech is True and seg_idx == 0 and context == []
