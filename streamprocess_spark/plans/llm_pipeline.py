@@ -583,3 +583,41 @@ def q74_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fixed(F.col("v").cast("double"))).cast("bigint").alias("sum_fp"),
         )
     )
+
+
+@register(
+    "q75_stratified_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000007 AS h
+        FROM documents
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_total,
+           cast(sum(CASE WHEN h % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           cast(min(CASE WHEN h % 10 = 0 THEN doc_id END) AS BIGINT)
+               AS first_sampled
+    FROM s GROUP BY lang
+    """,
+    covers=("§2.13-text", "R5"),
+    doc="Deterministic stratified sampling: md5(doc_id) mod N selects a "
+        "reproducible ~10% per stratum — the shuffle-free, seed-stable "
+        "sampling a training-data pipeline needs (TABLESAMPLE/rand() "
+        "are not replay-stable across retries; a content hash is).",
+)
+def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000000007
+    )
+    s = docs.select("doc_id", "lang", h.alias("h"))
+    keep = F.col("h") % 10 == 0
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.min(F.when(keep, F.col("doc_id"))).cast("bigint").alias("first_sampled"),
+    )
