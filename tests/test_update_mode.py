@@ -1,0 +1,101 @@
+"""Update output mode (SURVEY T6, §2.11 output modes): the streaming
+form of partial-result revision — each micro-batch emits ONLY the keys
+whose aggregate changed (the reference's partial transcripts superseded
+by later revisions); the latest revision per key converges to the
+batch answer."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from streamprocess_spark.schemas import EVENTS
+from tests.conftest import SF_DIR
+
+N_SPLITS = 4
+
+
+def test_update_mode_revisions_converge(spark):
+    from pyspark.sql.window import Window
+    from streamprocess_spark.io.tables import load_tables, table_path
+
+    base = tempfile.mkdtemp(prefix="spupd_")
+    try:
+        ev = spark.read.parquet(table_path(SF_DIR, "events"))
+        # time-ordered splits -> one micro-batch each
+        tiles = ev.select(
+            F.ntile(N_SPLITS).over(Window.orderBy("ts", "event_id")).alias("tile"),
+            "*",
+        )
+        for t in range(1, N_SPLITS + 1):
+            part = tiles.filter(F.col("tile") == t).drop("tile")
+            pdir = os.path.join(base, f"s{t}")
+            part.coalesce(1).write.parquet(pdir)
+            src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(pdir, src), os.path.join(base, f"part-{t:03d}.parquet")
+            )
+            shutil.rmtree(pdir)
+
+        stream = (
+            spark.readStream.schema(EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+        )
+        # per (user, type) running aggregate: every batch revises only
+        # the keys whose aggregate changed
+        agg = stream.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+        )
+
+        revisions: list[tuple[int, dict]] = []
+
+        def capture(batch_df, batch_id):
+            rows = {
+                (r.user_id, r.event_type): (r.n, r.last_ts)
+                for r in batch_df.collect()
+            }
+            revisions.append((batch_id, rows))
+
+        ckpt = tempfile.mkdtemp(prefix="spupdckpt_")
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(revisions) >= N_SPLITS
+        # update mode emits EXACTLY the keys whose aggregate changed:
+        # the final batch's emitted keys are the keys present in the
+        # final file, not the whole key space
+        last_rows = next(rows for _, rows in reversed(revisions) if rows)
+        last_file_keys = {
+            (r.user_id, r.event_type)
+            for r in tiles.filter(F.col("tile") == N_SPLITS)
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        }
+        assert set(last_rows) == last_file_keys
+        n_keys = ev.select("user_id", "event_type").distinct().count()
+        assert len(last_rows) < n_keys  # a strict subset was revised
+
+        # latest revision per key == batch answer (partials superseded)
+        latest: dict = {}
+        for _, rows in revisions:
+            latest.update(rows)
+        want = {
+            (r.user_id, r.event_type): (r.n, r.last_ts)
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+            .collect()
+        }
+        assert latest == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
