@@ -174,16 +174,32 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n: int = SHINGLE_N, threshold: float = 0.5, sample_mod: int = 2,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """n-gram Jaccard similarity on a deterministic 1/sample_mod gram
     sketch (keep grams with H(g) % sample_mod == 0 — consistent across
     docs, so sketch-Jaccard ≈ true Jaccard). Pairs sharing ≥1 sketched
-    gram are candidates; exact set sizes come from per-doc counts."""
+    gram are candidates; exact set sizes come from per-doc counts.
+
+    df_cap: drop grams whose document frequency exceeds the cap BEFORE
+    the pair join. Without it a stop-gram present in m documents emits
+    m² candidate pairs — the guaranteed pathological case in natural
+    language at 100 TB. A capped gram carries ~zero Jaccard signal
+    anyway (it matches everything); sizes are computed after the cap so
+    the Jaccard stays consistent on the capped sketch."""
     grams = (
         doc_shingles(df, id_col, text_col, n)
         .withColumn("gh", token_hash(F.col("tok")))
         .filter(F.col("gh") % sample_mod == 0)
     )
+    if df_cap is not None:
+        rare = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .filter(F.col("gram_df") <= df_cap)
+            .select("gh")
+        )
+        grams = grams.join(rare, "gh")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gh")

@@ -281,9 +281,13 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q47_ngram_jaccard",
     oracle=f"""
-    WITH {_SHINGLES}, sk AS (
+    WITH {_SHINGLES}, sk0 AS (
         SELECT doc_id, {_HASH.format(v='tok')} AS gh FROM sh
         WHERE {_HASH.format(v='tok')} % 2 = 0
+    ), rare AS (
+        SELECT gh FROM sk0 GROUP BY gh HAVING count(*) <= 1000
+    ), sk AS (
+        SELECT sk0.doc_id, sk0.gh FROM sk0 JOIN rare USING (gh)
     ), sizes AS (
         SELECT doc_id, count(*) AS sz FROM sk GROUP BY doc_id
     ), inter AS (
@@ -302,7 +306,8 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("§2.13-dedup",),
     doc="Word-trigram Jaccard near-dup pairs on a deterministic 1/2 "
         "gram sketch (H(g)%2==0 — consistent sampling, so sketch "
-        "Jaccard ≈ true Jaccard).",
+        "Jaccard ≈ true Jaccard); stop-grams with doc-frequency > 1000 "
+        "dropped before the pair join (m² pair-blowup guard at scale).",
 )
 def q47_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
