@@ -24,7 +24,9 @@ MINHASH_B = (101, 211, 307, 401, 503, 601, 701, 809)
 N_BANDS = 4
 ROWS_PER_BAND = 2
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 48          # 3 pigeonhole segments of 16 bits
+SIMHASH_SEG_BITS = 16
+SIMHASH_SEGMENTS = SIMHASH_BITS // SIMHASH_SEG_BITS
 
 
 def token_hash(tok: Column) -> Column:
@@ -151,19 +153,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_segments(fps: DataFrame) -> DataFrame:
+    """One row per (doc, segment_idx, segment_value): pigeonhole
+    decomposition of the fingerprint. Any pair within hamming ≤
+    SIMHASH_SEGMENTS - 1 shares at least one EXACT segment, so
+    candidates come from an equi-join on (seg, seg_val) — fine-grained
+    buckets (2^16 per segment), never a byte-bucket cross join."""
+    segs = F.array(*[
+        F.struct(
+            F.lit(i).alias("seg"),
+            F.shiftright("simhash", i * SIMHASH_SEG_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_SEG_BITS) - 1))
+            .alias("seg_val"),
+        )
+        for i in range(SIMHASH_SEGMENTS)
+    ])
+    return fps.select(
+        "doc_id", "simhash", F.explode(segs).alias("s")
+    ).select("doc_id", "simhash", "s.seg", "s.seg_val")
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Candidate generation
-    buckets on the high byte of the fingerprint (pigeonhole: a ≤2-bit
-    difference in 16 bits leaves one half intact half the time; for the
-    oracle-checked query we accept the bucketed recall)."""
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming
+    (must be < SIMHASH_SEGMENTS for the pigeonhole guarantee to make
+    candidate generation exact, not approximate)."""
+    assert max_hamming < SIMHASH_SEGMENTS
     fps = simhash(df, id_col, text_col)
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
-    pairs = a.join(
-        b,
-        (F.shiftright("fp_a", 8) == F.shiftright("fp_b", 8))
-        & (F.col("doc_a") < F.col("doc_b")),
+    sa = simhash_segments(fps).select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+        "seg", "seg_val",
+    )
+    sb = simhash_segments(fps).select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+        "seg", "seg_val",
+    )
+    pairs = (
+        sa.join(sb, ["seg", "seg_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.select(

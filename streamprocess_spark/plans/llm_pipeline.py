@@ -626,3 +626,43 @@ def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
         F.min(F.when(keep, F.col("doc_id"))).cast("bigint").alias("first_sampled"),
     )
+
+
+_SEG = 1 << 16
+
+
+@register(
+    "q76_simhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLES}, h AS (
+        SELECT doc_id, {_HASH.format(v='tok')} AS hv FROM sh
+    ), sums AS (
+        SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, cast({_SIMHASH_FP} AS bigint) AS simhash FROM sums
+    ), seg AS (
+        SELECT doc_id, simhash, t.i AS seg,
+               (simhash >> (t.i * 16)) & {_SEG - 1} AS seg_val
+        FROM fp, range(0, 3) t(i)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS fp_a, b.simhash AS fp_b
+        FROM seg a JOIN seg b
+          ON a.seg = b.seg AND a.seg_val = b.seg_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           cast(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2
+    """,
+    covers=("§2.13-dedup",),
+    doc="SimHash near-dup pairs: 48-bit fingerprints, pigeonhole "
+        "3x16-bit segment candidates (hamming<=2 guarantees an exact "
+        "segment match — candidate generation is exact, and the "
+        "(seg, seg_val) equi-join has 2^16 buckets per segment, no "
+        "byte-bucket cross join).",
+)
+def q76_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=2)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
