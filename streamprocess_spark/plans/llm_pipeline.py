@@ -666,3 +666,37 @@ def q76_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=2)
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "q77_dedup_pipeline",
+    oracle=f"""
+    WITH canon_ids AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), canon AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN canon_ids USING (doc_id)
+    ), {_minhash_sig_sql().replace("FROM documents", "FROM canon")},
+    bands AS ({_BANDS_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    covers=("§2.13-dedup",),
+    doc="Production dedup composition: exact-hash collapse to one "
+        "canonical doc per content (q44) BEFORE MinHash banding (q45). "
+        "At scale this is the guard against identical-copy bucket "
+        "blowup — m exact copies would otherwise share every band and "
+        "emit m² candidate pairs; after the collapse each content "
+        "appears once and LSH only spends pairs on genuine near-dups.",
+)
+def q77_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon_ids = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    canon = docs.join(canon_ids, "doc_id").select("doc_id", "text")
+    return D.minhash_candidates(canon, "doc_id", "text")
