@@ -743,6 +743,72 @@ def q67_image_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q78_segment_udtf",
+    oracle=f"""
+    WITH {_FRAME_CTE},
+    runs AS (
+        SELECT doc_id, f,
+               CASE WHEN sp = 1 AND (f = 0 OR (f - 1 + doc_id) % 3 = 0)
+                    THEN 1 ELSE 0 END AS is_start
+        FROM fr WHERE sp = 1
+    ), seg AS (
+        SELECT doc_id, f,
+               sum(is_start) OVER (PARTITION BY doc_id ORDER BY f) - 1
+                   AS seg_idx
+        FROM runs
+    )
+    SELECT doc_id,
+           cast(seg_idx AS INT) AS seg_idx,
+           cast(min(f) AS INT) AS start_frame,
+           cast(count(*) AS INT) AS n_frames
+    FROM seg GROUP BY doc_id, seg_idx
+    """,
+    covers=("§2.12-udtf", "T5", "W2"),
+    doc="Native Python UDTF (the Spark 3.5+ @udtf table function, the "
+        "alternative §2.12 mapping next to pandas-UDF+explode): one "
+        "output row per VAD speech island — the whisper-segments-per-"
+        "job shape (stt_worker.py:216-225). Oracle = gaps-and-islands "
+        "over the synthesis frame pattern.",
+)
+def q78_segment_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx int, start_frame int, n_frames int")
+    class SpeechIslands:
+        def eval(self, samples):  # noqa: D102
+            import numpy as np
+
+            from streamprocess_spark.functions.audio import np_vad_flags
+
+            flags = np_vad_flags(
+                np.asarray(samples, dtype=np.float32), sr=16000,
+                frame_ms=30, threshold=0.01,
+            )
+            idx = -1
+            prev = False
+            start = 0
+            n = 0
+            for f, speech in enumerate(flags):
+                if speech and not prev:
+                    if n:
+                        yield (idx, start, n)
+                    idx += 1
+                    start, n = f, 0
+                if speech:
+                    n += 1
+                prev = bool(speech)
+            if n:
+                yield (idx, start, n)
+
+    spark.udtf.register("speech_islands", SpeechIslands)
+    _audio_df(spark, sf_dir).createOrReplaceTempView("audio_tmp_q78")
+    return spark.sql(
+        "SELECT a.doc_id, t.seg_idx, t.start_frame, t.n_frames "
+        "FROM audio_tmp_q78 a, LATERAL speech_islands(a.samples) t"
+    )
+
+
 # ---------------------------------------------------------------------------
 # native-expression scalar ops (F23 bbox-from-quad, §2.10 built-ins)
 # ---------------------------------------------------------------------------
