@@ -92,5 +92,6 @@ def _ensure_loaded() -> None:
     import streamprocess_spark.plans.streaming_queries  # noqa: F401
     import streamprocess_spark.plans.stateful_queries  # noqa: F401
     import streamprocess_spark.plans.multimodal  # noqa: F401
+    import streamprocess_spark.plans.scale_joins  # noqa: F401
 
     _LOADED = True
