@@ -379,3 +379,56 @@ def q30_rtf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_jobs"),
         )
     )
+
+
+@register(
+    "q84_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END)::BIGINT
+               AS n_view,
+           count(CASE WHEN t_click > t_view THEN 1 END)::BIGINT
+               AS n_view_click,
+           count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)::BIGINT
+               AS n_full_funnel
+    FROM per_user
+    """,
+    covers=("free-analytics", "A13-adjacent", "T5-adjacent"),
+    doc="Ordered-funnel conversion (view → click → purchase by first-"
+        "occurrence time per user): the per-stage conditional min is "
+        "one shuffled groupBy with full map-side combine; the stage "
+        "comparison is a pure projection; the global count is a "
+        "single-row final agg over per-user rows — the standard "
+        "billions-of-users funnel plan. NULL stage times fall out of "
+        "the count via three-valued logic, identically in both engines.",
+)
+def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def first_ts(etype: str, alias: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts"))).alias(alias)
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view", "t_view"),
+        first_ts("click", "t_click"),
+        first_ts("purchase", "t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), F.lit(1))).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), F.lit(1))).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                F.lit(1),
+            )
+        ).alias("n_full_funnel"),
+    )

@@ -700,3 +700,34 @@ def q77_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = docs.join(canon_ids, "doc_id").select("doc_id", "text")
     return D.minhash_candidates(canon, "doc_id", "text")
+
+
+@register(
+    "q85_vocab_topk",
+    oracle="""
+    SELECT token, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    covers=("§2.13-text", "A4-adjacent", "W3-adjacent"),
+    doc="Vocabulary construction + top-k tokens — the first step of "
+        "any tokenizer/BPE training pass over a 100 TB corpus. "
+        "Deliberately orderBy+limit, NOT a global row_number window: "
+        "Catalyst plans TakeOrderedAndProject, which keeps only 20 "
+        "rows per partition and never sorts the full vocabulary on "
+        "one task (a 100 M-token vocab would kill the window form). "
+        "Tie-break on the token string makes the cut deterministic.",
+)
+def q85_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -59,6 +59,12 @@ def get_spark(
         # arrays itself, so excluding the rule changes no semantics.
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        # saveAsTable targets (bucketed layouts, io/bucketing.py) land in
+        # tmp, never the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",

@@ -62,6 +62,30 @@ def test_minhash_band_plan_is_single_pass(spark):
     assert n_exchanges <= 8, f"minhash plan regressed: {n_exchanges} exchanges"
 
 
+def test_range_join_is_equi_not_nested_loop(spark):
+    """q80's whole point: the bounded range join must plan as a hash/
+    sort-merge equi-join on (user, bucket), never the nested-loop the
+    literal inequality condition would produce."""
+    plan = _plan(spark, "q80_range_bucket_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """q79 composes the as-of join as union + window: the plan must
+    contain NO join operator and exactly one real exchange (the
+    user_id hash partitioning feeding the window)."""
+    plan = _plan(spark, "q79_asof_join")
+    assert "Join" not in plan
+    # formatted explain renders each operator twice (tree + detail);
+    # count only the numbered detail headers
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"
+
+
 def test_topk_projects_before_ranking(spark):
     """cosine_topk must not shuffle embedding arrays through the
     ranking window — the window input carries only (qid, cid, score)."""
