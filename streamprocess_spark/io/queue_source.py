@@ -1,0 +1,172 @@
+"""Priority-queue data source — the reference's Redis Streams consumer
+(SURVEY §2.1 S7) as a first-class Spark data source via the Python
+DataSource API (Spark 4).
+
+Reference semantics reproduced (src/queue/redis_queue.py):
+  - four append-only priority streams keyed realtime/high/normal/low
+    (`redis_queue.py:42-47`) → four partition logs under one path,
+    `<path>/<priority>.jsonl`, one job envelope per line
+    (`add_job` serialization, `redis_queue.py:109-130`);
+  - `XREADGROUP` consumption with consumer-group offsets
+    (`redis_queue.py:147-224`) → streaming offsets = per-priority line
+    counts, tracked by Spark's checkpoint: each micro-batch reads
+    exactly the lines between the last committed and the latest
+    offset — at-least-once delivery upgraded to exactly-once by the
+    engine (SURVEY §2.11);
+  - `XACK` (`redis_queue.py:254-276`) → `commit(offset)` callback;
+  - priority-descending drain (`redis_queue.py:157-224`) → every batch
+    carries the `priority` + `prio_rank` columns; batch-local
+    `ORDER BY prio_rank` is the R2 scheduling contract (the source
+    also lists realtime partitions first).
+
+The log files are plain JSONL so the source is hermetic — no external
+broker in tests; swapping the per-priority file tails for real Redis
+`XRANGE` calls changes only `_read_lines`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+PRIORITIES = ("realtime", "high", "normal", "low")  # drain order (R2)
+PRIO_RANK = {p: i for i, p in enumerate(PRIORITIES)}
+
+SCHEMA = (
+    "priority string, prio_rank int, seq bigint, job_id string, "
+    "type string, enqueued_at double, payload string"
+)
+
+
+def _log_path(path: str, priority: str) -> str:
+    return os.path.join(path, f"{priority}.jsonl")
+
+
+def _count_lines(path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    with open(path, "rb") as f:
+        return sum(1 for _ in f)
+
+
+def _read_lines(path: str, start: int, end: int):
+    """Lines [start, end) of one priority log — the XRANGE analog."""
+    if not os.path.exists(path) or end <= start:
+        return
+    with open(path, "r") as f:
+        for i, line in enumerate(f):
+            if i >= end:
+                return
+            if i >= start and line.strip():
+                yield i, json.loads(line)
+
+
+def _row(priority: str, seq: int, job: dict):
+    """Envelope dict → row tuple in SCHEMA order. Defensive .get()
+    mirrors the reference's tolerance of sparse job dicts
+    (stt_worker.py:117,141-145; tests/unit/test_queue.py:201-210)."""
+    payload = job.get("payload")
+    return (
+        priority,
+        PRIO_RANK[priority],
+        seq,
+        str(job.get("job_id", "")),
+        str(job.get("type", "")),
+        float(job.get("enqueued_at", 0.0)),
+        json.dumps(payload, sort_keys=True) if payload is not None else None,
+    )
+
+
+class QueuePartition(InputPartition):
+    def __init__(self, priority: str, start: int, end: int, path: str):
+        self.priority = priority
+        self.start = start
+        self.end = end
+        self.path = path
+
+
+class PriorityQueueBatchReader(DataSourceReader):
+    """Whole-log batch scan (the `XRANGE - +` analog)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [
+            QueuePartition(p, 0, _count_lines(_log_path(self.path, p)), self.path)
+            for p in PRIORITIES
+        ]
+
+    def read(self, partition: QueuePartition):
+        log = _log_path(partition.path, partition.priority)
+        for seq, job in _read_lines(log, partition.start, partition.end):
+            yield _row(partition.priority, seq, job)
+
+
+class PriorityQueueStreamReader(DataSourceStreamReader):
+    """Consumer-group tail: offsets are per-priority line counts."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {p: 0 for p in PRIORITIES}
+
+    def latestOffset(self) -> dict:
+        return {p: _count_lines(_log_path(self.path, p)) for p in PRIORITIES}
+
+    def partitions(self, start: dict, end: dict):
+        # realtime first — batch-local priority drain order (R2)
+        return [
+            QueuePartition(p, int(start.get(p, 0)), int(end.get(p, 0)), self.path)
+            for p in PRIORITIES
+            if int(end.get(p, 0)) > int(start.get(p, 0))
+        ] or [QueuePartition(PRIORITIES[0], 0, 0, self.path)]
+
+    def read(self, partition: QueuePartition):
+        log = _log_path(partition.path, partition.priority)
+        for seq, job in _read_lines(log, partition.start, partition.end):
+            yield _row(partition.priority, seq, job)
+
+    def commit(self, end: dict) -> None:
+        # XACK analog — the engine's checkpoint already persisted `end`;
+        # a broker-backed variant would ack/trim here (S8, S12)
+        pass
+
+
+class PriorityQueueDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "priority_queue"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return PriorityQueueBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return PriorityQueueStreamReader(self.options)
+
+
+def register_queue_source(spark) -> None:
+    spark.dataSource.register(PriorityQueueDataSource)
+
+
+def enqueue_job(path: str, priority: str, job: dict) -> None:
+    """Test/producer helper — the `add_job` analog
+    (redis_queue.py:92-145): append one serialized envelope to the
+    chosen priority log (unknown priority falls back to 'normal',
+    mirroring redis_queue.py:117-118)."""
+    if priority not in PRIORITIES:
+        priority = "normal"
+    os.makedirs(path, exist_ok=True)
+    with open(_log_path(path, priority), "a") as f:
+        f.write(json.dumps(job, sort_keys=True) + "\n")

@@ -135,6 +135,69 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: undirected candidate pairs →
+    ``(doc_id, cluster_id)`` where cluster_id is the minimum doc id in
+    the connected component (hash-min label propagation).
+
+    This is the stage LSH pipelines need AFTER candidate generation:
+    near-dup relations are not transitive pairwise, but dedup decisions
+    must be (keep one doc per cluster), so components are the unit of
+    survivorship.
+
+    Scale design:
+      - each iteration is one keyed shuffle (neighbor-min groupBy) +
+        one outer join — the standard distributed CC; rounds needed =
+        component diameter, which for dup clusters is tiny (near-dup
+        graphs are dense cliques, typically 2-4 rounds);
+      - ``localCheckpoint(eager)`` truncates lineage each round, or the
+        plan tree (and task binary) doubles per iteration — the classic
+        iterative-DataFrame failure mode at scale;
+      - convergence is detected with a scalar changed-count per round
+        (a driver-side scalar, not a data collect).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges_sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges_sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges_sym.join(labels, edges_sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash fingerprint (SIMHASH_BITS wide) per document: per-shingle
     md5 bits, ±1 weighted sum per bit position, sign → bit."""

@@ -731,3 +731,78 @@ def q85_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+_PAIRS_CC_SQL = f"""{_minhash_sig_sql()}, bands AS ({_BANDS_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, other) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    cc AS (
+        SELECT node, min(other) AS cluster_id FROM reach GROUP BY node
+    )"""
+
+
+@register(
+    "q86_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CC_SQL}
+    SELECT node AS doc_id, cluster_id FROM cc
+    """,
+    covers=("§2.13-dedup",),
+    doc="Duplicate-CLUSTER resolution over MinHash candidate pairs: "
+        "distributed hash-min connected components "
+        "(operators/dedup.py:connected_components). Near-duplicate "
+        "similarity is not transitive, but survivorship must be — the "
+        "component, not the pair, is the dedup unit. Oracle is a "
+        "DuckDB recursive-CTE transitive closure; Spark runs the "
+        "O(diameter)-round label propagation with per-round lineage "
+        "checkpoints (the form that scales to 100 TB edge sets).",
+)
+def q86_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs, "doc_id", "text").select("doc_a", "doc_b")
+    return D.connected_components(pairs)
+
+
+@register(
+    "q87_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CC_SQL}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+    """,
+    covers=("§2.13-dedup", "S11-adjacent"),
+    doc="The dedup pipeline's final materialization: keep the minimum "
+        "doc_id of every near-dup cluster (q86) plus all untouched "
+        "docs — one anti-join against the non-canonical members. This "
+        "is the 'write the cleaned corpus' step of a training-data "
+        "pipeline; at 100 TB the anti-join is a broadcast (cluster "
+        "members ≪ corpus) or shuffled-hash join, never a scan-side "
+        "filter on a collected list.",
+)
+def q87_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs, "doc_id", "text").select("doc_a", "doc_b")
+    dupes = (
+        D.connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,101 @@
+"""Priority-queue Python DataSource (SURVEY §2.1 S7): batch scan,
+streaming tail with checkpointed offsets (exactly-once), and the
+priority-drain ordering contract."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocess_spark.io.queue_source import (
+    PRIORITIES,
+    enqueue_job,
+    register_queue_source,
+)
+
+
+def _seed(path: str, n_per_prio: int = 3) -> int:
+    k = 0
+    for p in PRIORITIES:
+        for i in range(n_per_prio):
+            enqueue_job(
+                path,
+                p,
+                {
+                    "job_id": f"{p}-{i}",
+                    "type": "stt_chunk" if i % 2 == 0 else "ocr_single",
+                    "enqueued_at": 1000.0 + k,
+                    "payload": {"n": k},
+                },
+            )
+            k += 1
+    return k
+
+
+def test_batch_read_all_priorities(spark, tmp_path):
+    qdir = str(tmp_path / "q")
+    n = _seed(qdir)
+    register_queue_source(spark)
+    df = spark.read.format("priority_queue").option("path", qdir).load()
+    assert df.count() == n
+    got = {r["priority"] for r in df.select("priority").distinct().collect()}
+    assert got == set(PRIORITIES)
+    # R2 contract: prio_rank orders realtime < high < normal < low
+    ranks = dict(
+        df.select("priority", "prio_rank").distinct().collect()
+    )
+    assert ranks["realtime"] < ranks["high"] < ranks["normal"] < ranks["low"]
+
+
+def test_unknown_priority_demoted_to_normal(spark, tmp_path):
+    qdir = str(tmp_path / "q2")
+    enqueue_job(qdir, "bogus", {"job_id": "x", "type": "t"})
+    register_queue_source(spark)
+    df = spark.read.format("priority_queue").option("path", qdir).load()
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["priority"] == "normal"
+
+
+def test_stream_tail_is_incremental_exactly_once(spark, tmp_path):
+    qdir = str(tmp_path / "q3")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = _seed(qdir, 2)
+    register_queue_source(spark)
+    stream = (
+        spark.readStream.format("priority_queue").option("path", qdir).load()
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("queue_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        def wait_count(expected, timeout=30.0):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                got = spark.sql("SELECT count(*) c FROM queue_sink").first()["c"]
+                if got >= expected:
+                    return got
+                time.sleep(0.2)
+            return spark.sql("SELECT count(*) c FROM queue_sink").first()["c"]
+
+        assert wait_count(n1) == n1
+        # late enqueue lands in a later micro-batch, no replays
+        enqueue_job(qdir, "realtime", {"job_id": "late-1", "type": "stt_chunk"})
+        enqueue_job(qdir, "low", {"job_id": "late-2", "type": "ocr_single"})
+        assert wait_count(n1 + 2) == n1 + 2
+        dupes = (
+            spark.sql("SELECT priority, seq FROM queue_sink")
+            .groupBy("priority", "seq")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0, "offset tracking replayed rows"
+    finally:
+        query.stop()
