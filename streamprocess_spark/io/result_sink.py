@@ -1,0 +1,138 @@
+"""Result-store sink — the reference's Redis result store (SURVEY
+§2.1 S9/S10/S12) as a Python DataSourceStreamWriter (Spark 4).
+
+Reference semantics reproduced (src/queue/redis_queue.py):
+  - `store_result`: `SETEX result:{job_id} 3600 <json>`
+    (`redis_queue.py:305-314`) → one `result-{job_id}.json` per job,
+    written atomically (tmp + rename) with an `expires_at` stamp.
+    SETEX is an idempotent keyed UPSERT, so executor tasks write
+    final files directly; a retried task rewrites identical content —
+    the same at-least-once-made-harmless contract the reference has.
+    `commit()` then records a `_commits/{batchId}` marker so the
+    micro-batch boundary stays observable; `abort()` leaves partial
+    upserts in place exactly as a crashed worker would.
+  - `wait_for_result`: poll every 100 ms until hit or timeout
+    (`redis_queue.py:329-344`) → :func:`wait_for_result`.
+  - TTL expiry / stream trimming (`redis_queue.py:49-51,382-397`) →
+    :func:`vacuum` deletes entries whose `expires_at` has passed
+    (explicit `now` argument — retention is a policy input, never
+    hidden wall-clock inside the engine).
+
+Input contract: the stream must carry a `job_id` column; all other
+columns are serialized into the stored JSON payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+DEFAULT_TTL_S = 3600.0  # redis_queue.py:49-51
+
+
+def _result_path(path: str, job_id: str) -> str:
+    return os.path.join(path, f"result-{job_id}.json")
+
+
+@dataclass
+class ResultCommitMessage(WriterCommitMessage):
+    n_written: int = 0
+
+
+class ResultStoreStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.ttl_s = float(options.get("ttl_s", DEFAULT_TTL_S))
+
+    def write(self, iterator) -> ResultCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            job_id = str(d.pop("job_id"))
+            doc = {
+                "job_id": job_id,
+                "payload": d,
+                "expires_at": time.time() + self.ttl_s,
+            }
+            final = _result_path(self.path, job_id)
+            tmp = f"{final}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, sort_keys=True)
+            os.replace(tmp, final)  # atomic upsert == SETEX overwrite
+            n += 1
+        return ResultCommitMessage(n_written=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        marker_dir = os.path.join(self.path, "_commits")
+        os.makedirs(marker_dir, exist_ok=True)
+        total = sum(m.n_written for m in messages if m is not None)
+        with open(os.path.join(marker_dir, str(batchId)), "w") as f:
+            json.dump({"batch_id": batchId, "n_written": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        # partial upserts are harmless (keyed overwrite) — same
+        # posture as a reference worker dying mid-store
+        pass
+
+
+class ResultStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "result_store"
+
+    def streamWriter(self, schema, overwrite: bool) -> ResultStoreStreamWriter:
+        return ResultStoreStreamWriter(self.options)
+
+
+def register_result_sink(spark) -> None:
+    spark.dataSource.register(ResultStoreDataSource)
+
+
+def read_result(path: str, job_id: str) -> dict | None:
+    """Point lookup (`GET result:{job_id}` analog, S10)."""
+    p = _result_path(path, job_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def wait_for_result(
+    path: str, job_id: str, timeout_s: float = 30.0, poll_s: float = 0.1
+) -> dict | None:
+    """Poll-until-present (`wait_for_result`, redis_queue.py:329-344)."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        doc = read_result(path, job_id)
+        if doc is not None:
+            return doc
+        time.sleep(poll_s)
+    return None
+
+
+def vacuum(path: str, now: float) -> int:
+    """Delete expired results (TTL sweep, S12). Returns count removed."""
+    removed = 0
+    if not os.path.isdir(path):
+        return 0
+    for fn in os.listdir(path):
+        if not fn.startswith("result-"):
+            continue
+        full = os.path.join(path, fn)
+        try:
+            with open(full) as f:
+                if json.load(f).get("expires_at", float("inf")) <= now:
+                    os.remove(full)
+                    removed += 1
+        except (json.JSONDecodeError, OSError):
+            continue
+    return removed
