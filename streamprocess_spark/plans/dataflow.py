@@ -502,3 +502,100 @@ def q71_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
     return salted_sum_count(ev, ["event_type"], fixed("value"))
+
+
+_PRIO_NAME = {3: "realtime", 2: "high", 1: "normal", 0: "low"}
+
+
+def _stage_queue_logs(sf_dir: str) -> str:
+    """Producer edge (`add_job`, redis_queue.py:92-145): materialize
+    the events table as per-priority JSONL logs for the
+    `priority_queue` DataSource. Runs on the driver because it IS the
+    client side of the queue (the gRPC server's enqueue path), not an
+    engine operator; content is deterministic (sorted by event_id) and
+    cached by source mtime."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from streamprocess_spark.io.queue_source import PRIORITIES
+    from streamprocess_spark.io.tables import table_path
+
+    src = table_path(sf_dir, "events")
+    key = src.strip("/").replace("/", "_")
+    qdir = os.path.join(tempfile.gettempdir(), "spark_graft_queue_cache", key)
+    marker = os.path.join(qdir, "_READY")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return qdir
+    tbl = (
+        pq.read_table(src, columns=["event_id", "event_type"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    os.makedirs(qdir, exist_ok=True)
+    handles = {p: open(os.path.join(qdir, f"{p}.jsonl"), "w") for p in PRIORITIES}
+    try:
+        for r in tbl.itertuples():
+            pname = _PRIO_NAME[PRIORITY_OF_TYPE.get(r.event_type, 0)]
+            handles[pname].write(
+                json.dumps(
+                    {"job_id": str(r.event_id), "type": r.event_type},
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    finally:
+        for h in handles.values():
+            h.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return qdir
+
+
+@register(
+    "q90_queue_source_counts",
+    oracle="""
+    WITH mapped AS (
+        SELECT event_id, event_type,
+               CASE event_type
+                   WHEN 'error' THEN 'realtime'
+                   WHEN 'purchase' THEN 'high'
+                   WHEN 'signup' THEN 'normal'
+                   ELSE 'low'
+               END AS priority
+        FROM events
+    ), seqs AS (
+        SELECT priority, event_type AS type,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY event_id) - 1 AS seq
+        FROM mapped
+    )
+    SELECT priority, type, count(*)::BIGINT AS n_jobs,
+           min(seq)::BIGINT AS min_seq, max(seq)::BIGINT AS max_seq
+    FROM seqs GROUP BY priority, type
+    """,
+    covers=("S6", "S7", "R1"),
+    doc="The custom priority_queue DataSource under the oracle gate: "
+        "events are enqueued (producer edge) into per-priority JSONL "
+        "logs, read back via format('priority_queue'), and aggregated. "
+        "min/max of the source-assigned per-priority sequence numbers "
+        "must match a row_number() reconstruction — i.e. the source's "
+        "XRANGE-style ordering and partitioning are themselves "
+        "verified, not just the row payloads.",
+)
+def q90_queue_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.io.queue_source import register_queue_source
+
+    register_queue_source(spark)
+    qdir = _stage_queue_logs(sf_dir)
+    jobs = spark.read.format("priority_queue").option("path", qdir).load()
+    return (
+        jobs.groupBy("priority", "type")
+        .agg(
+            F.count(F.lit(1)).alias("n_jobs"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
