@@ -172,3 +172,4 @@ def stream_request_result_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("res_ts") <= F.col("req_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("req_id", "res_id", F.col("r_user").alias("user_id"))
     return run_to_completion(joined, "append")
+
