@@ -173,3 +173,32 @@ def stream_request_result_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("req_id", "res_id", F.col("r_user").alias("user_id"))
     return run_to_completion(joined, "append")
 
+
+
+@register(
+    "stream_topk_users",
+    oracle="""
+    SELECT user_id, n_events, total_value FROM (
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               cast(cast(sum(cast(floor(value * 1000000.0) AS BIGINT))
+                         AS BIGINT) AS double) / 1000000.0 AS total_value
+        FROM events GROUP BY user_id
+    ) ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    covers=("W3", "A5", "§2.11-complete-mode"),
+    doc="Streaming top-k leaderboard: complete-mode aggregation with "
+        "post-agg sort+limit (legal only in complete mode — the one "
+        "output mode allowing a global ORDER BY). The top-10 cut is "
+        "deterministic because the total is the exact fixed-point sum "
+        "and user_id breaks ties. Converged result equals the batch "
+        "top-k (queue-depth leaderboard analog, redis_queue.py:346-362).",
+)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+    return run_to_completion(agg, "complete")

@@ -32,3 +32,40 @@ def test_edge_direction_is_irrelevant(spark):
     # same component given in "wrong" (descending) direction
     labels = _cc(spark, [(5, 1), (5, 3), (3, 2)])
     assert labels == {1: 1, 2: 1, 3: 1, 5: 1}
+
+
+def _union_find_min_labels(edges):
+    """Pure-python reference: min node id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Randomized differential check vs a sequential union-find —
+    deterministic seeds, a spread of densities (sparse forests up to
+    near-cliques) exercising multi-round propagation."""
+    import random
+
+    for seed, n_nodes, n_edges in [
+        (1, 12, 6), (2, 20, 25), (3, 30, 12), (4, 8, 28), (5, 40, 40),
+    ]:
+        rng = random.Random(seed)
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+        ]
+        assert _cc(spark, edges) == _union_find_min_labels(edges), (
+            f"seed={seed}"
+        )
