@@ -22,8 +22,11 @@ Mapping (reference file:line in image_processor.py):
   F20 crop_to_content(:371-398)  non-white bbox + padding
   F22 validate_image (:422-446)  min/max size + blank-ratio check
   F23 bbox from quad (ocr_worker.py:373-379) min/max of corner points
-  F11/F12 auto_rotate/deskew: STUB (Hough/minAreaRect need cv2) —
-  raise NotImplementedError with the reference citation.
+  F11 auto_rotate    (:81-141)   projection-profile angle search
+                                 (Hough-vote analog; EXIF branch n/a
+                                 for raw grayscale) + NN rotation
+  F12 deskew         (:143-180)  dark-pixel PCA angle (minAreaRect
+                                 analog) + NN rotation
 """
 
 from __future__ import annotations
@@ -77,19 +80,86 @@ def fake_decode(seed: str, width: int, height: int,
     return img
 
 
-def auto_rotate(img: np.ndarray) -> np.ndarray:
-    """F11 stub: EXIF + Hough-line rotation (image_processor.py:81-141)
-    requires cv2.HoughLines — not available here."""
-    raise NotImplementedError(
-        "auto_rotate needs cv2 (reference: image_processor.py:81-141)"
-    )
+def np_rotate(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
+    """Nearest-neighbor rotation about the image center (the
+    warpAffine analog, image_processor.py:172-178), white fill."""
+    if abs(angle_deg) < 1e-9:
+        return img.copy()
+    h, w = img.shape
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # inverse mapping: output pixel ← source pixel
+    xs = c * (xx - cx) + s * (yy - cy) + cx
+    ys = -s * (xx - cx) + c * (yy - cy) + cy
+    xi = np.rint(xs).astype(np.int64)
+    yi = np.rint(ys).astype(np.int64)
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out = np.full((h, w), fill, dtype=img.dtype)
+    out[ok] = img[yi[ok], xi[ok]]
+    return out
 
 
-def deskew(img: np.ndarray) -> np.ndarray:
-    """F12 stub: minAreaRect deskew (image_processor.py:143-180)."""
-    raise NotImplementedError(
-        "deskew needs cv2 (reference: image_processor.py:143-180)"
-    )
+def np_text_angle_pca(img: np.ndarray, dark: int = 128) -> float:
+    """F12 angle estimate — pure-NumPy analog of
+    cv2.minAreaRect(dark-pixel coords) (image_processor.py:152-160):
+    the principal axis of the dark-pixel point cloud, mapped to
+    (-45, 45] degrees. For text pages the principal axis follows the
+    text lines, so the angle IS the skew."""
+    ys, xs = np.nonzero(img < dark)
+    if len(xs) < 2:
+        return 0.0
+    x = xs - xs.mean()
+    y = ys - ys.mean()
+    cov_xx = float(np.dot(x, x))
+    cov_yy = float(np.dot(y, y))
+    cov_xy = float(np.dot(x, y))
+    angle = 0.5 * np.arctan2(2.0 * cov_xy, cov_xx - cov_yy)
+    deg = float(np.rad2deg(angle))
+    # principal axis is undirected: fold into (-45, 45]
+    while deg <= -45.0:
+        deg += 90.0
+    while deg > 45.0:
+        deg -= 90.0
+    return deg
+
+
+def deskew(img: np.ndarray, dark: int = 128) -> tuple[np.ndarray, float]:
+    """F12 deskew (image_processor.py:143-180): estimate the text
+    angle (PCA analog of minAreaRect) and rotate it out. Returns
+    (corrected image, estimated angle in degrees)."""
+    est = np_text_angle_pca(img, dark)
+    return np_rotate(img, -est), est
+
+
+def np_profile_sharpness(img: np.ndarray, dark: int = 128) -> float:
+    """Variance of the horizontal projection profile — maximal when
+    text lines are axis-aligned (the classic skew criterion standing
+    in for the Hough-line vote histogram)."""
+    rows = (img < dark).sum(axis=1).astype(np.float64)
+    return float(rows.var())
+
+
+def auto_rotate(
+    img: np.ndarray,
+    max_angle: float = 15.0,
+    step: float = 0.5,
+    dark: int = 128,
+) -> tuple[np.ndarray, float]:
+    """F11 text-angle correction (image_processor.py:81-141, minus the
+    EXIF branch — raw grayscale has no EXIF): search candidate angles,
+    keep the rotation that maximizes projection-profile sharpness
+    (deterministic grid argmax ≈ the dominant Hough-line angle).
+    Returns (corrected image, applied angle in degrees)."""
+    best_angle, best_score = 0.0, -1.0
+    n = int(round(2 * max_angle / step)) + 1
+    for k in range(n):
+        a = -max_angle + k * step
+        score = np_profile_sharpness(np_rotate(img, a), dark)
+        if score > best_score + 1e-9:
+            best_angle, best_score = a, score
+    return np_rotate(img, best_angle), best_angle
 
 
 # ---------------------------------------------------------------------------
@@ -377,4 +447,36 @@ def crop_dims_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.D
     for raw, w, h in zip(image, width, height):
         cropped = np_crop_to_content(decode_image(raw, int(w), int(h)))
         rows.append({"crop_w": cropped.shape[1], "crop_h": cropped.shape[0]})
+    return pd.DataFrame(rows)
+
+
+DESKEW_SCHEMA = T.StructType([
+    T.StructField("inject_deg", T.DoubleType()),
+    T.StructField("delta_deg", T.DoubleType()),
+    T.StructField("sharp_gain", T.DoubleType()),
+])
+
+
+@pandas_udf(DESKEW_SCHEMA)
+def deskew_report_udf(
+    image: pd.Series, width: pd.Series, height: pd.Series, inject: pd.Series
+) -> pd.DataFrame:
+    """F12 deskew under a known injected skew: rotate the page by
+    `inject` degrees, run the PCA deskew, report the angle DELTA the
+    estimator saw (est(rotated) − est(base), which should track the
+    injection) and the projection-profile sharpness recovered by the
+    correction (corrected / skewed, ≥ 1 when deskew helps)."""
+    rows = []
+    for raw, w, h, a in zip(image, width, height, inject):
+        base = decode_image(raw, int(w), int(h))
+        est_base = np_text_angle_pca(base)
+        skewed = np_rotate(base, float(a))
+        corrected, est_rot = deskew(skewed)
+        s0 = np_profile_sharpness(skewed)
+        s1 = np_profile_sharpness(corrected)
+        rows.append({
+            "inject_deg": float(a),
+            "delta_deg": est_rot - est_base,
+            "sharp_gain": (s1 / s0) if s0 > 0 else 1.0,
+        })
     return pd.DataFrame(rows)

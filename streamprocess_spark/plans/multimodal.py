@@ -889,3 +889,41 @@ def q65_scalar_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
     )
+
+
+@register(
+    "q91_image_deskew",
+    oracle=None,  # PCA/trig float geometry: not SQL-expressible
+    covers=("F11", "F12"),
+    doc="F11/F12 made real without cv2: per-doc synthetic page rotated "
+        "by a formula angle (doc_id % 9 - 4 degrees), corrected by the "
+        "pure-NumPy PCA deskew (minAreaRect analog, "
+        "image_processor.py:143-180; angle-search rotation "
+        "image_processor.py:81-141). Emits the injected angle, the "
+        "estimator's observed delta, and the projection-profile "
+        "sharpness gain of the correction. Rows-only check here; the "
+        "estimator's accuracy itself is unit-tested "
+        "(tests/test_functions.py).",
+)
+def q91_image_deskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import deskew_report_udf
+
+    return (
+        _image_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn(
+            "inject", ((F.col("doc_id") % 9) - F.lit(4)).cast("double")
+        )
+        .withColumn(
+            "r",
+            deskew_report_udf(
+                F.col("image"), F.col("width"), F.col("height"), F.col("inject")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("r.inject_deg").alias("inject_deg"),
+            F.col("r.delta_deg").alias("delta_deg"),
+            F.col("r.sharp_gain").alias("sharp_gain"),
+        )
+    )

@@ -197,10 +197,41 @@ def test_decode_image_raw_and_stubs():
         I.decode_image(img.tobytes(), 10, 10)
     with pytest.raises(NotImplementedError):
         I.decode_image(b"\x89PNG", 1, 1, fmt="PNG")
-    with pytest.raises(NotImplementedError):
-        I.auto_rotate(img)
-    with pytest.raises(NotImplementedError):
-        I.deskew(img)
+
+
+def _striped_page(h: int = 160, w: int = 240) -> np.ndarray:
+    """Synthetic text page: horizontal dark 'lines' every 16 px."""
+    img = np.full((h, w), 255, dtype=np.uint8)
+    for y0 in range(20, h - 20, 16):
+        img[y0: y0 + 4, 20: w - 20] = 30
+    return img
+
+
+def test_deskew_recovers_known_rotation():
+    page = _striped_page()
+    skewed = I.np_rotate(page, 7.0)
+    corrected, est = I.deskew(skewed)
+    # PCA angle of the stripe cloud must see the injected skew...
+    assert abs(est - 7.0) < 1.5
+    # ...and correcting it must sharpen the projection profile back up
+    assert I.np_profile_sharpness(corrected) > 2.0 * I.np_profile_sharpness(skewed)
+
+
+def test_auto_rotate_maximizes_profile_sharpness():
+    page = _striped_page()
+    skewed = I.np_rotate(page, -5.5)
+    corrected, applied = I.auto_rotate(skewed)
+    assert abs(applied - 5.5) <= 1.0
+    assert (
+        I.np_profile_sharpness(corrected)
+        >= 0.8 * I.np_profile_sharpness(page)
+    )
+
+
+def test_rotate_zero_is_identity_and_preserves_shape():
+    page = _striped_page()
+    assert np.array_equal(I.np_rotate(page, 0.0), page)
+    assert I.np_rotate(page, 33.0).shape == page.shape
 
 
 def test_fake_decode_deterministic():
