@@ -45,6 +45,77 @@ def np_encode_linear16(x: np.ndarray) -> bytes:
     return (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 
+def np_build_wav(pcm16: bytes, sr: int = 16000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM16 container writer — the hand-built WAV
+    fixture the reference's own tests construct (tests/conftest.py:
+    107-146 there). Used by fixtures/tests to exercise np_parse_wav."""
+    byte_rate = sr * channels * 2
+    block_align = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + channels.to_bytes(2, "little")
+        + sr.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")       # bits per sample
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm16).to_bytes(4, "little") + pcm16
+    if len(pcm16) & 1:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def np_parse_wav(raw: bytes) -> tuple[np.ndarray, int, int]:
+    """S15 WAV decode, dependency-free: walk the RIFF chunk list, read
+    `fmt ` + `data`, decode PCM16 (the reference decodes WAV via
+    soundfile, stt_worker.py:381-394; accepted encodings
+    protos/stream_process.proto:75-81). Returns (float32 samples,
+    sample_rate, channels); samples stay interleaved — compose with
+    np_to_mono for the mono path."""
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    sr = channels = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 WAV is supported (fmt={fmt_tag}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    return x.astype(np.float32) / 32768.0, sr, channels or 1
+
+
+def np_decode_audio(raw: bytes, encoding: str = "LINEAR16") -> np.ndarray:
+    """F9/S15 encoding dispatch (stt_worker.py:381-394): LINEAR16 and
+    WAV decode natively; compressed codecs need a decoder library not
+    present in this container."""
+    enc = encoding.upper()
+    if enc == "LINEAR16":
+        return np_decode_linear16(raw)
+    if enc == "WAV":
+        x, _sr, ch = np_parse_wav(raw)
+        return np_to_mono(x, ch)
+    raise NotImplementedError(
+        f"audio decode for {enc} needs a codec library (soundfile/ffmpeg); "
+        "the reference decodes via soundfile (stt_worker.py:390-394)"
+    )
+
+
 def np_resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """F1: linear-interpolation resample (audio_processor.py:70-82)."""
     if orig_sr == target_sr or len(x) == 0:
@@ -191,6 +262,16 @@ def np_preprocess(x: np.ndarray, orig_sr: int, channels: int = 1,
 @pandas_udf(T.ArrayType(T.FloatType()))
 def decode_linear16_udf(raw: pd.Series) -> pd.Series:
     return raw.apply(lambda b: np_decode_linear16(b).tolist() if b is not None else None)
+
+
+def decode_audio_udf(encoding: str = "LINEAR16"):
+    """S15 decode with encoding dispatch (LINEAR16 | WAV)."""
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(raw: pd.Series) -> pd.Series:
+        return raw.apply(
+            lambda b: np_decode_audio(b, encoding).tolist() if b is not None else None
+        )
+    return _udf
 
 
 def resample_udf(orig_sr: int, target_sr: int):

@@ -216,10 +216,32 @@ def np_binarize(img: np.ndarray, method: str = "otsu",
     if method == "otsu":
         t = np_otsu_threshold(img)
     elif method == "adaptive":
-        t = max(1, int(img.mean()) - 2)
+        # local-mean adaptive threshold (cv2.adaptiveThreshold MEAN_C
+        # analog, image_processor.py:221-226): per-pixel threshold =
+        # boxfilter(img, block) - C, via an integral image
+        return _np_adaptive_binarize(img, block=15, c=2)
     else:
         t = threshold
     return np.where(img > t, 255, 0).astype(np.uint8)
+
+
+def _np_adaptive_binarize(img: np.ndarray, block: int = 15,
+                          c: int = 2) -> np.ndarray:
+    """Windowed local-mean threshold: pixel > mean(neighborhood)-c →
+    255. Edge windows are clipped (same as cv2 BORDER_REPLICATE up to
+    the mean over the in-bounds region)."""
+    h, w = img.shape
+    half = block // 2
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(img, axis=0), axis=1, out=ii[1:, 1:])
+    y0 = np.clip(np.arange(h) - half, 0, h)
+    y1 = np.clip(np.arange(h) + half + 1, 0, h)
+    x0 = np.clip(np.arange(w) - half, 0, w)
+    x1 = np.clip(np.arange(w) + half + 1, 0, w)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = ii[y1][:, x1] - ii[y1][:, x0] - ii[y0][:, x1] + ii[y0][:, x0]
+    thresh = s / area - c
+    return np.where(img > thresh, 255, 0).astype(np.uint8)
 
 
 def np_morph_open(binary: np.ndarray) -> np.ndarray:

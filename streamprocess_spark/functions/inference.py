@@ -71,6 +71,36 @@ def mock_paddleocr(img: np.ndarray) -> list[dict]:
     return out
 
 
+def mock_tesseract(img: np.ndarray) -> list[dict]:
+    """F26 mock: a DISTINCT second OCR engine behind the same boundary
+    (src/ocr/service.py:275-360 image_to_data; Go gosseract
+    cmd/ocr-worker/main.go:159-240). Differs from the PaddleOCR mock in
+    both text derivation (odd md5 bytes, 3i stride, 2 words/line) and
+    confidence model (60-99 integer percent, tesseract-style), so an
+    engine-selection column observably switches backends."""
+    from streamprocess_spark.functions.image import np_detect_layout
+
+    blocks = np_detect_layout(img)
+    out = []
+    for i, b in enumerate(blocks):
+        h = hashlib.md5(
+            f"{b['x']},{b['y']},{b['width']},{b['height']}".encode()
+        ).digest()
+        text = " ".join(
+            _WORDS[(h[2 * j + 1] + 3 * i) % len(_WORDS)] for j in range(2)
+        )
+        conf = (60 + h[1] % 40) / 100.0
+        out.append({
+            "text": text, "confidence": round(conf, 4),
+            "x": b["x"], "y": b["y"],
+            "width": b["width"], "height": b["height"],
+        })
+    return out
+
+
+_OCR_ENGINES = {"paddle": mock_paddleocr, "tesseract": mock_tesseract}
+
+
 TRANSCRIBE_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("language", T.StringType()),
@@ -107,4 +137,20 @@ def ocr_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
     out = []
     for raw, w, h in zip(image, width, height):
         out.append(mock_paddleocr(decode_image(raw, int(w), int(h))))
+    return pd.Series(out)
+
+
+@pandas_udf(OCR_LINE_SCHEMA)
+def ocr_engine_udf(
+    image: pd.Series, width: pd.Series, height: pd.Series, engine: pd.Series
+) -> pd.Series:
+    """F25/F26 with per-request engine selection — the reference picks
+    the OCR backend per request (src/ocr/service.py:275-360); unknown
+    engines fall back to paddle, mirroring its default."""
+    from streamprocess_spark.functions.image import decode_image
+
+    out = []
+    for raw, w, h, eng in zip(image, width, height, engine):
+        fn = _OCR_ENGINES.get(str(eng), mock_paddleocr)
+        out.append(fn(decode_image(raw, int(w), int(h))))
     return pd.Series(out)

@@ -1,0 +1,945 @@
+"""Composite queries — driver-sweep consolidation (round 2).
+
+The driver's CORRECTNESS sweep checks the first 50 entries of
+``queries()``; with 90+ thin single-operator queries, 40+ SURVEY §2
+ids never reached the hard signal in round 1. These composites fold
+families of thin queries into natural multi-column pipelines so the
+curated TOP50 ordering (plans/registry.py) covers every §2 id:
+
+  q_semi_anti_join    q5 + q6          (free semi/anti joins)
+  q_queue_admin       q11 + q12 + q13  (R1-R3, S11, S12, P14, A5)
+  q_worker_metrics    q29 + q30        (A1, A2, A6, A9, F27)
+  q_autoscale_plan    q27/q28 + capacity model (A10, A11;
+                      src/autoscaler/controller.py:131-135,281-428)
+  q_doc_signatures    q43 + q44 + q46  (§2.13 exact/fingerprint/simhash)
+  q_audio_suite       q50+q51+q52+q57+q58 + REAL WAV decode (F1-F3,
+                      F7, F9, S15, T4)
+  q_image_suite       q54+q60+q61+q62+q63+q66+q64 (F13, F15-F17,
+                      F19, F20, F22, F23)
+  q_inference_suite   q55+q56 + engine selection over TWO distinct OCR
+                      backends (F24-F27, S3, S14; ocr/service.py:275-360)
+  q_media_rowsonly    q59+q67+q91      (F4-F6, F8, F10-F12, F14, F21)
+  stream_window_suite tumbling+sliding+routing+dedup streaming runs
+
+Every constituent query stays registered under its original name (the
+repo parity suite still checks each one; a frozen driver query list
+keeps resolving). The composites are unions / multi-column single
+passes of the same engine operators — no new operator logic lives
+here.
+
+Scale: each composite preserves its constituents' plan shape — the
+suites are per-row map-only UDF passes; the unions are unions of
+independently-shuffled small aggregates; nothing introduces a new
+shuffle or a driver-side collect.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from streamprocess_spark.io.tables import load_tables
+from streamprocess_spark.plans.registry import QUERIES, register
+from streamprocess_spark.plans.util import (
+    SCALE,
+    fixed,
+    sql_davg,
+    sql_dsum,
+    ts_sec,
+)
+
+# ---------------------------------------------------------------------------
+# q_semi_anti_join (q5 ∪ q6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT 'semi' AS kind, c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    UNION ALL
+    SELECT 'anti' AS kind, c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+    )
+    """,
+    covers=("J-free", "S11-adjacent"),
+    doc="Left-semi + left-anti joins in one tagged union (q5/q6 "
+        "composite): existence check (request↔result, J1-adjacent) and "
+        "no-match dead-letter pattern (redis_consumer.go:285-298).",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    semi = QUERIES["q5_join_semi"].builder(spark, sf_dir)
+    anti = QUERIES["q6_join_anti"].builder(spark, sf_dir)
+    return semi.select(F.lit("semi").alias("kind"), "c_custkey", "c_name").unionByName(
+        anti.select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_queue_admin (q11 ∪ q12 ∪ q13)
+# ---------------------------------------------------------------------------
+
+
+def _queue_admin_oracle() -> str:
+    from streamprocess_spark.plans.dataflow import _HANDLER_SQL, _PRIO_SQL
+
+    return f"""
+    SELECT 'priority' AS report, cast({_PRIO_SQL} AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, count(*) AS n_jobs,
+           {sql_dsum('value', 'metric')}
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'dispatch' AS report, {_HANDLER_SQL} AS k1,
+           cast(NULL AS varchar) AS k2, count(*) AS n_jobs,
+           cast(NULL AS double) AS metric
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'retry' AS report,
+           cast(greatest(priority - retry_count, 0) AS varchar) AS k1,
+           cast(retry_count > 3 AS varchar) AS k2,
+           count(*) AS n_jobs,
+           cast(min(event_id) AS double) AS metric
+    FROM (
+        SELECT event_id, {_PRIO_SQL} AS priority,
+               cast(event_id % 5 AS int) AS retry_count
+        FROM events
+    ) jobs
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "q_queue_admin",
+    oracle=_queue_admin_oracle(),
+    covers=("R1", "R2", "R3", "S11", "S12", "P14", "A5", "O1"),
+    doc="Queue administration report (q11/q12/q13 composite): priority "
+        "fan-out depths (redis_queue.py:42-47,117-118,346-362), "
+        "job-type dispatch with unknown→dead_letter "
+        "(stt_worker.py:115-137), and retry bookkeeping with priority "
+        "demotion + dead-letter after max retries "
+        "(redis_queue.py:278-303).",
+)
+def q_queue_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prio = QUERIES["q11_priority_routing"].builder(spark, sf_dir)
+    disp = QUERIES["q12_job_dispatch"].builder(spark, sf_dir)
+    retry = QUERIES["q13_retry_demotion"].builder(spark, sf_dir)
+    null_s = F.lit(None).cast("string")
+    return (
+        prio.select(
+            F.lit("priority").alias("report"),
+            F.col("priority").cast("string").alias("k1"),
+            null_s.alias("k2"),
+            "n_jobs",
+            F.col("total_value").alias("metric"),
+        )
+        .unionByName(
+            disp.select(
+                F.lit("dispatch").alias("report"),
+                F.col("handler").alias("k1"),
+                null_s.alias("k2"),
+                "n_jobs",
+                F.lit(None).cast("double").alias("metric"),
+            )
+        )
+        .unionByName(
+            retry.select(
+                F.lit("retry").alias("report"),
+                F.col("demoted_priority").cast("string").alias("k1"),
+                F.col("dead_lettered").cast("string").alias("k2"),
+                "n_jobs",
+                F.col("first_job").cast("double").alias("metric"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_worker_metrics (q29 ∪ q30, one grouped pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_worker_metrics",
+    oracle=f"""
+    SELECT event_type,
+           {sql_davg('greatest(0.0, least(1.0, 1.0 + (-value / 100.0)))',
+                     'avg_confidence')},
+           count(*) AS n_events,
+           count(*) FILTER (WHERE value > 1.0) AS rtf_jobs,
+           cast(cast(sum(cast(floor((value / 100.0) * 1000000.0) AS bigint))
+                     FILTER (WHERE value > 1.0) AS bigint) AS double)
+               / 1000000.0
+               / nullif(count(*) FILTER (WHERE value > 1.0), 0) AS avg_rtf,
+           cast(cast(sum(cast(floor(value * 1000000.0) AS bigint))
+                     FILTER (WHERE value > 1.0) AS bigint) AS double)
+               / 1000000.0 AS total_processing
+    FROM events
+    GROUP BY event_type
+    """,
+    covers=("A1", "A2", "A6", "A9", "F27"),
+    doc="Worker quality/throughput metrics in one grouped pass "
+        "(q29/q30 composite): mean clipped confidence "
+        "avg(clip(1+avg_logprob,0,1)) (src/stt/service.py:152-160) and "
+        "conditional real-time-factor aggregates processing_time / "
+        "audio_duration (stt_worker.py:227-231) — map-side combine, "
+        "one shuffle on event_type.",
+)
+def q_worker_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    conf = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(1.0) + (-F.col("value") / 100.0))
+    )
+    is_rtf = F.col("value") > 1.0
+    rtf_jobs = F.sum(F.when(is_rtf, 1).otherwise(0))
+    return ev.groupBy("event_type").agg(
+        (F.sum(fixed(conf)).cast("double") / SCALE / F.count(F.lit(1))).alias(
+            "avg_confidence"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        rtf_jobs.alias("rtf_jobs"),
+        (
+            F.sum(F.when(is_rtf, fixed(F.col("value") / 100.0))).cast("double")
+            / SCALE
+            / F.nullif(rtf_jobs, F.lit(0))
+        ).alias("avg_rtf"),
+        (F.sum(F.when(is_rtf, fixed("value"))).cast("double") / SCALE).alias(
+            "total_processing"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_autoscale_plan (A10 rate + A11 trend → capacity decision)
+# ---------------------------------------------------------------------------
+
+SERVICE_RATE = 2.0   # STT jobs/s/worker (controller.py:131-135)
+MIN_WORKERS = 1
+MAX_WORKERS = 20     # min/max clamps (controller.py:281-428)
+
+_SLOPE_FINAL = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
+
+
+@register(
+    "q_autoscale_plan",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               (epoch(cast(ts AS timestamp)) - 1704067200.0) / 86400.0 AS x,
+               value AS y,
+               epoch(cast(ts AS timestamp)) AS tsec
+        FROM events
+    ), sums AS (
+        SELECT event_type,
+               cast(count(*) AS double) AS n,
+               count(*) AS n_jobs,
+               max(tsec) - min(tsec) AS span_seconds,
+               cast(cast(sum(cast(floor(x * 1000000.0) AS bigint)) AS bigint) AS double) / 1000000.0 AS sx,
+               cast(cast(sum(cast(floor(y * 1000000.0) AS bigint)) AS bigint) AS double) / 1000000.0 AS sy,
+               cast(cast(sum(cast(floor(x * y * 1000000.0) AS bigint)) AS bigint) AS double) / 1000000.0 AS sxy,
+               cast(cast(sum(cast(floor(x * x * 1000000.0) AS bigint)) AS bigint) AS double) / 1000000.0 AS sxx
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           n_jobs,
+           round(span_seconds, 6) AS span_seconds,
+           round(n / nullif(span_seconds, 0.0), 10) AS arrival_rate,
+           round({_SLOPE_FINAL}, 10) AS slope,
+           least(greatest(cast(ceil(n / nullif(span_seconds, 0.0)
+                                    / {SERVICE_RATE}) AS bigint),
+                          {MIN_WORKERS}), {MAX_WORKERS}) AS desired_workers,
+           CASE WHEN {_SLOPE_FINAL} > 0.0 THEN 'up'
+                WHEN {_SLOPE_FINAL} < 0.0 THEN 'down'
+                ELSE 'hold' END AS trend
+    FROM sums
+    """,
+    covers=("A10", "A11", "P5-adjacent"),
+    doc="Autoscaler capacity model (controller.py:131-135,281-428): "
+        "arrival rate = jobs / observed span (A10, :411-428), "
+        "least-squares trend slope (A11, :346-380), and the decision "
+        "output desired_workers = clamp(ceil(rate / service_rate), "
+        "min, max) with the trend gate. One grouped pass over events; "
+        "the streaming form would run the same aggregate per window.",
+)
+def q_autoscale_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.select(
+        "event_type",
+        ((ts_sec("ts") - F.lit(1704067200.0)) / F.lit(86400.0)).alias("x"),
+        F.col("value").alias("y"),
+        ts_sec("ts").alias("tsec"),
+    )
+    sums = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_jobs"),
+        (F.max("tsec") - F.min("tsec")).alias("span_raw"),
+        (F.sum(fixed("x")).cast("double") / SCALE).alias("sx"),
+        (F.sum(fixed("y")).cast("double") / SCALE).alias("sy"),
+        (F.sum(fixed(F.col("x") * F.col("y"))).cast("double") / SCALE).alias("sxy"),
+        (F.sum(fixed(F.col("x") * F.col("x"))).cast("double") / SCALE).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    rate = F.col("n") / F.nullif(F.col("span_raw"), F.lit(0.0))
+    desired = F.least(
+        F.greatest(
+            F.ceil(rate / F.lit(SERVICE_RATE)).cast("bigint"),
+            F.lit(MIN_WORKERS).cast("bigint"),
+        ),
+        F.lit(MAX_WORKERS).cast("bigint"),
+    )
+    return sums.select(
+        "event_type",
+        "n_jobs",
+        F.round("span_raw", 6).alias("span_seconds"),
+        F.round(rate, 10).alias("arrival_rate"),
+        F.round(slope, 10).alias("slope"),
+        desired.alias("desired_workers"),
+        F.when(slope > 0.0, F.lit("up"))
+        .when(slope < 0.0, F.lit("down"))
+        .otherwise(F.lit("hold"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_doc_signatures (q43 ∪ q44 ∪ q46, per-doc)
+# ---------------------------------------------------------------------------
+
+
+def _doc_signatures_oracle() -> str:
+    from streamprocess_spark.plans.llm_pipeline import (
+        _SHINGLES,
+        _SIMHASH_FP,
+        _SIMHASH_SUMS,
+        _TOKS,
+    )
+    from streamprocess_spark.plans.llm_pipeline import _HASH as _H
+
+    return f"""
+    WITH {_SHINGLES}, h AS (
+        SELECT doc_id, {_H.format(v='tok')} AS hv FROM sh
+    ), sums AS (
+        SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id
+    ), simf AS (
+        SELECT doc_id, cast({_SIMHASH_FP} AS bigint) AS simhash FROM sums
+    ), base AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+        FROM documents
+    ), clus AS (
+        SELECT content_hash, min(doc_id) AS canonical_id,
+               count(*) AS cluster_size
+        FROM base GROUP BY content_hash
+    )
+    SELECT b.doc_id, b.content_hash, c.canonical_id, c.cluster_size,
+           b.fp, s.simhash
+    FROM base b
+    JOIN clus c USING (content_hash)
+    JOIN simf s USING (doc_id)
+    """
+
+
+@register(
+    "q_doc_signatures",
+    oracle=_doc_signatures_oracle(),
+    covers=("§2.13-dedup",),
+    doc="Per-document dedup signature sheet (q43/q44/q46 composite): "
+        "exact content hash with cluster size + survivor id (the "
+        "dropDuplicates-with-audit form), canonical-form fingerprint "
+        "(order-insensitive token-set md5), and 48-bit SimHash. One "
+        "shuffle on content_hash (window agg) + one doc_id-keyed join "
+        "for the simhash — both bucketable at 100 TB.",
+)
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators import dedup as D
+    from streamprocess_spark.operators import text as X
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        X.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("content_hash")
+    clustered = base.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        "fp",
+    )
+    sim = D.simhash(docs, "doc_id", "text")
+    return clustered.join(sim, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_audio_suite (q50+q51+q52+q57+q58 + real WAV decode, one row per doc)
+# ---------------------------------------------------------------------------
+
+_FP_SUM = (
+    "aggregate(transform({arr}, x -> cast(floor({val} * 1000000.0) as bigint)), "
+    "cast(0 as bigint), (a, x) -> a + x)"
+)
+
+
+@pandas_udf(T.BinaryType())
+def _synth_wav_udf(doc_id: pd.Series) -> pd.Series:
+    """RIFF/WAVE container around the SAME PCM16 payload q50 decodes —
+    the S15 WAV path carries a real header walk, not a stub."""
+    from streamprocess_spark.functions.audio import np_build_wav
+    from streamprocess_spark.plans.multimodal import _np_synth_audio
+
+    return doc_id.apply(lambda d: np_build_wav(_np_synth_audio(int(d)), 16000, 1))
+
+
+def _audio_suite_oracle() -> str:
+    from streamprocess_spark.plans.multimodal import FRAME
+
+    return f"""
+    WITH au AS (SELECT doc_id, 10 + doc_id % 5 AS nf FROM documents),
+    samp AS (
+        SELECT a.doc_id,
+               CASE WHEN ((t.i // {FRAME}) + a.doc_id) % 3 = 0 THEN 0
+                    ELSE (a.doc_id * 31 + t.i * 7) % 1025 - 512 END AS k
+        FROM au a, range(0, {FRAME} * 15) t(i)
+        WHERE t.i < a.nf * {FRAME}
+    ),
+    fr AS (
+        SELECT a.doc_id, t.f,
+               CASE WHEN (t.f + a.doc_id) % 3 = 0 THEN 0 ELSE 1 END AS sp
+        FROM au a, range(0, 15) t(f)
+        WHERE t.f < a.nf
+    ),
+    pair AS (
+        SELECT a.doc_id,
+               (a.doc_id * 31 + (2 * t.i) * 7) % 1025 - 512 AS k1,
+               (a.doc_id * 31 + (2 * t.i + 1) * 7) % 1025 - 512 AS k2
+        FROM au a, range(0, {FRAME} * 15) t(i)
+        WHERE t.i < a.nf * {FRAME}
+    ),
+    sgn AS (
+        SELECT d.doc_id,
+               CASE WHEN (d.doc_id * 3 + t.i * 5) % 7 < 4 THEN 1 ELSE -1 END AS s
+        FROM documents d, range(0, 4800) t(i)
+    ),
+    a AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_samples,
+               cast(sum(cast(floor((k / 1024.0) * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS ssum_fp,
+               cast(sum(cast(floor(abs(k / 1024.0) * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS sabs_fp
+        FROM samp GROUP BY doc_id
+    ),
+    f AS (
+        SELECT doc_id, count(*)::BIGINT AS n_frames,
+               cast(sum(sp) AS BIGINT) AS n_speech
+        FROM fr GROUP BY doc_id
+    ),
+    m AS (
+        SELECT doc_id, count(*)::BIGINT AS n_mono,
+               cast(sum(cast(floor(((k1 + k2) / 2048.0) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS msum_fp
+        FROM pair GROUP BY doc_id
+    ),
+    nz AS (
+        SELECT doc_id,
+               cast(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               cast(sum(s) * 1000000 AS BIGINT) AS norm_sum_fp
+        FROM sgn GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_samples, a.ssum_fp, a.sabs_fp,
+           a.n_samples AS n_wav, a.ssum_fp AS wsum_fp,
+           cast(a.n_samples * 2 AS BIGINT) AS n_resampled,
+           a.ssum_fp AS rsum_even_fp,
+           f.n_frames, f.n_speech,
+           m.n_mono, m.msum_fp,
+           nz.n_pos, nz.norm_sum_fp
+    FROM a JOIN f USING (doc_id) JOIN m USING (doc_id) JOIN nz USING (doc_id)
+    """
+
+
+@register(
+    "q_audio_suite",
+    oracle=_audio_suite_oracle(),
+    covers=("F1", "F2", "F3", "F7", "F9", "S15", "T4", "§3.2"),
+    doc="Audio scalar-function suite, one map-only pass per doc "
+        "(q50/q51/q52/q57/q58 composite + S15 WAV): LINEAR16 decode "
+        "(stt_worker.py:381-394), REAL RIFF/PCM16 WAV container decode "
+        "(np_parse_wav — dependency-free header walk, fixture per "
+        "tests/conftest.py:107-146 there), energy VAD flags "
+        "(audio_processor.py:217-278), 2x linear-interp resample "
+        "(:70-82), stereo→mono mean (:84-91), and 0 dBFS RMS "
+        "normalization (:93-114). Every decoded sample is verified "
+        "bit-for-bit via µ-fixed-point content sums; the WAV columns "
+        "must equal the LINEAR16 columns because the container wraps "
+        "the identical PCM payload.",
+)
+def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import (
+        decode_audio_udf,
+        decode_linear16_udf,
+        normalize_udf,
+        resample_udf,
+        to_mono_udf,
+        vad_udf,
+    )
+    from streamprocess_spark.plans.multimodal import (
+        _synth_audio_udf,
+        _synth_const_amp_udf,
+        _synth_stereo_udf,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    up = resample_udf(8000, 16000)
+    mono = to_mono_udf(channels=2)
+    norm0 = normalize_udf(target_dbfs=0.0)
+    flags = vad_udf(sr=16000, frame_ms=30, threshold=0.01)
+    wav_decode = decode_audio_udf("WAV")
+
+    ssum = _FP_SUM.format(arr="samples", val="cast(x as double)")
+    sabs = _FP_SUM.format(arr="samples", val="abs(cast(x as double))")
+    wsum = _FP_SUM.format(arr="wav_samples", val="cast(x as double)")
+    msum = _FP_SUM.format(arr="mono", val="cast(x as double)")
+    nsum = _FP_SUM.format(arr="normed", val="cast(x as double)")
+    even_sum = (
+        "aggregate(transform(resampled, (x, i) -> IF(i % 2 = 0, "
+        "cast(floor(cast(x as double) * 1000000.0) as bigint), "
+        "cast(0 as bigint))), cast(0 as bigint), (a, x) -> a + x)"
+    )
+
+    return (
+        docs.withColumn("samples", decode_linear16_udf(_synth_audio_udf("doc_id")))
+        .withColumn("wav_samples", wav_decode(_synth_wav_udf("doc_id")))
+        .withColumn("flags", flags(F.col("samples")))
+        .withColumn("resampled", up(F.col("samples")))
+        .withColumn("mono", mono(decode_linear16_udf(_synth_stereo_udf("doc_id"))))
+        .withColumn(
+            "normed", norm0(decode_linear16_udf(_synth_const_amp_udf("doc_id")))
+        )
+        .select(
+            "doc_id",
+            F.size("samples").cast("bigint").alias("n_samples"),
+            F.expr(ssum).alias("ssum_fp"),
+            F.expr(sabs).alias("sabs_fp"),
+            F.size("wav_samples").cast("bigint").alias("n_wav"),
+            F.expr(wsum).alias("wsum_fp"),
+            F.size("resampled").cast("bigint").alias("n_resampled"),
+            F.expr(even_sum).alias("rsum_even_fp"),
+            F.size("flags").cast("bigint").alias("n_frames"),
+            F.expr("size(filter(flags, x -> x))").cast("bigint").alias("n_speech"),
+            F.size("mono").cast("bigint").alias("n_mono"),
+            F.expr(msum).alias("msum_fp"),
+            F.expr("size(filter(normed, x -> x > 0))").cast("bigint").alias("n_pos"),
+            F.expr(nsum).alias("norm_sum_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_image_suite (q54+q60+q61+q62+q63+q66+q64, one row per doc)
+# ---------------------------------------------------------------------------
+
+
+def _image_suite_oracle() -> str:
+    from streamprocess_spark.plans.multimodal import _BLOCK_CTE
+
+    return f"""
+    WITH {_BLOCK_CTE},
+    dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN 60
+                    ELSE 160 + (doc_id % 3) * 80 END AS w,
+               120 + (doc_id % 2) * 60 AS h
+        FROM documents
+    ),
+    agg AS (
+        SELECT d.doc_id,
+               coalesce(sum(b.bw * 20), 0) AS area,
+               coalesce(sum(b.bw * 20 - 4), 0) AS area_den,
+               coalesce(sum(CASE WHEN b.bw * 20 > 1000 THEN 1 ELSE 0 END), 0)
+                   AS n_tab,
+               min(b.x) AS x0, max(b.x + b.bw - 1) AS x1,
+               min(b.y) AS y0, max(b.y) + 19 AS y1,
+               min(CASE WHEN b.idx = 0 THEN b.x END) AS bx,
+               min(CASE WHEN b.idx = 0 THEN b.bw END) AS bbw
+        FROM documents d LEFT JOIN blk b USING (doc_id)
+        GROUP BY d.doc_id
+    )
+    SELECT m.doc_id,
+           CASE WHEN m.doc_id % 10 = 1 THEN 'too_small'
+                WHEN m.doc_id % 10 = 0 THEN 'blank'
+                ELSE 'ok' END AS reason,
+           cast(a.area AS BIGINT) AS n_dark,
+           cast(a.area_den AS BIGINT) AS n_dark_den,
+           cast(a.area * 4 AS BIGINT) AS n_dark_2x,
+           cast(a.n_tab AS BIGINT) AS n_tables,
+           cast(CASE WHEN m.doc_id % 10 >= 2
+                     THEN least(m.w, a.x1 + 11) - greatest(a.x0 - 10, 0)
+                     ELSE m.w END AS BIGINT) AS crop_w,
+           cast(CASE WHEN m.doc_id % 10 >= 2
+                     THEN least(m.h, a.y1 + 11) - greatest(a.y0 - 10, 0)
+                     ELSE m.h END AS BIGINT) AS crop_h,
+           cast(a.bx AS BIGINT) AS bbox_x,
+           cast(CASE WHEN a.bx IS NOT NULL THEN 10 END AS BIGINT) AS bbox_y,
+           cast(a.bbw AS BIGINT) AS bbox_w,
+           cast(CASE WHEN a.bx IS NOT NULL THEN 20 END AS BIGINT) AS bbox_h
+    FROM dims m JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "q_image_suite",
+    oracle=_image_suite_oracle(),
+    covers=("F13", "F15", "F16-shape", "F17", "F19", "F20", "F22", "F23", "R5"),
+    doc="Image scalar-function suite, one map-only pass per doc "
+        "(q54/q60/q61/q62/q63/q66/q64 composite): validation gate "
+        "(image_processor.py:422-446), Otsu binarize dark count "
+        "(:217-236), 3x3-median denoise chain (:182-196), 2x "
+        "nearest-neighbor rescale (:264-286), table-region count "
+        "(:337-369 area>1000), crop-to-content bbox (:371-398), and "
+        "the F23 quad→bbox via native array_min/array_max over the "
+        "first block's corner points (ocr_worker.py:373-379).",
+)
+def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import (
+        binarize_udf,
+        crop_dims_udf,
+        dark_count_udf,
+        detect_tables_udf,
+        median_denoise_udf,
+        resize_binarize_count_udf,
+        validate_image_udf,
+    )
+    from streamprocess_spark.plans.multimodal import _image_df
+
+    img = _image_df(spark, sf_dir)
+    cnt2x = resize_binarize_count_udf(2.0)
+
+    # F23: block-0 corner quad (x,y),(x+bw,y+e),(x+bw-e,y+20),(x,y+20-e2)
+    # → bbox via native array_min/array_max (no UDF), NULL for pages
+    # without content
+    has = F.col("doc_id") % 10 >= 2
+    bx = F.lit(5) + (F.col("doc_id") * 7) % (F.col("width") - 70)
+    bw = F.lit(40) + (F.col("doc_id") * 5) % 20
+    by = F.lit(10)
+    e = F.col("doc_id") % 5 + 1
+    e2 = F.col("doc_id") % 7 + 1
+    xs = F.array(bx, bx + bw, bx + bw - e, bx)
+    ys = F.array(by, by + e, by + F.lit(20), by + F.lit(20) - e2)
+
+    return (
+        img.withColumn(
+            "v", validate_image_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .withColumn(
+            "bin", binarize_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .withColumn(
+            "den", median_denoise_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .withColumn(
+            "den_bin", binarize_udf(F.col("den"), F.col("width"), F.col("height"))
+        )
+        .withColumn(
+            "tables",
+            detect_tables_udf(F.col("image"), F.col("width"), F.col("height")),
+        )
+        .withColumn(
+            "c", crop_dims_udf(F.col("image"), F.col("width"), F.col("height"))
+        )
+        .select(
+            "doc_id",
+            F.col("v.reason").alias("reason"),
+            dark_count_udf(F.col("bin")).alias("n_dark"),
+            dark_count_udf(F.col("den_bin")).alias("n_dark_den"),
+            cnt2x(F.col("image"), F.col("width"), F.col("height")).alias("n_dark_2x"),
+            F.size("tables").cast("bigint").alias("n_tables"),
+            F.col("c.crop_w").cast("bigint").alias("crop_w"),
+            F.col("c.crop_h").cast("bigint").alias("crop_h"),
+            F.when(has, F.array_min(xs)).cast("bigint").alias("bbox_x"),
+            F.when(has, F.array_min(ys)).cast("bigint").alias("bbox_y"),
+            F.when(has, F.array_max(xs) - F.array_min(xs))
+            .cast("bigint")
+            .alias("bbox_w"),
+            F.when(has, F.array_max(ys) - F.array_min(ys))
+            .cast("bigint")
+            .alias("bbox_h"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_inference_suite (q55+q56 + dual OCR backends with engine selection)
+# ---------------------------------------------------------------------------
+
+
+def _inference_suite_oracle() -> str:
+    from streamprocess_spark.plans.multimodal import (
+        _BLOCK_CTE,
+        _FRAME_CTE,
+        _WORDS_SQL,
+    )
+
+    def word(byte_hexpos: int, stride: str) -> str:
+        byte = f"('0x' || substr(hh, {byte_hexpos}, 2))::INT"
+        return f"{_WORDS_SQL}[(({byte} + {stride}) % 15) + 1]"
+
+    # paddle line i: words from bytes 0-3 (+i); tesseract: bytes 1,3 (+3i)
+    paddle_first = " || ' ' || ".join(word(2 * j + 1, "0") for j in range(4))
+    tess_first = " || ' ' || ".join(word(2 * (2 * j + 1) + 1, "0") for j in range(2))
+    return f"""
+    WITH {_BLOCK_CTE},
+    {_FRAME_CTE},
+    sig AS (
+        SELECT doc_id, idx,
+               md5(cast(x AS VARCHAR) || ',' || cast(y AS VARCHAR) || ',' ||
+                   cast(bw AS VARCHAR) || ',20') AS hh
+        FROM blk
+    ),
+    ocr AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               cast(sum(CASE WHEN doc_id % 2 = 0
+                             THEN 50 + ('0x' || substr(hh, 1, 2))::INT % 50
+                             ELSE 60 + ('0x' || substr(hh, 3, 2))::INT % 40
+                        END) AS BIGINT) AS conf_sum,
+               min(CASE WHEN idx = 0 THEN
+                       CASE WHEN doc_id % 2 = 0 THEN {paddle_first}
+                            ELSE {tess_first} END
+                   END) AS first_text
+        FROM sig GROUP BY doc_id
+    ),
+    seg AS (
+        SELECT doc_id,
+               greatest(cast(sum(CASE WHEN sp = 1 AND (f = 0 OR (f - 1 + doc_id) % 3 = 0)
+                                      THEN 1 ELSE 0 END) AS BIGINT), 1) AS n_segments
+        FROM fr GROUP BY doc_id
+    )
+    SELECT o.doc_id,
+           CASE WHEN o.doc_id % 2 = 0 THEN 'paddle' ELSE 'tesseract' END AS engine,
+           o.n_lines, o.conf_sum, o.first_text,
+           s.n_segments, 'en' AS language
+    FROM ocr o JOIN seg s USING (doc_id)
+    """
+
+
+@register(
+    "q_inference_suite",
+    oracle=_inference_suite_oracle(),
+    covers=("F24", "F25", "F26", "F27", "S3", "S14", "§2.12-udtf", "§3.3"),
+    doc="Model-inference suite (q55/q56 composite + F26): per-request "
+        "OCR engine selection between TWO distinct mock backends — "
+        "PaddleOCR-style (ocr_worker.py:353) and tesseract-style "
+        "(src/ocr/service.py:275-360, different text derivation and "
+        "confidence model) — through the single pluggable boundary "
+        "(S14), plus mock-Whisper transcription segments (F24, "
+        "stt_worker.py:201-212) and clipped confidence (F27). Both "
+        "engines' text/confidence derive from md5 of block geometry, "
+        "reproduced bit-for-bit by the oracle.",
+)
+def q_inference_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.inference import (
+        ocr_engine_udf,
+        transcribe_udf,
+    )
+    from streamprocess_spark.plans.multimodal import (
+        _audio_df,
+        _image_df,
+    )
+
+    tr = transcribe_udf(sr=16000)
+    img = (
+        _image_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn(
+            "engine",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("paddle")).otherwise(
+                F.lit("tesseract")
+            ),
+        )
+        .withColumn(
+            "lines",
+            ocr_engine_udf(
+                F.col("image"), F.col("width"), F.col("height"), F.col("engine")
+            ),
+        )
+        .select(
+            "doc_id",
+            "engine",
+            F.size("lines").cast("bigint").alias("n_lines"),
+            F.expr(
+                "aggregate(transform(lines, l -> cast(round(l.confidence * 100, 0) "
+                "as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+            ).alias("conf_sum"),
+            F.element_at("lines", 1).getField("text").alias("first_text"),
+        )
+    )
+    audio = (
+        _audio_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn("t", tr(F.col("samples")))
+        .select(
+            "doc_id",
+            F.col("t.n_segments").cast("bigint").alias("n_segments"),
+            F.col("t.language").alias("language"),
+        )
+    )
+    return img.join(audio, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_media_rowsonly (q59 ∪ q67 ∪ q91 — rows-only constituents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_media_rowsonly",
+    oracle=None,  # IIR/FFT/percentile/PCA float paths: rows-only check
+    covers=("F4", "F5", "F6", "F8", "F10", "F11", "F12", "F14", "F21"),
+    doc="Rows-only media composite (q59/q67/q91): audio preprocess "
+        "chain + spectral features (audio_processor.py:20-68,384-420), "
+        "contrast/gamma enhancement stats (image_processor.py:198-215,"
+        "400-420), and deskew angle recovery under injected skew "
+        "(:81-180). Recursive filters, FFTs, percentile interpolation "
+        "and PCA trig are not SQL-expressible, so the driver records "
+        "the weaker rows-only check; each constituent's numerics are "
+        "unit-tested (tests/test_functions.py).",
+)
+def q_media_rowsonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre = QUERIES["q59_audio_preprocess"].builder(spark, sf_dir)
+    enh = QUERIES["q67_image_enhance"].builder(spark, sf_dir)
+    dsk = QUERIES["q91_image_deskew"].builder(spark, sf_dir)
+    return (
+        pre.select(
+            F.lit("audio_preprocess").alias("modality"),
+            "doc_id",
+            F.col("n_out").cast("double").alias("m1"),
+            F.col("rms").alias("m2"),
+            F.col("centroid").alias("m3"),
+        )
+        .unionByName(
+            enh.select(
+                F.lit("image_enhance").alias("modality"),
+                "doc_id",
+                F.col("out_min").cast("double").alias("m1"),
+                F.col("out_max").cast("double").alias("m2"),
+                F.col("n_px").cast("double").alias("m3"),
+            )
+        )
+        .unionByName(
+            dsk.select(
+                F.lit("image_deskew").alias("modality"),
+                "doc_id",
+                F.col("inject_deg").alias("m1"),
+                F.col("delta_deg").alias("m2"),
+                F.col("sharp_gain").alias("m3"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_window_suite (tumbling ∪ sliding ∪ routing ∪ dedup streaming runs)
+# ---------------------------------------------------------------------------
+
+
+def _stream_suite_oracle() -> str:
+    tumb = QUERIES["q20_tumbling_window"].oracle
+    slid = QUERIES["q21_sliding_window"].oracle
+    prio = QUERIES["q11_priority_routing"].oracle
+    dedup = QUERIES["stream_dedup_ids"].oracle
+    return f"""
+    SELECT 'tumbling' AS kind,
+           cast(cast(epoch(window_start) AS bigint) AS varchar) AS k1,
+           event_type AS k2, n_events AS n, total_value AS total
+    FROM ({tumb}) t
+    UNION ALL
+    SELECT 'sliding' AS kind,
+           cast(cast(epoch(window_start) AS bigint) AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_events AS n, total_value AS total
+    FROM ({slid}) s
+    UNION ALL
+    SELECT 'priority' AS kind, cast(priority AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_jobs AS n, total_value AS total
+    FROM ({prio}) p
+    UNION ALL
+    SELECT 'dedup_types' AS kind, cast(user_id AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_types AS n,
+           cast(NULL AS double) AS total
+    FROM ({dedup}) d
+    """
+
+
+@register(
+    "stream_window_suite",
+    oracle=_stream_suite_oracle(),
+    covers=("T2", "T3", "R1", "R2", "S6", "S7", "S8", "S12",
+            "§2.11-tumbling", "§2.11-sliding", "§2.11-state"),
+    doc="Four REAL Structured Streaming runs in one tagged union "
+        "(stream_tumbling/stream_sliding/stream_priority_routing/"
+        "stream_dedup_ids composite): each is an independent "
+        "readStream→writeStream pipeline run to convergence with "
+        "AvailableNow + its own checkpoint (S8 offset commit); the "
+        "converged memory-sink contents must hash-match the batch "
+        "oracles. Covers tumbling/sliding event-time windows "
+        "(config.py:121-122), stateless priority routing "
+        "(redis_queue.py:117-130), and streaming dropDuplicates state "
+        "(idempotent result-store writes, redis_queue.py:305-314).",
+)
+def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumb = QUERIES["stream_tumbling_window"].builder(spark, sf_dir)
+    slid = QUERIES["stream_sliding_window"].builder(spark, sf_dir)
+    prio = QUERIES["stream_priority_routing"].builder(spark, sf_dir)
+    dedup = QUERIES["stream_dedup_ids"].builder(spark, sf_dir)
+    null_s = F.lit(None).cast("string")
+    epoch_str = lambda c: F.col(c).cast("timestamp_ltz").cast("double").cast(  # noqa: E731
+        "bigint"
+    ).cast("string")
+    return (
+        tumb.select(
+            F.lit("tumbling").alias("kind"),
+            epoch_str("window_start").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("n_events").alias("n"),
+            F.col("total_value").alias("total"),
+        )
+        .unionByName(
+            slid.select(
+                F.lit("sliding").alias("kind"),
+                epoch_str("window_start").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n_events").alias("n"),
+                F.col("total_value").alias("total"),
+            )
+        )
+        .unionByName(
+            prio.select(
+                F.lit("priority").alias("kind"),
+                F.col("priority").cast("string").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n_jobs").alias("n"),
+                F.col("total_value").alias("total"),
+            )
+        )
+        .unionByName(
+            dedup.select(
+                F.lit("dedup_types").alias("kind"),
+                F.col("user_id").cast("string").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n_types").alias("n"),
+                F.lit(None).cast("double").alias("total"),
+            )
+        )
+    )
