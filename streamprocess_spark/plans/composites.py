@@ -120,7 +120,7 @@ def _queue_admin_oracle() -> str:
 
 @register(
     "q_queue_admin",
-    oracle=_queue_admin_oracle(),
+    oracle=_queue_admin_oracle,
     covers=("R1", "R2", "R3", "S11", "S12", "P14", "A5", "O1"),
     doc="Queue administration report (q11/q12/q13 composite): priority "
         "fan-out depths (redis_queue.py:42-47,117-118,346-362), "
@@ -352,7 +352,7 @@ def _doc_signatures_oracle() -> str:
 
 @register(
     "q_doc_signatures",
-    oracle=_doc_signatures_oracle(),
+    oracle=_doc_signatures_oracle,
     covers=("§2.13-dedup",),
     doc="Per-document dedup signature sheet (q43/q44/q46 composite): "
         "exact content hash with cluster size + survivor id (the "
@@ -472,7 +472,7 @@ def _audio_suite_oracle() -> str:
 
 @register(
     "q_audio_suite",
-    oracle=_audio_suite_oracle(),
+    oracle=_audio_suite_oracle,
     covers=("F1", "F2", "F3", "F7", "F9", "S15", "T4", "§3.2"),
     doc="Audio scalar-function suite, one map-only pass per doc "
         "(q50/q51/q52/q57/q58 composite + S15 WAV): LINEAR16 decode "
@@ -601,7 +601,7 @@ def _image_suite_oracle() -> str:
 
 @register(
     "q_image_suite",
-    oracle=_image_suite_oracle(),
+    oracle=_image_suite_oracle,
     covers=("F13", "F15", "F16-shape", "F17", "F19", "F20", "F22", "F23", "R5"),
     doc="Image scalar-function suite, one map-only pass per doc "
         "(q54/q60/q61/q62/q63/q66/q64 composite): validation gate "
@@ -737,7 +737,7 @@ def _inference_suite_oracle() -> str:
 
 @register(
     "q_inference_suite",
-    oracle=_inference_suite_oracle(),
+    oracle=_inference_suite_oracle,
     covers=("F24", "F25", "F26", "F27", "S3", "S14", "§2.12-udtf", "§3.3"),
     doc="Model-inference suite (q55/q56 composite + F26): per-request "
         "OCR engine selection between TWO distinct mock backends — "
@@ -856,10 +856,10 @@ def q_media_rowsonly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_suite_oracle() -> str:
-    tumb = QUERIES["q20_tumbling_window"].oracle
-    slid = QUERIES["q21_sliding_window"].oracle
-    prio = QUERIES["q11_priority_routing"].oracle
-    dedup = QUERIES["stream_dedup_ids"].oracle
+    tumb = QUERIES["q20_tumbling_window"].oracle_sql()
+    slid = QUERIES["q21_sliding_window"].oracle_sql()
+    prio = QUERIES["q11_priority_routing"].oracle_sql()
+    dedup = QUERIES["stream_dedup_ids"].oracle_sql()
     return f"""
     SELECT 'tumbling' AS kind,
            cast(cast(epoch(window_start) AS bigint) AS varchar) AS k1,
@@ -884,7 +884,7 @@ def _stream_suite_oracle() -> str:
 
 @register(
     "stream_window_suite",
-    oracle=_stream_suite_oracle(),
+    oracle=_stream_suite_oracle,
     covers=("T2", "T3", "R1", "R2", "S6", "S7", "S8", "S12",
             "§2.11-tumbling", "§2.11-sliding", "§2.11-state"),
     doc="Four REAL Structured Streaming runs in one tagged union "

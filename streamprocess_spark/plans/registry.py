@@ -34,10 +34,17 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # Either the DuckDB SQL string, or a zero-arg callable returning it.
+    # Callables are resolved lazily in oracle_sql_map() so a composite
+    # module can reference other QuerySpecs' oracles without import-order
+    # coupling (a bare `import plans.composites` must not KeyError).
+    oracle: str | Callable[[], str] | None
     covers: tuple[str, ...] = ()
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+
+    def oracle_sql(self) -> str | None:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -45,7 +52,7 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[], str] | None,
     covers: tuple[str, ...] = (),
     doc: str = "",
     bench: bool = False,
@@ -71,13 +78,93 @@ def oracle_sql_map() -> dict[str, str]:
 
     _ensure_loaded()
     return {
-        name: events_us_oracle(spec.oracle)
+        name: events_us_oracle(spec.oracle_sql())
         for name, spec in QUERIES.items()
-        if spec.oracle
+        if spec.oracle is not None
     }
 
 
 _LOADED = False
+
+
+# Curated driver ordering. The correctness driver checks the FIRST 50
+# entries of queries(), so the first 50 names here must jointly cover
+# every SURVEY §2 operator id (asserted by tests/test_plan_lint.py).
+# Composites stand in for their constituent thin queries inside the
+# top 50; the constituents stay registered below slot 50 so the repo
+# parity suite still checks each one individually.
+TOP50: tuple[str, ...] = (
+    # relational core
+    "q1_pricing_summary",
+    "q2_shipping_priority",
+    "q3_local_supplier_volume",
+    "q4_rollup_acctbal",
+    "q_semi_anti_join",          # q5 + q6
+    "q7_set_ops",
+    "q8_distinct_counts",
+    "q9_argmax",
+    "q10_substr_truncate",
+    "q31_cube_order_stats",
+    "q32_time_functions",
+    # dataflow / queue engine
+    "q_queue_admin",             # q11 + q12 + q13
+    "q14_json_envelope",
+    "q15_edf_order",
+    "q16_length_bucketing",
+    "q17_request_result_join",
+    "q18_zip_explode",
+    "q19_batch_formation",
+    "q68_region_blocks",
+    "q69_config_broadcast",
+    "q70_config_gate",
+    "q71_salted_agg",
+    "q90_queue_source_counts",
+    # windows / analytics
+    "q20_tumbling_window",
+    "q21_sliding_window",
+    "q_session_islands",         # q22 + q23
+    "q24_topn_per_key",
+    "q25_ordered_concat",
+    "q26_latency_percentiles",
+    "q_autoscale_plan",          # q27 + q28 + capacity model
+    "q_worker_metrics",          # q29 + q30
+    "q84_funnel",
+    # LLM data pipeline
+    "q_text_suite",              # q40 + q41 + q42
+    "q_doc_signatures",          # q43 + q44 + q46
+    "q45_minhash_lsh",
+    "q47_ngram_jaccard",
+    "q48_embedding_topk",
+    "q49_ann_lsh_topk",
+    "q72_embedding_neardup",
+    "q73_ann_ivf_topk",
+    "q_corpus_suite",            # q74 + q75 + q85 + q87 + q88
+    # multimodal
+    "q_audio_suite",             # q50 + q51 + q52 + q57 + q58 + WAV
+    "q_image_suite",             # q54 + q60..q64 + q66
+    "q_inference_suite",         # q55 + q56 + dual OCR engines
+    "q_media_rowsonly",          # q59 + q67 + q91 (rows-only)
+    "q53_image_layout",
+    # scale joins / frames
+    "q_scale_join_suite",        # q79 + q80 + q83
+    # streaming
+    "stream_window_suite",       # 4 converged streaming runs
+    "stream_state_suite",        # session-window + stream-join + top-k
+    "sessionize_batch_segments",  # T1/T6/T7 sessionizer (rows-only)
+)
+
+
+def _curate_order() -> None:
+    """Reorder QUERIES in-place: TOP50 first, rest in registration order."""
+    ordered: dict[str, QuerySpec] = {}
+    for name in TOP50:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name, spec in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = spec
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 def _ensure_loaded() -> None:
@@ -93,5 +180,7 @@ def _ensure_loaded() -> None:
     import streamprocess_spark.plans.stateful_queries  # noqa: F401
     import streamprocess_spark.plans.multimodal  # noqa: F401
     import streamprocess_spark.plans.scale_joins  # noqa: F401
+    import streamprocess_spark.plans.composites  # noqa: F401
 
+    _curate_order()
     _LOADED = True
