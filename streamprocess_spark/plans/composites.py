@@ -943,3 +943,430 @@ def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_session_islands (q22 ∪ q23 — same semantics, two plan strategies)
+# ---------------------------------------------------------------------------
+
+
+def _session_islands_oracle() -> str:
+    islands = QUERIES["q22_session_window"].oracle_sql()
+    return f"""
+    SELECT 'session_window' AS method, user_id, session_start,
+           session_end, n_events, session_value
+    FROM ({islands}) a
+    UNION ALL
+    SELECT 'gaps_islands' AS method, user_id, session_start,
+           session_end, n_events, session_value
+    FROM ({islands}) b
+    """
+
+
+@register(
+    "q_session_islands",
+    oracle=_session_islands_oracle,
+    covers=("T5", "T4-shape", "W2"),
+    doc="Session-window semantics via BOTH plan strategies in one "
+        "tagged union (q22/q23 composite): native session_window "
+        "operator vs. the first-principles gaps-and-islands rewrite "
+        "(lag change detection + running-sum island ids). The two "
+        "halves must emit identical session rows — a built-in "
+        "cross-check of the 300 ms VAD endpoint semantics "
+        "(audio_processor.py:280-382) under two physical plans.",
+)
+def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sw = QUERIES["q22_session_window"].builder(spark, sf_dir)
+    gi = QUERIES["q23_gaps_islands"].builder(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events", "session_value"]
+    return sw.select(F.lit("session_window").alias("method"), *cols).unionByName(
+        gi.select(F.lit("gaps_islands").alias("method"), *cols)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_suite (q40 ∪ q41 ∪ q42)
+# ---------------------------------------------------------------------------
+
+
+def _text_suite_oracle() -> str:
+    stats = QUERIES["q40_text_stats"].oracle_sql()
+    quality = QUERIES["q41_quality_buckets"].oracle_sql()
+    langid = QUERIES["q42_lang_id"].oracle_sql()
+    return f"""
+    SELECT 'stats' AS kind, lang AS k1, cast(NULL AS varchar) AS k2,
+           n_docs, total_tokens AS c1, total_chars AS c2,
+           avg_tokens AS m1, avg_stop_ratio AS m2
+    FROM ({stats}) s
+    UNION ALL
+    SELECT 'quality' AS kind, cast(decile AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_docs,
+           first_doc AS c1, cast(NULL AS bigint) AS c2,
+           cast(NULL AS double) AS m1, cast(NULL AS double) AS m2
+    FROM ({quality}) q
+    UNION ALL
+    SELECT 'langid' AS kind, labeled_lang AS k1, pred_lang AS k2,
+           n_docs, cast(NULL AS bigint) AS c1, cast(NULL AS bigint) AS c2,
+           cast(NULL AS double) AS m1, cast(NULL AS double) AS m2
+    FROM ({langid}) l
+    """
+
+
+@register(
+    "q_text_suite",
+    oracle=_text_suite_oracle,
+    covers=("§2.13-text", "A4", "R5"),
+    doc="Text-analysis suite in one tagged union (q40/q41/q42 "
+        "composite): per-language token statistics (token counting, "
+        "stopword ratios), quality-score deciles (the training-data "
+        "filter stage), and the language-ID confusion matrix. Column "
+        "mapping — stats: k1=lang, c1/c2=token/char totals, m1/m2=avg "
+        "tokens/stop-ratio; quality: k1=decile, c1=first_doc; langid: "
+        "k1=labeled, k2=predicted. Three independent one-shuffle "
+        "aggregates, all pure Catalyst expressions (zero Python).",
+)
+def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = QUERIES["q40_text_stats"].builder(spark, sf_dir)
+    quality = QUERIES["q41_quality_buckets"].builder(spark, sf_dir)
+    langid = QUERIES["q42_lang_id"].builder(spark, sf_dir)
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    return (
+        stats.select(
+            F.lit("stats").alias("kind"),
+            F.col("lang").alias("k1"),
+            null_s.alias("k2"),
+            "n_docs",
+            F.col("total_tokens").alias("c1"),
+            F.col("total_chars").alias("c2"),
+            F.col("avg_tokens").alias("m1"),
+            F.col("avg_stop_ratio").alias("m2"),
+        )
+        .unionByName(
+            quality.select(
+                F.lit("quality").alias("kind"),
+                F.col("decile").cast("string").alias("k1"),
+                null_s.alias("k2"),
+                "n_docs",
+                F.col("first_doc").alias("c1"),
+                null_l.alias("c2"),
+                null_d.alias("m1"),
+                null_d.alias("m2"),
+            )
+        )
+        .unionByName(
+            langid.select(
+                F.lit("langid").alias("kind"),
+                F.col("labeled_lang").alias("k1"),
+                F.col("pred_lang").alias("k2"),
+                "n_docs",
+                null_l.alias("c1"),
+                null_l.alias("c2"),
+                null_d.alias("m1"),
+                null_d.alias("m2"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_suite (q74 ∪ q75 ∪ q85 ∪ q86 ∪ q87 ∪ q88)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_suite_oracle() -> str:
+    centroids = QUERIES["q74_label_centroids"].oracle_sql()
+    sample = QUERIES["q75_stratified_sample"].oracle_sql()
+    vocab = QUERIES["q85_vocab_topk"].oracle_sql()
+    clusters = QUERIES["q86_dup_clusters"].oracle_sql()
+    canon = QUERIES["q87_canonical_corpus"].oracle_sql()
+    quant = QUERIES["q88_embedding_quantize"].oracle_sql()
+    return f"""
+    SELECT 'centroid' AS kind, cast(label AS varchar) AS k1,
+           cast(dim AS varchar) AS k2,
+           n, sum_fp AS fp, cast(NULL AS double) AS m
+    FROM ({centroids}) ce
+    UNION ALL
+    SELECT 'sample' AS kind, lang AS k1, cast(NULL AS varchar) AS k2,
+           n_total AS n, first_sampled AS fp,
+           cast(n_sampled AS double) AS m
+    FROM ({sample}) sa
+    UNION ALL
+    SELECT 'vocab' AS kind, token AS k1, cast(NULL AS varchar) AS k2,
+           n, cast(NULL AS bigint) AS fp, cast(NULL AS double) AS m
+    FROM ({vocab}) vo
+    UNION ALL
+    SELECT 'cluster' AS kind, cast(doc_id AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, cast(NULL AS bigint) AS n,
+           cluster_id AS fp, cast(NULL AS double) AS m
+    FROM ({clusters}) cl
+    UNION ALL
+    SELECT 'canon' AS kind, cast(doc_id AS varchar) AS k1,
+           lang || '/' || source AS k2, n_chars AS n, doc_id AS fp,
+           cast(NULL AS double) AS m
+    FROM ({canon}) ca
+    UNION ALL
+    SELECT 'quant' AS kind, cast(vec_id AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_saturated AS n,
+           recon_err_fp AS fp, amax AS m
+    FROM ({quant}) qu
+    """
+
+
+@register(
+    "q_corpus_suite",
+    oracle=_corpus_suite_oracle,
+    covers=("§2.13-dedup", "§2.13-similarity", "§2.13-text", "A13", "W3-adjacent"),
+    doc="Training-corpus materialization suite in one tagged union "
+        "(q74/q75/q85/q86/q87/q88 composite): per-label embedding "
+        "centroids (cell-wise, shuffle carries (label,dim) not "
+        "vectors), deterministic hash-stratified sampling, vocabulary "
+        "top-k (TakeOrderedAndProject, never a global window sort), "
+        "MinHash dup-cluster connected components (hash-min label "
+        "propagation), the canonical-corpus anti-join, and int8 "
+        "vector quantization stats. Column mapping per kind is in "
+        "each constituent's doc; all keys stringified into k1/k2, "
+        "counts in n, fixed-point sums in fp, floats in m.",
+)
+def q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    ce = QUERIES["q74_label_centroids"].builder(spark, sf_dir)
+    sa = QUERIES["q75_stratified_sample"].builder(spark, sf_dir)
+    vo = QUERIES["q85_vocab_topk"].builder(spark, sf_dir)
+    cl = QUERIES["q86_dup_clusters"].builder(spark, sf_dir)
+    ca = QUERIES["q87_canonical_corpus"].builder(spark, sf_dir)
+    qu = QUERIES["q88_embedding_quantize"].builder(spark, sf_dir)
+    return (
+        ce.select(
+            F.lit("centroid").alias("kind"),
+            F.col("label").cast("string").alias("k1"),
+            F.col("dim").cast("string").alias("k2"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_fp").alias("fp"),
+            null_d.alias("m"),
+        )
+        .unionByName(
+            sa.select(
+                F.lit("sample").alias("kind"),
+                F.col("lang").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n_total").cast("bigint").alias("n"),
+                F.col("first_sampled").alias("fp"),
+                F.col("n_sampled").cast("double").alias("m"),
+            )
+        )
+        .unionByName(
+            vo.select(
+                F.lit("vocab").alias("kind"),
+                F.col("token").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n").cast("bigint").alias("n"),
+                null_l.alias("fp"),
+                null_d.alias("m"),
+            )
+        )
+        .unionByName(
+            cl.select(
+                F.lit("cluster").alias("kind"),
+                F.col("doc_id").cast("string").alias("k1"),
+                null_s.alias("k2"),
+                null_l.alias("n"),
+                F.col("cluster_id").cast("bigint").alias("fp"),
+                null_d.alias("m"),
+            )
+        )
+        .unionByName(
+            ca.select(
+                F.lit("canon").alias("kind"),
+                F.col("doc_id").cast("string").alias("k1"),
+                F.concat(F.col("lang"), F.lit("/"), F.col("source")).alias("k2"),
+                F.col("n_chars").cast("bigint").alias("n"),
+                F.col("doc_id").cast("bigint").alias("fp"),
+                null_d.alias("m"),
+            )
+        )
+        .unionByName(
+            qu.select(
+                F.lit("quant").alias("kind"),
+                F.col("vec_id").cast("string").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n_saturated").cast("bigint").alias("n"),
+                F.col("recon_err_fp").alias("fp"),
+                F.col("amax").cast("double").alias("m"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_scale_join_suite (q79 ∪ q80 ∪ q83)
+# ---------------------------------------------------------------------------
+
+
+def _scale_join_oracle() -> str:
+    asof = QUERIES["q79_asof_join"].oracle_sql()
+    rng = QUERIES["q80_range_bucket_join"].oracle_sql()
+    trail = QUERIES["q83_trailing_range_sum"].oracle_sql()
+    return f"""
+    SELECT 'asof' AS kind, purchase_id AS id1, user_id AS id2,
+           last_click_id AS id3, gap_us AS n, cast(NULL AS double) AS v
+    FROM ({asof}) a
+    UNION ALL
+    SELECT 'range' AS kind, error_id AS id1, user_id AS id2,
+           cast(NULL AS bigint) AS id3, n_prior_clicks AS n,
+           click_value_sum AS v
+    FROM ({rng}) r
+    UNION ALL
+    SELECT 'trail' AS kind, event_id AS id1, user_id AS id2,
+           cast(NULL AS bigint) AS id3, n_trailing AS n,
+           trailing_sum AS v
+    FROM ({trail}) t
+    """
+
+
+@register(
+    "q_scale_join_suite",
+    oracle=_scale_join_oracle,
+    covers=("J-asof", "J-range", "§2.9-range/asof", "§2.6-range-frames",
+            "A10", "T11-adjacent"),
+    doc="Scale-path join suite in one tagged union (q79/q80/q83 "
+        "composite): as-of join (single-shuffle union + ignore-nulls "
+        "last_value, never an O(n*m) inequality join), bounded range "
+        "join (time-bucketed equi-join + 2-bucket candidate explode + "
+        "exact refine — a shuffled hash join at 100 TB where the "
+        "literal inequality would plan broadcast-nested-loop), and the "
+        "event-time RANGE frame trailing-hour aggregate. Column "
+        "mapping — asof: id1=purchase, id3=matched click, n=gap µs; "
+        "range: id1=error, n=prior clicks, v=value sum; trail: "
+        "id1=event, n=trailing count, v=trailing sum.",
+)
+def q_scale_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    asof = QUERIES["q79_asof_join"].builder(spark, sf_dir)
+    rng = QUERIES["q80_range_bucket_join"].builder(spark, sf_dir)
+    trail = QUERIES["q83_trailing_range_sum"].builder(spark, sf_dir)
+    return (
+        asof.select(
+            F.lit("asof").alias("kind"),
+            F.col("purchase_id").alias("id1"),
+            F.col("user_id").alias("id2"),
+            F.col("last_click_id").alias("id3"),
+            F.col("gap_us").alias("n"),
+            null_d.alias("v"),
+        )
+        .unionByName(
+            rng.select(
+                F.lit("range").alias("kind"),
+                F.col("error_id").alias("id1"),
+                F.col("user_id").alias("id2"),
+                null_l.alias("id3"),
+                F.col("n_prior_clicks").alias("n"),
+                F.col("click_value_sum").alias("v"),
+            )
+        )
+        .unionByName(
+            trail.select(
+                F.lit("trail").alias("kind"),
+                F.col("event_id").alias("id1"),
+                F.col("user_id").alias("id2"),
+                null_l.alias("id3"),
+                F.col("n_trailing").cast("bigint").alias("n"),
+                F.col("trailing_sum").alias("v"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_state_suite (session window ∪ stream-stream join ∪ bounded top-k)
+# ---------------------------------------------------------------------------
+
+
+def _stream_state_oracle() -> str:
+    sess = QUERIES["stream_session_window"].oracle_sql()
+    join = QUERIES["stream_request_result_join"].oracle_sql()
+    topk = QUERIES["stream_topk_users"].oracle_sql()
+    return f"""
+    SELECT 'session' AS kind, cast(user_id AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_events AS n,
+           session_value AS v, session_start AS t_start,
+           session_end AS t_end
+    FROM ({sess}) s
+    UNION ALL
+    SELECT 'join' AS kind, cast(req_id AS varchar) AS k1,
+           cast(res_id AS varchar) AS k2, user_id AS n,
+           cast(NULL AS double) AS v, cast(NULL AS timestamp) AS t_start,
+           cast(NULL AS timestamp) AS t_end
+    FROM ({join}) j
+    UNION ALL
+    SELECT 'topk' AS kind, cast(user_id AS varchar) AS k1,
+           cast(NULL AS varchar) AS k2, n_events AS n,
+           total_value AS v, cast(NULL AS timestamp) AS t_start,
+           cast(NULL AS timestamp) AS t_end
+    FROM ({topk}) t
+    """
+
+
+@register(
+    "stream_state_suite",
+    oracle=_stream_state_oracle,
+    covers=("T5", "T10", "T11", "J1", "W3", "A5", "§2.11-session",
+            "§2.11-watermark", "§2.11-stream-join", "§2.11-update-mode"),
+    doc="Three REAL stateful Structured Streaming runs in one tagged "
+        "union (stream_session_window / stream_request_result_join / "
+        "stream_topk_users composite): watermarked session_window in "
+        "APPEND mode with sentinel flush (T10 late-data semantics), "
+        "watermark-bounded stream-stream interval join (request↔result "
+        "correlation, redis_queue.py:329-344), and the BOUNDED "
+        "update-mode top-k leaderboard (foreachBatch keyed upsert, no "
+        "complete-mode global sort). Each runs readStream→writeStream "
+        "to convergence with AvailableNow + its own checkpoint; "
+        "converged state must hash-match the batch oracles. Column "
+        "mapping — session: k1=user, n=events, v=value, t_*=bounds; "
+        "join: k1=req, k2=res, n=user; topk: k1=user, n=events, "
+        "v=total.",
+)
+def stream_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_t = F.lit(None).cast("timestamp")
+    sess = QUERIES["stream_session_window"].builder(spark, sf_dir)
+    join = QUERIES["stream_request_result_join"].builder(spark, sf_dir)
+    topk = QUERIES["stream_topk_users"].builder(spark, sf_dir)
+    return (
+        sess.select(
+            F.lit("session").alias("kind"),
+            F.col("user_id").cast("string").alias("k1"),
+            null_s.alias("k2"),
+            F.col("n_events").alias("n"),
+            F.col("session_value").alias("v"),
+            F.col("session_start").alias("t_start"),
+            F.col("session_end").alias("t_end"),
+        )
+        .unionByName(
+            join.select(
+                F.lit("join").alias("kind"),
+                F.col("req_id").cast("string").alias("k1"),
+                F.col("res_id").cast("string").alias("k2"),
+                F.col("user_id").alias("n"),
+                null_d.alias("v"),
+                null_t.alias("t_start"),
+                null_t.alias("t_end"),
+            )
+        )
+        .unionByName(
+            topk.select(
+                F.lit("topk").alias("kind"),
+                F.col("user_id").cast("string").alias("k1"),
+                null_s.alias("k2"),
+                F.col("n_events").alias("n"),
+                F.col("total_value").alias("v"),
+                null_t.alias("t_start"),
+                null_t.alias("t_end"),
+            )
+        )
+    )

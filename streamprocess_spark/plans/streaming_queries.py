@@ -185,20 +185,56 @@ def stream_request_result_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ) ORDER BY total_value DESC, user_id LIMIT 10
     """,
-    covers=("W3", "A5", "§2.11-complete-mode"),
-    doc="Streaming top-k leaderboard: complete-mode aggregation with "
-        "post-agg sort+limit (legal only in complete mode — the one "
-        "output mode allowing a global ORDER BY). The top-10 cut is "
-        "deterministic because the total is the exact fixed-point sum "
-        "and user_id breaks ties. Converged result equals the batch "
-        "top-k (queue-depth leaderboard analog, redis_queue.py:346-362).",
+    covers=("W3", "A5", "§2.11-update-mode"),
+    doc="Streaming top-k leaderboard, BOUNDED form: update-mode "
+        "aggregation + foreachBatch keyed upsert. Each micro-batch "
+        "emits only the users whose aggregate changed (update mode), "
+        "which foreachBatch appends to a batch-stamped parquet store — "
+        "per-trigger work is O(changed keys), never a global re-sort of "
+        "all users (the complete-mode form re-sorts the whole aggregate "
+        "every trigger; at 100x users that is a full global sort per "
+        "micro-batch). The leaderboard is cut read-side: latest record "
+        "per user, then orderBy+limit, which Catalyst plans as "
+        "TakeOrderedAndProject (top-10 per partition, merge on driver). "
+        "Deterministic: exact fixed-point totals, user_id tie-break. "
+        "Queue-depth leaderboard analog, redis_queue.py:346-362.",
 )
 def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
     stream, _ = events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
-        .orderBy(F.desc("total_value"), F.asc("user_id"))
-        .limit(10)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
     )
-    return run_to_completion(agg, "complete")
+    store = tempfile.mkdtemp(prefix="sptopk_")
+    ckpt = tempfile.mkdtemp(prefix="spckpt_")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # keyed upsert analog (SETEX, redis_queue.py:305-314): the store
+        # keeps every (user, batch) version; read side takes the latest
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(store)
+    latest = (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+    return latest.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)

@@ -72,3 +72,41 @@ def test_exemption_broadcast_side_is_the_small_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastExchange" in plan
     assert "vec_id" in plan and "< 10" in plan.replace("(", " ").replace(")", " ")
+
+
+# ---------------------------------------------------------------------------
+# Curated driver ordering (the correctness driver checks the FIRST 50
+# entries of queries(); slots past 50 only get the repo parity suite)
+# ---------------------------------------------------------------------------
+
+# Cover-tags that legitimately live only below slot 50: every one is an
+# "-adjacent"/"-shape" echo of a base id, or a free-operator variant
+# whose base id is covered in the top 50 (q81 free-analytics → q84;
+# q82 grouping-sets → q4 rollup / q31 cube; T8-shape → stream_dedup
+# state, with T8 proper carried by the armed sessionizer timeout).
+_BELOW_50_ONLY_OK = {
+    "A10-adjacent", "A12-adjacent", "A2-shape", "A4-adjacent",
+    "T8-shape", "free-grouping-sets", "§2.6-free-analytics",
+}
+
+
+def test_top50_is_curated_and_covers_every_operator_id():
+    from streamprocess_spark.plans.registry import TOP50
+
+    names = list(query_map())
+    assert len(names) >= 50
+    assert tuple(names[:50]) == TOP50, "first 50 entries must equal TOP50"
+
+    all_covers = set().union(*(QUERIES[n].covers for n in names))
+    top_covers = set().union(*(QUERIES[n].covers for n in names[:50]))
+    missing = all_covers - top_covers - _BELOW_50_ONLY_OK
+    assert not missing, f"operator ids not covered by the driver top-50: {sorted(missing)}"
+
+
+def test_top50_oracle_backed_except_documented_rows_only():
+    """Rows-only slots in the top 50 are limited to the documented
+    non-SQL-expressible ops (iterative/stateful/float-path)."""
+    rows_only_ok = {"q_media_rowsonly", "sessionize_batch_segments"}
+    names = list(query_map())[:50]
+    rows_only = {n for n in names if QUERIES[n].oracle is None}
+    assert rows_only <= rows_only_ok, rows_only - rows_only_ok
