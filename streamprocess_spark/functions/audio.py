@@ -100,16 +100,24 @@ def np_parse_wav(raw: bytes) -> tuple[np.ndarray, int, int]:
     return x.astype(np.float32) / 32768.0, sr, channels or 1
 
 
-def np_decode_audio(raw: bytes, encoding: str = "LINEAR16") -> np.ndarray:
+def np_decode_audio(
+    raw: bytes, encoding: str = "LINEAR16", target_sr: int = 16000
+) -> np.ndarray:
     """F9/S15 encoding dispatch (stt_worker.py:381-394): LINEAR16 and
     WAV decode natively; compressed codecs need a decoder library not
-    present in this container."""
+    present in this container.
+
+    WAV honors the container's actual sample rate: decode → mono →
+    resample(parsed sr → target_sr), exactly the reference decode path
+    (soundfile read + resample to 16 kHz). LINEAR16 is a headerless
+    stream the protocol defines as already being at the session rate
+    (protos/stream_process.proto:75-81), so it passes through."""
     enc = encoding.upper()
     if enc == "LINEAR16":
         return np_decode_linear16(raw)
     if enc == "WAV":
-        x, _sr, ch = np_parse_wav(raw)
-        return np_to_mono(x, ch)
+        x, sr, ch = np_parse_wav(raw)
+        return np_resample(np_to_mono(x, ch), sr, target_sr)
     raise NotImplementedError(
         f"audio decode for {enc} needs a codec library (soundfile/ffmpeg); "
         "the reference decodes via soundfile (stt_worker.py:390-394)"
@@ -264,12 +272,14 @@ def decode_linear16_udf(raw: pd.Series) -> pd.Series:
     return raw.apply(lambda b: np_decode_linear16(b).tolist() if b is not None else None)
 
 
-def decode_audio_udf(encoding: str = "LINEAR16"):
-    """S15 decode with encoding dispatch (LINEAR16 | WAV)."""
+def decode_audio_udf(encoding: str = "LINEAR16", target_sr: int = 16000):
+    """S15 decode with encoding dispatch (LINEAR16 | WAV); WAV is
+    resampled from its parsed container rate to target_sr."""
     @pandas_udf(T.ArrayType(T.FloatType()))
     def _udf(raw: pd.Series) -> pd.Series:
         return raw.apply(
-            lambda b: np_decode_audio(b, encoding).tolist() if b is not None else None
+            lambda b: np_decode_audio(b, encoding, target_sr).tolist()
+            if b is not None else None
         )
     return _udf
 

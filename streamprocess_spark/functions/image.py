@@ -46,11 +46,20 @@ WHITE = 230  # "non-white" threshold for content detection
 # ---------------------------------------------------------------------------
 
 def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.ndarray:
-    """Decode an image payload to a HxW uint8 array.
+    """Decode an image payload to a HxW uint8 grayscale array.
 
-    Only the raw GRAY8 layout is implemented; PNG/JPEG/BMP/TIFF/PDF
-    (the reference's accepted formats, src/grpc_server/server.py:354)
-    require a codec library not present in this container."""
+    GRAY8 (raw raster) and PNG (stdlib-zlib decoder below) are
+    implemented; JPEG/BMP/TIFF/PDF (the reference's other accepted
+    formats, src/grpc_server/server.py:354) require a codec library
+    not present in this container."""
+    if fmt == "PNG":
+        img = np_decode_png(raw)
+        img = np_png_to_gray(img)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"PNG dims {img.shape[::-1]} != metadata {width}x{height}"
+            )
+        return img
     if fmt != "GRAY8":
         raise NotImplementedError(
             f"decode for {fmt} needs an image codec (PIL/OpenCV); the "
@@ -60,6 +69,152 @@ def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.
     if len(arr) != width * height:
         raise ValueError(f"payload {len(arr)} != {width}x{height}")
     return arr.reshape(height, width)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (S15) — stdlib zlib + NumPy, no PIL/OpenCV
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (gray, RGB, gray+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def np_encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer: 8-bit, non-interlaced, filter 0 per
+    scanline. 2-D array → grayscale (color type 0); HxWx3 → RGB
+    (color type 2). Produces standard PNGs any external reader
+    accepts — the inverse of the reference's cv2.imencode boundary."""
+    import struct
+    import zlib as _z
+
+    if img.dtype != np.uint8:
+        raise ValueError("np_encode_png expects uint8")
+    if img.ndim == 2:
+        color_type, arr = 0, img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, arr = 2, img
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    h, w, _c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) prepended to each scanline
+    stride = arr.reshape(h, -1)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), stride], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
+                      bpp: int) -> np.ndarray:
+    """Reverse one scanline filter (PNG spec §6). uint8 arithmetic
+    wraps mod 256 exactly as the spec requires."""
+    if ftype == 0:                                    # None
+        return cur
+    if ftype == 2:                                    # Up (vectorized)
+        return cur + prev
+    if ftype == 1:                                    # Sub: per-lane cumsum
+        out = cur.copy()
+        for lane in range(bpp):
+            np.add.accumulate(out[lane::bpp], out=out[lane::bpp])
+        return out
+    out = np.empty_like(cur)
+    if ftype == 3:                                    # Average
+        for i in range(len(cur)):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if ftype == 4:                                    # Paeth
+        for i in range(len(cur)):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(cur[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def np_decode_png(raw: bytes) -> np.ndarray:
+    """Minimal PNG reader: 8-bit depth, non-interlaced, color types
+    gray/RGB/gray+alpha/RGBA, all five scanline filters. Returns
+    (H, W) for grayscale or (H, W, C) otherwise. Interlaced, paletted,
+    or 16-bit PNGs raise NotImplementedError (rare for scanned-document
+    pipelines; the reference accepts them via cv2 — documented gap)."""
+    import struct
+    import zlib as _z
+
+    if len(raw) < 8 or raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG (Adam7) not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type} (palette?)")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    data = np.frombuffer(_z.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    rows = data.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        prev = _png_unfilter_row(int(rows[r, 0]), rows[r, 1:], prev, ch)
+        out[r] = prev
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def np_png_to_gray(img: np.ndarray) -> np.ndarray:
+    """Collapse a decoded PNG to grayscale: ITU-R 601 luma for RGB(A)
+    (cv2.cvtColor BGR2GRAY uses the same weights, ocr_worker.py
+    preprocessing path), alpha dropped."""
+    if img.ndim == 2:
+        return img
+    c = img.shape[2]
+    if c == 2:                                        # gray + alpha
+        return img[:, :, 0]
+    rgb = img[:, :, :3].astype(np.float64)
+    return np.clip(
+        np.rint(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]),
+        0, 255,
+    ).astype(np.uint8)
 
 
 def fake_decode(seed: str, width: int, height: int,

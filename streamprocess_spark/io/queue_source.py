@@ -50,14 +50,22 @@ def _log_path(path: str, priority: str) -> str:
 
 
 def _count_lines(path: str) -> int:
+    """Number of COMMITTED (newline-terminated) lines. A producer may
+    be mid-append when latestOffset() runs; counting only terminated
+    lines keeps the offset from claiming a torn partial line that a
+    later read would see differently (the XADD analog is atomic, so a
+    half-written entry must not be an offset)."""
     if not os.path.exists(path):
         return 0
     with open(path, "rb") as f:
-        return sum(1 for _ in f)
+        return f.read().count(b"\n")
 
 
 def _read_lines(path: str, start: int, end: int):
-    """Lines [start, end) of one priority log — the XRANGE analog."""
+    """Lines [start, end) of one priority log — the XRANGE analog.
+    Yields (seq, job_dict | None, raw_line); None marks a malformed
+    entry (the reference tolerates malformed/empty jobs rather than
+    crashing the consumer — tests/unit/test_queue.py:183-222 there)."""
     if not os.path.exists(path) or end <= start:
         return
     with open(path, "r") as f:
@@ -65,13 +73,28 @@ def _read_lines(path: str, start: int, end: int):
             if i >= end:
                 return
             if i >= start and line.strip():
-                yield i, json.loads(line)
+                try:
+                    job = json.loads(line)
+                    if not isinstance(job, dict):
+                        job = None
+                except ValueError:
+                    job = None
+                yield i, job, line
 
 
-def _row(priority: str, seq: int, job: dict):
+def _row(priority: str, seq: int, job: dict | None, raw: str = ""):
     """Envelope dict → row tuple in SCHEMA order. Defensive .get()
     mirrors the reference's tolerance of sparse job dicts
-    (stt_worker.py:117,141-145; tests/unit/test_queue.py:201-210)."""
+    (stt_worker.py:117,141-145; tests/unit/test_queue.py:201-210).
+    A malformed line (job=None) becomes a dead-letter row —
+    type='malformed', raw text preserved in payload — instead of
+    crashing the read task (S11 dead-letter semantics,
+    pkg/queue/redis_consumer.go:285-298)."""
+    if job is None:
+        return (
+            priority, PRIO_RANK[priority], seq, "", "malformed", 0.0,
+            json.dumps({"raw": raw.rstrip("\n")}, sort_keys=True),
+        )
     payload = job.get("payload")
     return (
         priority,
@@ -106,23 +129,57 @@ class PriorityQueueBatchReader(DataSourceReader):
 
     def read(self, partition: QueuePartition):
         log = _log_path(partition.path, partition.priority)
-        for seq, job in _read_lines(log, partition.start, partition.end):
-            yield _row(partition.priority, seq, job)
+        for seq, job, raw in _read_lines(log, partition.start, partition.end):
+            yield _row(partition.priority, seq, job, raw)
 
 
 class PriorityQueueStreamReader(DataSourceStreamReader):
-    """Consumer-group tail: offsets are per-priority line counts."""
+    """Consumer-group tail: offsets are per-priority line counts.
+
+    Backpressure (P5, SURVEY §2.11): the ``max_records_per_batch``
+    option is the maxOffsetsPerTrigger analog — latestOffset() advances
+    at most that many lines per trigger, allocating the budget
+    priority-descending (realtime drains before high before normal
+    before low, the reference's drain order, redis_queue.py:157-224).
+    Bounded intake per trigger is what keeps executor memory flat when
+    the backlog spikes (the reference instead pauses producers at 0.8
+    utilization, src/grpc_server/backpressure.py:77-127; see
+    streaming/backpressure.py for that producer-side gate)."""
 
     def __init__(self, options):
         self.path = options["path"]
+        cap = int(options.get("max_records_per_batch", 0))
+        self.max_per_batch = cap if cap > 0 else None
+        self._cursor: dict | None = None  # last planned end offsets
 
     def initialOffset(self) -> dict:
         return {p: 0 for p in PRIORITIES}
 
     def latestOffset(self) -> dict:
-        return {p: _count_lines(_log_path(self.path, p)) for p in PRIORITIES}
+        avail = {p: _count_lines(_log_path(self.path, p)) for p in PRIORITIES}
+        if self.max_per_batch is None:
+            self._cursor = avail
+            return avail
+        base = self._cursor or {p: 0 for p in PRIORITIES}
+        budget = self.max_per_batch
+        end = {}
+        for p in PRIORITIES:  # realtime first — R2 drain order
+            take = min(max(avail[p] - base.get(p, 0), 0), budget)
+            end[p] = base.get(p, 0) + take
+            budget -= take
+        self._cursor = end
+        return end
 
     def partitions(self, start: dict, end: dict):
+        # After a checkpoint restart the engine re-plans from the offset
+        # log; never read below `start`, and re-anchor the rate-limit
+        # cursor so the next trigger budgets from real progress.
+        if self._cursor is not None:
+            self._cursor = {
+                p: max(self._cursor.get(p, 0), int(start.get(p, 0)),
+                       int(end.get(p, 0)))
+                for p in PRIORITIES
+            }
         # realtime first — batch-local priority drain order (R2)
         return [
             QueuePartition(p, int(start.get(p, 0)), int(end.get(p, 0)), self.path)
@@ -132,8 +189,8 @@ class PriorityQueueStreamReader(DataSourceStreamReader):
 
     def read(self, partition: QueuePartition):
         log = _log_path(partition.path, partition.priority)
-        for seq, job in _read_lines(log, partition.start, partition.end):
-            yield _row(partition.priority, seq, job)
+        for seq, job, raw in _read_lines(log, partition.start, partition.end):
+            yield _row(partition.priority, seq, job, raw)
 
     def commit(self, end: dict) -> None:
         # XACK analog — the engine's checkpoint already persisted `end`;

@@ -67,6 +67,9 @@ def stream_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp)
     )
-    segs = sessionize_stream(stream, DEFAULT_CONFIG)
+    # NoTimeout: this is a deterministic availableNow replay — the
+    # armed idle reap would keep scheduling timeout batches forever
+    # (see sessionize_stream docstring)
+    segs = sessionize_stream(stream, DEFAULT_CONFIG, timeout="NoTimeout")
     out = run_to_completion(segs, "append")
     return out

@@ -217,9 +217,16 @@ def sessionize_batch_fn(cfg: SessionizerConfig):
     return fn
 
 
-def sessionize_stream_fn(cfg: SessionizerConfig):
+def sessionize_stream_fn(cfg: SessionizerConfig, idle_ms: int | None = None):
     """applyInPandasWithState function: state carried across
-    micro-batches; is_final (or timeout) drops the state."""
+    micro-batches; is_final (or timeout) drops the state.
+
+    When idle_ms is set the timeout is ARMED: every non-final state
+    update re-registers a processing-time timeout of idle_ms, so a
+    session that stops sending chunks is reaped — flushed as a final
+    segment — by a later micro-batch (T8; the reference reaps sessions
+    idle > session_timeout every 100 jobs, stt_worker.py:104-106,
+    419-430)."""
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -263,22 +270,46 @@ def sessionize_stream_fn(cfg: SessionizerConfig):
                 core.buf_start_ms, core.silence_run_ms,
                 core.in_speech, core.seg_idx, list(core.context),
             ))
+            if idle_ms is not None:
+                # T8: (re)arm the idle reap — the reference resets
+                # last_activity on every chunk (stt_worker.py:465) and
+                # reaps when now - last_activity > session_timeout
+                state.setTimeoutDuration(idle_ms)
         yield pd.DataFrame(core.out, columns=[f.name for f in SEGMENT_SCHEMA])
 
     return fn
 
 
+# Reference idle reap threshold: session_timeout = 300 s
+# (src/config.py session_timeout; stt_worker.py:419-430)
+DEFAULT_IDLE_MS = 300_000
+
+
 def sessionize_stream(
     chunks: DataFrame,
     cfg: SessionizerConfig = DEFAULT_CONFIG,
-    timeout: str = "NoTimeout",
+    timeout: str = "ProcessingTimeTimeout",
+    idle_ms: int = DEFAULT_IDLE_MS,
 ) -> DataFrame:
-    """Streaming stateful sessionization over a chunk stream."""
+    """Streaming stateful sessionization over a chunk stream. The idle
+    reap (T8) is armed by default: sessions with no traffic for idle_ms
+    are flushed as finals by the next micro-batch after expiry.
+
+    CAVEAT — deterministic replays must pass timeout="NoTimeout":
+    with ProcessingTimeTimeout armed, Spark schedules extra
+    micro-batches to fire pending timeouts (FlatMapGroupsWithStateExec
+    .shouldRunAnotherBatch is unconditionally true for processing-time
+    timeouts), so a Trigger.AvailableNow replay never terminates. That
+    is also the semantically right split: wall-clock reaping has no
+    place in an event-time-deterministic replay (core.py contract);
+    it exists for continuous serving, where the reference reaps idle
+    sessions every 100 jobs (stt_worker.py:104-106,419-430)."""
     from streamprocess_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(chunks.sparkSession)
+    armed = timeout == "ProcessingTimeTimeout"
     return chunks.groupBy("session_id").applyInPandasWithState(
-        sessionize_stream_fn(cfg),
+        sessionize_stream_fn(cfg, idle_ms if armed else None),
         outputStructType=SEGMENT_SCHEMA_DDL,
         stateStructType=STATE_SCHEMA_DDL,
         outputMode="append",

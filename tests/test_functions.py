@@ -196,7 +196,97 @@ def test_decode_image_raw_and_stubs():
     with pytest.raises(ValueError):
         I.decode_image(img.tobytes(), 10, 10)
     with pytest.raises(NotImplementedError):
-        I.decode_image(b"\x89PNG", 1, 1, fmt="PNG")
+        I.decode_image(img.tobytes(), 200, 150, fmt="JPEG")
+
+
+# --------------------------------------------------- PNG codec (S15)
+
+class TestPngCodec:
+    def test_gray_roundtrip_exact(self):
+        img = _block_image()
+        raw = I.np_encode_png(img)
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        back = I.np_decode_png(raw)
+        assert back.shape == img.shape and np.array_equal(back, img)
+
+    def test_rgb_roundtrip_and_luma(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+        back = I.np_decode_png(I.np_encode_png(img))
+        assert back.shape == (20, 30, 3) and np.array_equal(back, img)
+        gray = I.np_png_to_gray(back)
+        assert gray.shape == (20, 30)
+        # ITU-R 601 weights on a known pixel
+        r, g, b = (int(v) for v in img[0, 0])
+        assert gray[0, 0] == int(np.rint(0.299 * r + 0.587 * g + 0.114 * b))
+
+    def test_decode_image_png_path(self):
+        img = _block_image()
+        out = I.decode_image(I.np_encode_png(img), 200, 150, fmt="PNG")
+        assert np.array_equal(out, img)
+        with pytest.raises(ValueError, match="dims"):
+            I.decode_image(I.np_encode_png(img), 10, 10, fmt="PNG")
+
+    def test_all_filter_types_unfilter(self):
+        """Decode a hand-filtered PNG using Sub/Up/Average/Paeth rows —
+        external encoders emit these even though ours writes filter 0."""
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(5, 8), dtype=np.uint8)
+
+        def filt(ftype, cur, prev):
+            out = np.empty_like(cur)
+            for i in range(len(cur)):
+                a = int(cur[i - 1]) if i >= 1 else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i >= 1 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (int(cur[i]) - pred) & 0xFF
+            return out
+
+        ftypes = [0, 1, 2, 3, 4]
+        lines = []
+        for r, ftype in enumerate(ftypes):
+            prev = img[r - 1] if r > 0 else np.zeros(8, dtype=np.uint8)
+            body = img[r] if ftype == 0 else filt(ftype, img[r], prev)
+            lines.append(bytes([ftype]) + body.tobytes())
+        ihdr = struct.pack(">IIBBBBB", 8, 5, 8, 0, 0, 0, 0)
+        raw = (
+            b"\x89PNG\r\n\x1a\n"
+            + I._png_chunk(b"IHDR", ihdr)
+            + I._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + I._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(I.np_decode_png(raw), img)
+
+    def test_unsupported_pngs_rejected(self):
+        import struct
+
+        img = _block_image()
+        raw = bytearray(I.np_encode_png(img))
+        # IHDR body starts at 8 (sig) + 8 (len+tag); depth byte at +8
+        ihdr_off = 16
+        raw16 = raw.copy()
+        raw16[ihdr_off + 8] = 16
+        with pytest.raises(NotImplementedError, match="depth"):
+            I.np_decode_png(bytes(raw16))
+        rawi = raw.copy()
+        rawi[ihdr_off + 12] = 1          # interlace flag
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            I.np_decode_png(bytes(rawi))
+        with pytest.raises(ValueError, match="signature"):
+            I.np_decode_png(b"\x89PNG")
 
 
 def _striped_page(h: int = 160, w: int = 240) -> np.ndarray:
@@ -261,6 +351,125 @@ def test_mock_paddleocr_one_line_per_block():
     for line in lines:
         assert 0.5 <= line["confidence"] <= 1.0
         assert len(line["text"].split()) == 4
+
+
+# ------------------------------------------------- WAV container (S15)
+
+class TestWavParse:
+    """np_build_wav/np_parse_wav round-trip + RIFF edge cases (the
+    reference builds the same hand-rolled PCM16 WAV fixture,
+    tests/conftest.py:107-146 there)."""
+
+    def test_roundtrip(self):
+        x = _tone(dur=0.25)
+        raw = A.np_build_wav(A.np_encode_linear16(x), sr=16000, channels=1)
+        y, sr, ch = A.np_parse_wav(raw)
+        assert sr == 16000 and ch == 1
+        # encode truncates at 32767 scale, decode divides by 32768 →
+        # worst case just over 1 LSB
+        assert np.allclose(y, x, atol=2 / 32768.0)
+
+    def test_odd_length_data_word_aligned(self):
+        # 3 bytes of PCM → 1 complete sample + padding byte in RIFF
+        raw = A.np_build_wav(b"\x00\x01\x02", sr=8000)
+        y, sr, _ = A.np_parse_wav(raw)
+        assert sr == 8000 and len(y) == 1
+
+    def test_extra_chunks_skipped(self):
+        """A LIST/INFO chunk between fmt and data must be walked over."""
+        x = _tone(dur=0.1)
+        pcm = A.np_encode_linear16(x)
+        raw = A.np_build_wav(pcm, sr=16000)
+        # splice an extra chunk right after the fmt chunk (offset 12 is
+        # the first chunk; fmt body is 16 bytes → next chunk at 36)
+        extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        spliced = raw[:36] + extra + raw[36:]
+        spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+        y, sr, _ = A.np_parse_wav(spliced)
+        assert sr == 16000 and np.allclose(y, x, atol=2 / 32768.0)
+
+    def test_truncated_and_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            A.np_parse_wav(b"RIFF")                    # too short
+        with pytest.raises(ValueError):
+            A.np_parse_wav(b"\x00" * 64)               # not RIFF
+        raw = A.np_build_wav(b"\x00\x01" * 100)
+        with pytest.raises(ValueError):
+            A.np_parse_wav(raw[:20])                   # fmt/data missing
+
+    def test_non_pcm_rejected(self):
+        raw = bytearray(A.np_build_wav(b"\x00\x01" * 4))
+        raw[20:22] = (3).to_bytes(2, "little")         # IEEE float fmt tag
+        with pytest.raises(ValueError, match="PCM16"):
+            A.np_parse_wav(bytes(raw))
+
+    def test_stereo_interleaved(self):
+        left = _tone(440, dur=0.05)
+        right = _tone(880, dur=0.05)
+        inter = np.empty(2 * len(left), dtype=np.float32)
+        inter[0::2], inter[1::2] = left, right
+        raw = A.np_build_wav(A.np_encode_linear16(inter), sr=16000, channels=2)
+        y, sr, ch = A.np_parse_wav(raw)
+        assert ch == 2
+        mono = A.np_to_mono(y, ch)
+        assert np.allclose(mono, (left + right) / 2, atol=2 / 32768.0)
+
+    def test_decode_audio_resamples_to_target_sr(self):
+        """ADVICE item: a non-16k WAV must not flow through at its
+        native rate — np_decode_audio honors the parsed rate and
+        resamples (reference resamples from the actual source rate)."""
+        x = _tone(freq=200, sr=8000, dur=0.5)
+        raw = A.np_build_wav(A.np_encode_linear16(x), sr=8000)
+        y = A.np_decode_audio(raw, "WAV", target_sr=16000)
+        assert len(y) == 2 * len(x)                    # 8k → 16k doubles
+        # same duration, same dominant frequency content
+        ref = A.np_resample(x, 8000, 16000)
+        assert np.allclose(y, ref, atol=2 / 32768.0)
+
+    def test_decode_audio_unknown_codec_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            A.np_decode_audio(b"\x00\x01", "MP3")
+
+
+# --------------------------------------------- OCR engine dispatch F26
+
+def test_mock_tesseract_is_a_distinct_engine():
+    """F26: same boundary, observably different backend — per-block
+    line structure like paddle, but different text derivation and a
+    tesseract-style integer-percent confidence model."""
+    img = _block_image()
+    paddle = M.mock_paddleocr(img)
+    tess = M.mock_tesseract(img)
+    assert len(paddle) == len(tess) == 2
+    for p, t in zip(paddle, tess):
+        assert (p["x"], p["y"]) == (t["x"], t["y"])    # same geometry
+        assert p["text"] != t["text"]                  # different decode
+        assert len(t["text"].split()) == 2
+        assert 0.60 <= t["confidence"] <= 0.99
+        assert round(t["confidence"] * 100) == t["confidence"] * 100
+
+
+def test_ocr_engine_udf_switches_backends(spark):
+    """F26 engine-switch observability through the Spark boundary:
+    identical images, different `engine` column → different lines,
+    unknown engine falls back to paddle (service.py default)."""
+    from pyspark.sql import functions as F
+
+    img = _block_image()
+    rows = [(img.tobytes(), 200, 150, e) for e in ("paddle", "tesseract", "bogus")]
+    df = spark.createDataFrame(
+        rows, "image binary, width int, height int, engine string"
+    )
+    out = {
+        r["engine"]: r["lines"]
+        for r in df.select(
+            "engine",
+            M.ocr_engine_udf("image", "width", "height", "engine").alias("lines"),
+        ).collect()
+    }
+    assert [l["text"] for l in out["bogus"]] == [l["text"] for l in out["paddle"]]
+    assert [l["text"] for l in out["tesseract"]] != [l["text"] for l in out["paddle"]]
+    assert len(out["tesseract"]) == 2
 
 
 # ------------------------------------------------------- ops listener

@@ -106,6 +106,109 @@ def test_offsets_survive_query_restart(spark, tmp_path):
     assert final.filter(final["job_id"].startswith("offline-")).count() == 2
 
 
+def test_malformed_line_becomes_dead_letter_row(spark, tmp_path):
+    """Reference tolerance for malformed jobs (tests/unit/test_queue.py:
+    183-222 there): a non-JSON or non-dict line must not crash the read
+    task — it surfaces as a type='malformed' dead-letter row (S11) with
+    the raw text preserved, and well-formed neighbors still flow."""
+    import json as _json
+
+    qdir = str(tmp_path / "qm")
+    enqueue_job(qdir, "normal", {"job_id": "ok-1", "type": "t"})
+    with open(f"{qdir}/normal.jsonl", "a") as f:
+        f.write("{not valid json]]\n")
+        f.write('"a bare string, not an envelope"\n')
+    enqueue_job(qdir, "normal", {"job_id": "ok-2", "type": "t"})
+
+    register_queue_source(spark)
+    rows = (
+        spark.read.format("priority_queue").option("path", qdir).load()
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r["type"] for r in rows] == ["t", "malformed", "malformed", "t"]
+    assert [r["job_id"] for r in rows] == ["ok-1", "", "", "ok-2"]
+    assert _json.loads(rows[1]["payload"])["raw"] == "{not valid json]]"
+    # offsets stay dense: seq numbering unaffected by the bad lines
+    assert [r["seq"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_torn_write_not_counted_until_newline(spark, tmp_path):
+    """latestOffset must not claim a partially-appended line
+    (redis XADD is atomic; a torn tail line is an uncommitted entry)."""
+    from streamprocess_spark.io.queue_source import _count_lines, _log_path
+
+    qdir = str(tmp_path / "qt")
+    enqueue_job(qdir, "high", {"job_id": "a", "type": "t"})
+    log = _log_path(qdir, "high")
+    with open(log, "a") as f:
+        f.write('{"job_id": "torn", "ty')  # no trailing newline
+    assert _count_lines(log) == 1
+    register_queue_source(spark)
+    df = spark.read.format("priority_queue").option("path", qdir).load()
+    # batch scan sees only the committed line
+    assert [r["job_id"] for r in df.collect()] == ["a"]
+    # producer finishes the append → line becomes visible
+    with open(log, "a") as f:
+        f.write('pe": "t"}\n')
+    assert _count_lines(log) == 2
+    assert spark.read.format("priority_queue").option("path", qdir).load().count() == 2
+
+
+def test_max_records_per_batch_bounds_intake(spark, tmp_path):
+    """P5 backpressure: with max_records_per_batch=N no micro-batch
+    admits more than N rows, and the budget drains priority-descending
+    (realtime exhausted before low sees any budget — R2 drain order,
+    redis_queue.py:157-224)."""
+    qdir = str(tmp_path / "qb")
+    ckpt = str(tmp_path / "ckpt")
+    # 8 realtime + 8 low jobs
+    for i in range(8):
+        enqueue_job(qdir, "realtime", {"job_id": f"rt-{i}", "type": "t"})
+        enqueue_job(qdir, "low", {"job_id": f"low-{i}", "type": "t"})
+    register_queue_source(spark)
+    stream = (
+        spark.readStream.format("priority_queue")
+        .option("path", qdir)
+        .option("max_records_per_batch", 5)
+        .load()
+    )
+    batches: list[tuple[int, int, int]] = []  # (rows, n_realtime, n_low)
+
+    def observe(df, epoch_id):
+        rows = df.collect()
+        batches.append((
+            len(rows),
+            sum(1 for r in rows if r["priority"] == "realtime"),
+            sum(1 for r in rows if r["priority"] == "low"),
+        ))
+
+    q = (
+        stream.writeStream.foreachBatch(observe)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and sum(b[0] for b in batches) < 16:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    total = sum(b[0] for b in batches)
+    assert total == 16, f"lost rows: {batches}"
+    assert all(b[0] <= 5 for b in batches), f"intake bound violated: {batches}"
+    # priority-descending budget: low gets budget only once realtime is dry
+    for rows, n_rt, n_low in batches:
+        if n_low > 0 and n_rt > 0:
+            # mixed batch is only legal when it finishes the realtime backlog
+            assert n_rt + n_low <= 5
+    first_low_batch = next(i for i, b in enumerate(batches) if b[2] > 0)
+    assert sum(b[1] for b in batches[: first_low_batch + 1]) == 8, (
+        "low-priority rows admitted before realtime backlog drained"
+    )
+
+
 def test_stream_tail_is_incremental_exactly_once(spark, tmp_path):
     qdir = str(tmp_path / "q3")
     ckpt = str(tmp_path / "ckpt")

@@ -97,7 +97,12 @@ class TestConvergence:
             .option("maxFilesPerTrigger", 1)
             .parquet(tmp)
         )
-        streamed = run_to_completion(sessionize_stream(stream, CFG), "append").toPandas()
+        # NoTimeout: availableNow replay must terminate (see
+        # sessionize_stream docstring) and wall-clock reaping would
+        # break stream==batch determinism
+        streamed = run_to_completion(
+            sessionize_stream(stream, CFG, timeout="NoTimeout"), "append"
+        ).toPandas()
 
         cols = list(batch.columns)
         b = batch.sort_values(cols, ignore_index=True)
@@ -142,6 +147,7 @@ class _FakeState:
         self.exists = tup is not None
         self.removed = False
         self.updated = None
+        self.timeout_set_ms = None
 
     @property
     def get(self):
@@ -152,6 +158,9 @@ class _FakeState:
 
     def update(self, tup):
         self.updated = tup
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
 
 
 def test_stream_fn_timeout_flushes_and_drops_state():
@@ -194,3 +203,81 @@ def test_stream_fn_updates_state_between_batches():
     buf, start_ms, silence, in_speech, seg_idx, context = state.updated
     assert len(buf) == 2 * CFG.chunk_samples
     assert in_speech is True and seg_idx == 0 and context == []
+    # unarmed factory never touches the timeout API
+    assert state.timeout_set_ms is None
+    # armed factory re-registers the idle reap on every non-final update
+    armed = sessionize_stream_fn(CFG, idle_ms=750)
+    state2 = _FakeState(None, timed_out=False)
+    state2.exists = False
+    list(armed(("s",), iter([pdf.copy()]), state2))
+    assert state2.timeout_set_ms == 750
+
+
+def _write_chunks(spark, in_dir: str, session_id: str, offsets: list[int],
+                  amp: float = 0.5, final: bool = False) -> None:
+    """Append one micro-batch worth of chunk rows as a parquet file."""
+    rows = [
+        (
+            session_id, i, pd.Timestamp("2024-01-01").to_pydatetime(),
+            off, CFG.chunk_ms, _chunk(amp).tolist(),
+            final and off == offsets[-1],
+        )
+        for i, off in enumerate(offsets)
+    ]
+    spark.createDataFrame(rows, CHUNK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+
+@pytest.mark.slow
+def test_idle_timeout_reaps_session_in_real_stream(spark, tmp_path):
+    """T8 end-to-end, no _FakeState: a session that buffers audio and
+    then goes quiet — never sending an is_final chunk — is flushed as
+    a FINAL segment by a later micro-batch via the armed
+    ProcessingTimeTimeout (stt_worker.py:104-106,419-430 reaps
+    sessions idle > session_timeout). Runs the serving configuration:
+    continuous processing-time trigger, armed default timeout."""
+    import time
+
+    from streamprocess_spark.streaming.sessionizer import (
+        SEGMENT_SCHEMA,
+        sessionize_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    idle_ms = 1_500
+
+    # 200ms of speech buffered for "idle-sess" (< 320ms size trigger,
+    # no is_final) → nothing can emit except through the idle reap
+    _write_chunks(spark, in_dir, "idle-sess", [0, 100])
+
+    stream = spark.readStream.schema(CHUNK_SCHEMA).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, CFG, idle_ms=idle_ms)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        reaped = []
+        while time.time() < deadline and not reaped:
+            reaped = (
+                spark.read.schema(SEGMENT_SCHEMA).parquet(out_dir)
+                .filter("session_id = 'idle-sess'")
+                .collect()
+            )
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert len(reaped) == 1, "idle session was never reaped"
+    seg = reaped[0]
+    assert seg.trigger == "final" and not seg.is_partial
+    assert seg.n_samples == 2 * CFG.chunk_samples
+    assert seg.start_offset_ms == 0 and seg.end_offset_ms == 200
