@@ -570,6 +570,21 @@ def dark_count_udf(image: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.LongType())
+def png_roundtrip_sum_udf(
+    image: pd.Series, width: pd.Series, height: pd.Series
+) -> pd.Series:
+    """S15 PNG codec proof: GRAY8 raster → np_encode_png → real
+    np_decode_png → exact int64 pixel sum. Any bit lost or gained in
+    the container round-trip changes the sum."""
+    out = []
+    for raw, w, h in zip(image, width, height):
+        img = decode_image(raw, int(w), int(h))
+        back = np_decode_png(np_encode_png(img))
+        out.append(int(back.astype(np.int64).sum()))
+    return pd.Series(out)
+
+
 @pandas_udf(LAYOUT_SCHEMA)
 def detect_tables_udf(image: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
     out = []

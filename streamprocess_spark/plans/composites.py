@@ -594,7 +594,8 @@ def _image_suite_oracle() -> str:
            cast(a.bx AS BIGINT) AS bbox_x,
            cast(CASE WHEN a.bx IS NOT NULL THEN 10 END AS BIGINT) AS bbox_y,
            cast(a.bbw AS BIGINT) AS bbox_w,
-           cast(CASE WHEN a.bx IS NOT NULL THEN 20 END AS BIGINT) AS bbox_h
+           cast(CASE WHEN a.bx IS NOT NULL THEN 20 END AS BIGINT) AS bbox_h,
+           cast(m.w * m.h * 255 - a.area * 215 AS BIGINT) AS png_px_sum
     FROM dims m JOIN agg a USING (doc_id)
     """
 
@@ -602,15 +603,19 @@ def _image_suite_oracle() -> str:
 @register(
     "q_image_suite",
     oracle=_image_suite_oracle,
-    covers=("F13", "F15", "F16-shape", "F17", "F19", "F20", "F22", "F23", "R5"),
+    covers=("F13", "F15", "F16-shape", "F17", "F19", "F20", "F22", "F23",
+            "R5", "S15"),
     doc="Image scalar-function suite, one map-only pass per doc "
         "(q54/q60/q61/q62/q63/q66/q64 composite): validation gate "
         "(image_processor.py:422-446), Otsu binarize dark count "
         "(:217-236), 3x3-median denoise chain (:182-196), 2x "
         "nearest-neighbor rescale (:264-286), table-region count "
-        "(:337-369 area>1000), crop-to-content bbox (:371-398), and "
+        "(:337-369 area>1000), crop-to-content bbox (:371-398), "
         "the F23 quad→bbox via native array_min/array_max over the "
-        "first block's corner points (ocr_worker.py:373-379).",
+        "first block's corner points (ocr_worker.py:373-379), and the "
+        "S15 PNG container round-trip through the real zlib codec "
+        "(exact pixel-sum oracle; reference decodes via cv2.imdecode, "
+        "ocr_worker.py:283-308).",
 )
 def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.image import (
@@ -619,6 +624,7 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dark_count_udf,
         detect_tables_udf,
         median_denoise_udf,
+        png_roundtrip_sum_udf,
         resize_binarize_count_udf,
         validate_image_udf,
     )
@@ -676,6 +682,11 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(has, F.array_max(ys) - F.array_min(ys))
             .cast("bigint")
             .alias("bbox_h"),
+            # S15: PNG container round-trip through the real zlib codec;
+            # the exact pixel sum proves bit-identical encode→decode
+            png_roundtrip_sum_udf(
+                F.col("image"), F.col("width"), F.col("height")
+            ).alias("png_px_sum"),
         )
     )
 

@@ -927,3 +927,88 @@ def q91_image_deskew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.sharp_gain").alias("sharp_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG container ingest (S15) — real codec, exact-pixel oracle
+# ---------------------------------------------------------------------------
+
+PNG_STATS_SCHEMA = T.StructType([
+    T.StructField("png_w", T.IntegerType()),
+    T.StructField("png_h", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+])
+
+
+@pandas_udf(T.BinaryType())
+def _synth_png_udf(doc_id: pd.Series) -> pd.Series:
+    """PNG-encode the formula page (np_encode_png) — the S15 container
+    layer over the same deterministic raster _synth_image_udf emits."""
+    from streamprocess_spark.functions.image import np_encode_png
+
+    def enc(d: int) -> bytes:
+        raw, w, h = _np_synth_image(int(d))
+        return np_encode_png(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+
+    return doc_id.apply(enc)
+
+
+@pandas_udf(PNG_STATS_SCHEMA)
+def _png_stats_udf(png: pd.Series) -> pd.DataFrame:
+    """Real PNG decode (zlib inflate + scanline unfilter): dims parsed
+    from the container's own IHDR, exact pixel sum over the raster."""
+    from streamprocess_spark.functions.image import np_decode_png
+
+    rows = []
+    for raw in png:
+        img = np_decode_png(raw)
+        rows.append({
+            "png_w": int(img.shape[1]),
+            "png_h": int(img.shape[0]),
+            "px_sum": int(img.astype(np.int64).sum()),
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q92_png_ingest",
+    oracle=f"""
+    WITH {_BLOCK_CTE},
+    dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN 60
+                    ELSE 160 + (doc_id % 3) * 80 END AS w,
+               120 + (doc_id % 2) * 60 AS h
+        FROM documents
+    )
+    SELECT m.doc_id,
+           cast(m.w AS INT) AS png_w,
+           cast(m.h AS INT) AS png_h,
+           cast(m.w * m.h * 255
+                - coalesce(sum(b.bw * 20), 0) * 215 AS BIGINT) AS px_sum
+    FROM dims m LEFT JOIN blk b USING (doc_id)
+    GROUP BY m.doc_id, m.w, m.h
+    """,
+    covers=("S15",),
+    doc="PNG container ingest (S15): pages are encoded as real PNGs "
+        "(np_encode_png) and decoded by the dependency-free zlib+NumPy "
+        "PNG reader (np_decode_png — IHDR parse, inflate, all 5 "
+        "scanline filters); dims come from the parsed header and the "
+        "exact pixel sum proves bit-identical decode against the "
+        "synthesis formula (the reference decodes PNG via cv2.imdecode, "
+        "ocr_worker.py:283-308). Scale: map-only per-row transform, "
+        "zero shuffles.",
+)
+def q92_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("png", _synth_png_udf(F.col("doc_id")))
+        .withColumn("s", _png_stats_udf(F.col("png")))
+        .select(
+            "doc_id",
+            F.col("s.png_w").alias("png_w"),
+            F.col("s.png_h").alias("png_h"),
+            F.col("s.px_sum").alias("px_sum"),
+        )
+    )
