@@ -60,6 +60,13 @@ def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.
                 f"PNG dims {img.shape[::-1]} != metadata {width}x{height}"
             )
         return img
+    if fmt == "BMP":
+        img = np_decode_bmp(raw)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"BMP dims {img.shape[::-1]} != metadata {width}x{height}"
+            )
+        return img
     if fmt != "GRAY8":
         raise NotImplementedError(
             f"decode for {fmt} needs an image codec (PIL/OpenCV); the "
@@ -199,6 +206,67 @@ def np_decode_png(raw: bytes) -> np.ndarray:
         prev = _png_unfilter_row(int(rows[r, 0]), rows[r, 1:], prev, ch)
         out[r] = prev
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def np_encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal BMP writer: 8-bit grayscale via a 256-entry gray
+    palette (BI_RGB uncompressed, bottom-up rows, 4-byte row padding).
+    The other uncompressed container the reference accepts
+    (src/grpc_server/server.py:354)."""
+    import struct
+
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("np_encode_bmp expects 2-D uint8")
+    h, w = img.shape
+    row = (w + 3) & ~3                       # rows padded to 4 bytes
+    palette = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    pix_off = 14 + 40 + len(palette)
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, :w] = img[::-1]                  # bottom-up
+    header = struct.pack("<2sIHHI", b"BM", pix_off + h * row, 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, h * row, 2835, 2835, 256, 0)
+    return header + dib + palette + body.tobytes()
+
+
+def np_decode_bmp(raw: bytes) -> np.ndarray:
+    """Minimal BMP reader: BI_RGB uncompressed 8-bit paletted or
+    24-bit BGR, bottom-up or top-down, BITMAPINFOHEADER. Returns HxW
+    uint8 grayscale (palette mapped / BGR luma)."""
+    import struct
+
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (pix_off,) = struct.unpack_from("<I", raw, 10)
+    (hdr_size, w, h_signed, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", raw, 14
+    )
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (only BI_RGB)")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bit depth {bpp} (only 8/24)")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    bypp = bpp // 8
+    row = (w * bypp + 3) & ~3
+    if len(raw) < pix_off + h * row:
+        raise ValueError("BMP pixel data truncated")
+    body = np.frombuffer(raw, dtype=np.uint8, count=h * row, offset=pix_off)
+    body = body.reshape(h, row)
+    if bottom_up:
+        body = body[::-1]
+    if bpp == 8:
+        idx = body[:, :w]
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            raw, dtype=np.uint8, count=256 * 4, offset=pal_off
+        ).reshape(256, 4)
+        # palette entries are BGRx; gray palette → any channel works,
+        # arbitrary palettes → luma of the mapped color
+        bgr = pal[idx.reshape(-1)].reshape(h, w, 4).astype(np.float64)
+    else:
+        bgr = body[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+    gray = 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+    return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
 
 
 def np_png_to_gray(img: np.ndarray) -> np.ndarray:

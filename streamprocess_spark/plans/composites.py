@@ -473,7 +473,8 @@ def _audio_suite_oracle() -> str:
 @register(
     "q_audio_suite",
     oracle=_audio_suite_oracle,
-    covers=("F1", "F2", "F3", "F7", "F9", "S15", "T4", "§3.2"),
+    covers=("F1", "F2", "F3", "F7", "F9", "S15", "T4", "§3.2",
+            "§2.13-multimodal"),
     doc="Audio scalar-function suite, one map-only pass per doc "
         "(q50/q51/q52/q57/q58 composite + S15 WAV): LINEAR16 decode "
         "(stt_worker.py:381-394), REAL RIFF/PCM16 WAV container decode "

@@ -860,3 +860,130 @@ def q88_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(n_sat).alias("n_saturated"),
         F.expr(err).alias("recon_err_fp"),
     )
+
+
+@register(
+    "q94_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS BIGINT) AS bpe_tokens,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS alpha_tokens,
+           cast(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS num_tokens,
+           cast(floor(length(text) * 1000000.0 / greatest(
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
+               1)) AS BIGINT) AS chars_per_tok_fp
+    FROM documents
+    """,
+    covers=("§2.13-text",),
+    doc="Token counting for training-data budgeting (SURVEY §2.13): "
+        "whitespace tokens and a BPE-style pre-tokenization (letter "
+        "runs | digit runs | single non-alnum — the GPT-2/tiktoken "
+        "pre-split shape) as native regexp_extract_all expressions, "
+        "zero Python. chars-per-token is the standard corpus heuristic "
+        "(~4 chars/token English), emitted fixed-point. Map-only: no "
+        "shuffle, embarrassingly parallel at 100 TB.",
+)
+def q94_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(bpe), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .cast("bigint").alias("ws_tokens"),
+        n_bpe.cast("bigint").alias("bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+        .cast("bigint").alias("alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("bigint").alias("num_tokens"),
+        F.floor(
+            F.length("text").cast("double") * 1000000.0
+            / F.greatest(n_bpe.cast("double"), F.lit(1.0))
+        ).cast("bigint").alias("chars_per_tok_fp"),
+    )
+
+
+@register(
+    "q95_winnowing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, p.i AS pos,
+               t[p.i + 1] || ' ' || t[p.i + 2] || ' ' || t[p.i + 3] AS s
+        FROM toks, range(0, 4096) p(i)
+        WHERE p.i <= len(t) - 3
+    ),
+    hv AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007 AS h
+        FROM sh
+    ),
+    wmin AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM hv
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3
+    )
+    SELECT doc_id,
+           cast(count(*) AS BIGINT) AS n_fingerprints,
+           cast(sum(fp) AS BIGINT) AS fp_sum,
+           cast(min(fp) AS BIGINT) AS fp_min
+    FROM sel GROUP BY doc_id
+    """,
+    covers=("§2.13-dedup",),
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+        "MOSS scheme): hash every word 3-gram in document order, slide "
+        "a w=4 window, keep the window minimum — guarantees any shared "
+        "substring of >= w+k-1 tokens produces a shared fingerprint, "
+        "at ~2/(w+1) the storage of full shingle sets. The rolling-"
+        "hash fingerprinting the §2.13 charter asks for, selected with "
+        "a window function (min OVER rows 3 preceding) — one shuffle "
+        "by doc_id, oracle bit-for-bit via the shared md5 token hash "
+        "(operators/dedup.py token_hash).",
+)
+def q95_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from streamprocess_spark.operators.dedup import MOD, token_hash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("t"),
+    )
+    idx = F.when(
+        F.size("t") >= 3, F.sequence(F.lit(0), F.size("t") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
+                ),
+            )
+        ).alias("pos", "s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = (
+        sh.select("doc_id", "pos", token_hash(F.col("s")).alias("h"))
+        .select("doc_id", "pos", F.min("h").over(w).alias("fp"))
+        .filter(F.col("pos") >= 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fp").alias("fp_sum"),
+        F.min("fp").alias("fp_min"),
+    )

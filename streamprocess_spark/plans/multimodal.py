@@ -1012,3 +1012,85 @@ def q92_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.px_sum").alias("px_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# video path (SURVEY §2.13 multimodal: frame sampling over a video column)
+# ---------------------------------------------------------------------------
+
+VIDEO_W, VIDEO_H = 32, 24
+VIDEO_AREA = VIDEO_W * VIDEO_H                   # 768
+_VBLOCK_AREA = 8 * 16                            # moving block, 128 px
+
+
+def _np_synth_video(d: int) -> bytes:
+    """RAWV clip for doc d: nf = 8 + d%5 frames of 32x24. Frame f is a
+    flat field v_f = (d*13 + f*29) % 251 with one 8x16 block of
+    b_f = (v_f*3 + 17) % 251 at rows [4,12) x cols [8,24) — so the
+    exact luma sum is v_f*(768-128) + b_f*128, closed-form for the
+    oracle."""
+    from streamprocess_spark.functions.video import np_build_rawv
+
+    nf = 8 + d % 5
+    frames = np.empty((nf, VIDEO_H, VIDEO_W), dtype=np.uint8)
+    for f in range(nf):
+        v = (d * 13 + f * 29) % 251
+        b = (v * 3 + 17) % 251
+        frames[f] = v
+        frames[f, 4:12, 8:24] = b
+    return np_build_rawv(frames, fps=10)
+
+
+@pandas_udf(T.BinaryType())
+def _synth_video_udf(doc_id: pd.Series) -> pd.Series:
+    return doc_id.apply(lambda d: _np_synth_video(int(d)))
+
+
+@register(
+    "q93_video_frames",
+    oracle="""
+    WITH vid AS (SELECT doc_id, 8 + doc_id % 5 AS nf FROM documents),
+    fr AS (
+        SELECT v.doc_id, t.f,
+               (v.doc_id * 13 + t.f * 29) % 251 AS vf
+        FROM vid v, range(0, 12) t(f)
+        WHERE t.f < v.nf AND t.f % 2 = 0
+    ),
+    s AS (
+        SELECT doc_id, f,
+               vf * 640 + ((vf * 3 + 17) % 251) * 128 AS luma_sum
+        FROM fr
+    )
+    SELECT doc_id,
+           cast(f AS INT) AS frame_idx,
+           cast(luma_sum AS BIGINT) AS luma_sum,
+           cast(abs(luma_sum - lag(luma_sum) OVER
+                (PARTITION BY doc_id ORDER BY f)) AS BIGINT) AS motion
+    FROM s
+    """,
+    covers=("§2.13-multimodal",),
+    doc="Video frame sampling (SURVEY §2.13): videos are opaque binary "
+        "RAWV containers (real header+raster parser, "
+        "functions/video.py; MP4/WebM decode is the documented ffmpeg "
+        "stub); every 2nd frame is extracted with an exact integer "
+        "luma sum and a motion signal (|delta| vs previous sampled "
+        "frame — the scene-change heuristic used to pick training "
+        "frames). One row per sampled frame via posexplode; map-only, "
+        "zero shuffle, so it scales with input splits at 100 TB.",
+)
+def q93_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.video import sample_frames_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("video", _synth_video_udf(F.col("doc_id")))
+        .withColumn("fr", sample_frames_udf(step=2)(F.col("video")))
+        .select("doc_id", F.explode("fr").alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.frame_idx").alias("frame_idx"),
+            F.col("e.luma_sum").alias("luma_sum"),
+            F.col("e.motion").alias("motion"),
+        )
+    )

@@ -270,6 +270,31 @@ class TestPngCodec:
         )
         assert np.array_equal(I.np_decode_png(raw), img)
 
+    def test_bmp_roundtrip_and_24bit(self):
+        img = _block_image()
+        raw = I.np_encode_bmp(img)
+        assert raw[:2] == b"BM"
+        assert np.array_equal(I.np_decode_bmp(raw), img)
+        assert np.array_equal(I.decode_image(raw, 200, 150, fmt="BMP"), img)
+        # odd width exercises 4-byte row padding
+        odd = img[:, :157]
+        assert np.array_equal(I.np_decode_bmp(I.np_encode_bmp(odd)), odd)
+        # hand-built 24-bit BGR, 2x2, bottom-up
+        import struct
+
+        px = bytes([10, 20, 30, 40, 50, 60, 0, 0,   # row1 (bottom) + pad
+                    70, 80, 90, 100, 110, 120, 0, 0])  # row0 (top) + pad
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+        out = I.np_decode_bmp(hdr + dib + px)
+        assert out.shape == (2, 2)
+        # top-left pixel = BGR(70,80,90) → luma
+        assert out[0, 0] == int(np.rint(0.114 * 70 + 0.587 * 80 + 0.299 * 90))
+        with pytest.raises(NotImplementedError, match="compression"):
+            bad = bytearray(hdr + dib + px)
+            struct.pack_into("<I", bad, 14 + 16, 1)  # BI_RLE8
+            I.np_decode_bmp(bytes(bad))
+
     def test_unsupported_pngs_rejected(self):
         import struct
 
@@ -470,6 +495,43 @@ def test_ocr_engine_udf_switches_backends(spark):
     assert [l["text"] for l in out["bogus"]] == [l["text"] for l in out["paddle"]]
     assert [l["text"] for l in out["tesseract"]] != [l["text"] for l in out["paddle"]]
     assert len(out["tesseract"]) == 2
+
+
+# --------------------------------------------------- video (§2.13)
+
+class TestVideo:
+    def test_rawv_roundtrip(self):
+        from streamprocess_spark.functions import video as V
+
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, size=(5, 24, 32), dtype=np.uint8)
+        raw = V.np_build_rawv(frames, fps=30)
+        back, fps = V.np_parse_rawv(raw)
+        assert fps == 30 and np.array_equal(back, frames)
+
+    def test_frame_sampling_and_motion(self):
+        from streamprocess_spark.functions import video as V
+
+        frames = np.stack([
+            np.full((4, 4), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)
+        ])
+        out = V.np_sample_frames(V.np_build_rawv(frames), step=2)
+        assert [o["frame_idx"] for o in out] == [0, 2, 4]
+        assert [o["luma_sum"] for o in out] == [160, 480, 800]
+        assert out[0]["motion"] is None
+        assert [o["motion"] for o in out[1:]] == [320, 320]
+
+    def test_truncated_and_codec_stub(self):
+        from streamprocess_spark.functions import video as V
+
+        frames = np.zeros((2, 4, 4), dtype=np.uint8)
+        raw = V.np_build_rawv(frames)
+        with pytest.raises(ValueError, match="truncated"):
+            V.np_parse_rawv(raw[:-5])
+        with pytest.raises(ValueError, match="magic"):
+            V.np_parse_rawv(b"XXXX" + raw[4:])
+        with pytest.raises(NotImplementedError):
+            V.np_decode_video(raw, fmt="MP4")
 
 
 # ------------------------------------------------------- ops listener

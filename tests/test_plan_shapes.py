@@ -86,6 +86,31 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"
 
 
+def test_media_pipelines_are_map_only(spark):
+    """The per-row media paths (PNG ingest, video frame sampling,
+    token counting) must plan with ZERO exchanges — any shuffle in a
+    decode/sample/count pipeline is a plan regression that would
+    dominate at 100 TB."""
+    import re
+
+    for name in ("q92_png_ingest", "q93_video_frames", "q94_token_counts"):
+        plan = _plan(spark, name)
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n_exchanges == 0, f"{name}: {n_exchanges} exchanges in map-only path"
+
+
+def test_winnowing_bounded_shuffles(spark):
+    """q95: one shuffle to co-locate shingles by doc (window), one for
+    the distinct, one for the final agg — never a per-window re-shuffle
+    or a cartesian."""
+    import re
+
+    plan = _plan(spark, "q95_winnowing")
+    assert "CartesianProduct" not in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 3, f"winnowing plan regressed: {n_exchanges} exchanges"
+
+
 def test_topk_projects_before_ranking(spark):
     """cosine_topk must not shuffle embedding arrays through the
     ranking window — the window input carries only (qid, cid, score)."""
