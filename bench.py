@@ -139,6 +139,33 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result["sf"] = float(sf) if sf else None
 
+    # streaming throughput: full events replay through the watermarked
+    # tumbling-window aggregation (micro-batched availableNow run to a
+    # converged sink) — the §6 "streaming" harness shape, reported as
+    # end-to-end rows/sec of the stateful pipeline
+    if "stream_tumbling_window" in QUERIES:
+        import duckdb
+
+        n_events = duckdb.sql(
+            f"SELECT count(*) FROM '{os.path.join(sf_dir, 'events.parquet')}'"
+        ).fetchone()[0]
+        t0 = time.perf_counter()
+        out_rows = QUERIES["stream_tumbling_window"].builder(spark, sf_dir).count()
+        el = time.perf_counter() - t0
+        result_stream = {
+            "input_rows": int(n_events),
+            "output_rows": int(out_rows),
+            "value": round(el, 4),
+            "rows_per_sec": round(n_events / el, 1),
+        }
+        print(
+            f"# streaming replay: {el:.3f}s "
+            f"({result_stream['rows_per_sec']} rows/s)",
+            file=sys.stderr,
+        )
+    else:
+        result_stream = None
+
     if not os.environ.get("SPARK_GRAFT_SKIP_DEEP"):
         t0 = time.perf_counter()
         deep_dir = ensure_deep_dir(sf_dir)
@@ -158,6 +185,9 @@ def main() -> None:
             "value": round(deep_total, 4),
             "queries": deep_timings,
         }
+
+    if result_stream is not None:
+        result["streaming"] = result_stream
 
     print(json.dumps(result))
     spark.stop()

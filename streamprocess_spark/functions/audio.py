@@ -100,6 +100,44 @@ def np_parse_wav(raw: bytes) -> tuple[np.ndarray, int, int]:
     return x.astype(np.float32) / 32768.0, sr, channels or 1
 
 
+def np_decode_mulaw(raw: bytes) -> np.ndarray:
+    """G.711 µ-law decode (telephony 8-bit companding) → float32 in
+    [-1, 1). Standard ITU-T expansion: invert bits, split
+    sign/exponent/mantissa, magnitude = ((2m+33) << e) - 33, scaled by
+    the 14-bit full scale (8159)."""
+    u = ~np.frombuffer(raw, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = ((u >> 4) & 0x07).astype(np.int32)
+    mant = (u & 0x0F).astype(np.int32)
+    mag = ((2 * mant + 33) << exp) - 33
+    x = np.where(sign, -mag, mag).astype(np.float32) / 8159.0
+    return np.clip(x, -1.0, 1.0)
+
+
+def np_encode_mulaw(x: np.ndarray) -> bytes:
+    """G.711 µ-law encode (inverse of np_decode_mulaw)."""
+    mag = np.clip(np.abs(x) * 8159.0, 0, 8158).astype(np.int32) + 33
+    exp = (np.floor(np.log2(mag)) - 5).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = ((mag >> (exp + 1)) - 16) & 0x0F
+    u = (exp << 4) | mant
+    u = np.where(np.signbit(x) | (x < 0), u | 0x80, u)
+    return (~u.astype(np.uint8)).tobytes()
+
+
+def np_decode_alaw(raw: bytes) -> np.ndarray:
+    """G.711 A-law decode → float32 in [-1, 1). ITU-T expansion with
+    the 0x55 XOR mask; 13-bit full scale (4032)."""
+    a = np.frombuffer(raw, dtype=np.uint8) ^ 0x55
+    # sign bit SET means positive in A-law (opposite of µ-law)
+    pos = (a & 0x80) != 0
+    exp = ((a >> 4) & 0x07).astype(np.int32)
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, 2 * mant + 1, (2 * mant + 33) << (exp - 1))
+    x = np.where(pos, mag, -mag).astype(np.float32) / 4032.0
+    return np.clip(x, -1.0, 1.0)
+
+
 def np_decode_audio(
     raw: bytes, encoding: str = "LINEAR16", target_sr: int = 16000
 ) -> np.ndarray:
@@ -118,6 +156,11 @@ def np_decode_audio(
     if enc == "WAV":
         x, sr, ch = np_parse_wav(raw)
         return np_resample(np_to_mono(x, ch), sr, target_sr)
+    if enc in ("MULAW", "ULAW"):
+        # G.711 is defined at 8 kHz — resample to the pipeline rate
+        return np_resample(np_decode_mulaw(raw), 8000, target_sr)
+    if enc == "ALAW":
+        return np_resample(np_decode_alaw(raw), 8000, target_sr)
     raise NotImplementedError(
         f"audio decode for {enc} needs a codec library (soundfile/ffmpeg); "
         "the reference decodes via soundfile (stt_worker.py:390-394)"

@@ -456,6 +456,33 @@ class TestWavParse:
             A.np_decode_audio(b"\x00\x01", "MP3")
 
 
+class TestG711:
+    """G.711 µ-law/A-law telephony codecs (S15), cross-validated
+    against CPython's audioop reference implementation."""
+
+    def test_matches_audioop_reference(self):
+        audioop = pytest.importorskip("audioop")
+        raw = bytes(range(256))
+        ref_u = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype="<i2")
+        # audioop expands to 16-bit = our 14-bit magnitude << 2
+        assert np.allclose(
+            A.np_decode_mulaw(raw), ref_u / (8159.0 * 4), atol=1e-7
+        )
+        ref_a = np.frombuffer(audioop.alaw2lin(raw, 2), dtype="<i2")
+        assert np.allclose(
+            A.np_decode_alaw(raw), ref_a / (4032.0 * 8), atol=1e-7
+        )
+
+    def test_decode_audio_dispatch_resamples_8k(self):
+        x = _tone(freq=300, sr=8000, dur=0.25, amp=0.4)
+        enc = A.np_encode_mulaw(x)
+        y = A.np_decode_audio(enc, "MULAW", target_sr=16000)
+        assert len(y) == 2 * len(x)        # 8 kHz G.711 → 16 kHz
+        # companding is lossy but small at this amplitude
+        ref = A.np_resample(A.np_decode_mulaw(enc), 8000, 16000)
+        assert np.allclose(y, ref)
+
+
 # --------------------------------------------- OCR engine dispatch F26
 
 def test_mock_tesseract_is_a_distinct_engine():

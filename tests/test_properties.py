@@ -124,3 +124,62 @@ def test_bbox_contains_all_points(pts):
         assert x <= px and y <= py
         # int truncation: the box extends to int(max) on each axis
         assert px <= x + w + 1 and py <= y + h + 1
+
+
+# ------------------------------------------------ container codecs
+
+u8_images = st.integers(min_value=1, max_value=40).flatmap(
+    lambda h: st.integers(min_value=1, max_value=40).flatmap(
+        lambda w: st.binary(min_size=h * w, max_size=h * w).map(
+            lambda b: np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+        )
+    )
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(u8_images)
+def test_png_roundtrip_lossless(img):
+    assert np.array_equal(I.np_decode_png(I.np_encode_png(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(u8_images)
+def test_bmp_roundtrip_lossless(img):
+    assert np.array_equal(I.np_decode_bmp(I.np_encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(float_arrays, st.sampled_from([8000, 16000, 44100]),
+       st.integers(min_value=1, max_value=2))
+def test_wav_roundtrip_preserves_rate_and_samples(x, sr, ch):
+    n = len(x) // ch * ch
+    if n == 0:
+        return
+    raw = A.np_build_wav(A.np_encode_linear16(x[:n]), sr=sr, channels=ch)
+    y, sr2, ch2 = A.np_parse_wav(raw)
+    assert (sr2, ch2, len(y)) == (sr, ch, n)
+    assert np.allclose(y, np.clip(x[:n], -1, 1), atol=2 / 32768.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(float_arrays)
+def test_mulaw_roundtrip_companding_bound(x):
+    """µ-law is logarithmic 8-bit: relative error bounded, absolute
+    error <= ~1/16 of magnitude + smallest step."""
+    y = A.np_decode_mulaw(A.np_encode_mulaw(x))
+    assert len(y) == len(x)
+    xc = np.clip(x, -1.0, 1.0)
+    assert np.all(np.abs(y - xc) <= np.abs(xc) / 16.0 + 0.01)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_g711_decoders_total_on_any_bytes(raw):
+    """Every byte string is a valid G.711 stream (8-bit codes are
+    total) — decoders must never raise and stay in [-1, 1]."""
+    for dec in (A.np_decode_mulaw, A.np_decode_alaw):
+        y = dec(raw)
+        assert len(y) == len(raw)
+        if len(y):
+            assert float(np.max(np.abs(y))) <= 1.0
