@@ -1094,3 +1094,78 @@ def q93_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.motion").alias("motion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 telephony ingest (S15) — integer-exact companding oracle
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_g711_udf(doc_id: pd.Series) -> pd.Series:
+    """1600 formula-generated mu-law code bytes per doc (0.2 s @ 8 kHz):
+    byte i = (d*17 + i*13) % 256 — covers the full 8-bit code space."""
+    def synth(d: int) -> bytes:
+        i = np.arange(1600, dtype=np.int64)
+        return ((d * 17 + i * 13) % 256).astype(np.uint8).tobytes()
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+@register(
+    "q96_g711_ingest",
+    oracle="""
+    WITH codes AS (
+        SELECT d.doc_id, t.i,
+               255 - ((d.doc_id * 17 + t.i * 13) % 256) AS u
+        FROM documents d, range(0, 1600) t(i)
+    ),
+    dec AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 128 THEN -1 ELSE 1 END AS sgn,
+               ((2 * (u & 15) + 33) * (1 << ((u >> 4) & 7))) - 33 AS mag14
+        FROM codes
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_samples,
+           cast(sum(sgn * mag14) AS BIGINT) AS ssum14,
+           cast(sum(mag14) AS BIGINT) AS mag_sum
+    FROM dec GROUP BY doc_id
+    """,
+    covers=("S15", "F9"),
+    doc="G.711 mu-law ingest (S15): formula-generated 8-bit code bytes "
+        "decoded by np_decode_mulaw (ITU-T expansion, validated "
+        "bit-level against CPython audioop); the oracle re-derives the "
+        "expansion with integer bit ops (invert, sign 0x80, exponent "
+        "bits 4-6, mantissa bits 0-3, mag = (2m+33)<<e - 33). The "
+        "14-bit magnitudes are recovered exactly from the decoded "
+        "float32 via round(|x|*8159) — max float32 error is ~5e-4, far "
+        "under the 0.5 rounding margin — so every sample is checked "
+        "without float-division ambiguity. Map-only before the per-doc "
+        "aggregation.",
+)
+def q96_g711_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import decode_audio_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    mu = decode_audio_udf("MULAW", target_sr=8000)  # native G.711 rate
+    # signed / absolute 14-bit magnitudes recovered from float samples
+    s14 = (
+        "aggregate(transform(samples, x -> cast(round(cast(x as double) "
+        "* 8159.0, 0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    m14 = (
+        "aggregate(transform(samples, x -> cast(round(abs(cast(x as double)) "
+        "* 8159.0, 0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        docs.select("doc_id")
+        .withColumn("g711", _synth_g711_udf(F.col("doc_id")))
+        .withColumn("samples", mu(F.col("g711")))
+        .select(
+            "doc_id",
+            F.size("samples").cast("bigint").alias("n_samples"),
+            F.expr(s14).alias("ssum14"),
+            F.expr(m14).alias("mag_sum"),
+        )
+    )
