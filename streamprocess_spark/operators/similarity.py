@@ -256,3 +256,95 @@ def ann_topk_lsh(
         .dropDuplicates(["qid", "cid"])
     )
     return _exact_rescore_topk(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (SURVEY §2.13): distributed Lloyd iterations
+# ---------------------------------------------------------------------------
+
+MEAN_SCALE = 1e9  # per-dimension fixed-point sum scale for centroid means
+
+
+def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by cosine: fixed-point dots, round-6 score,
+    centroid-id tie-break — the same determinism discipline as
+    ivf_assign. Centroids (k rows) are broadcast; map-only pass."""
+    vn = F.sqrt(_self_dot(F.col("embedding")))
+    cn = F.sqrt(_self_dot(F.col("cent")))
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(_dot(F.col("embedding"), F.col("cent")) / (vn * cn), 6).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "s")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd k-means over an embedding corpus.
+
+    Scale shape (the only one that survives 100 TB):
+      - assignment: broadcast k centroids, map-only argmax — no shuffle
+        of the corpus;
+      - update: ONE keyed shuffle per iteration (groupBy bucket) with
+        map-side partial aggregation of per-dimension sums;
+      - per-dimension sums are fixed-point bigints, so the reduce is
+        order-independent — centroids are bit-identical across runs,
+        cluster layouts, and engines (floor(x*1e9) summed, divided
+        once at the end);
+      - an emptied cluster keeps its previous centroid (left join +
+        coalesce), never a null/NaN.
+
+    Deterministic init: centroids = vectors with id < k (the same
+    convention as the IVF coarse quantizer). Returns (assignment,
+    centroids) after n_iter rounds."""
+    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # centroids live in double from the start so the iteration-1 output
+    # (fixed-point means, double) coalesces against the same type
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent"),
+    )
+    for _ in range(n_iter):
+        assigned = _kmeans_assign(v, cents)
+        sums = assigned.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.col("embedding")[i].cast("double") * F.lit(MEAN_SCALE)
+                    ).cast("bigint")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = sums.select(
+            F.col("bucket").alias("cent_id"),
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double")
+                    / (F.lit(MEAN_SCALE) * F.col("cnt").cast("double"))
+                    for i in range(dim)
+                ]
+            ).alias("cent_new"),
+        )
+        cents = (
+            cents.join(new, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("cent_new"), F.col("cent")).alias("cent"),
+            )
+        )
+    return _kmeans_assign(v, cents), cents

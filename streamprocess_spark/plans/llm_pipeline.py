@@ -987,3 +987,127 @@ def q95_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fp").alias("fp_sum"),
         F.min("fp").alias("fp_min"),
     )
+
+
+# oracle fragment: one k-means assignment round — scores every vector
+# against centroid table {C}, keeps the argmax (round-6 cosine,
+# centroid-id tie-break). Emitted as a set of CTEs suffixed {T}.
+def _km_assign_cte(C: str, T: str) -> str:
+    return f"""
+    cn{T} AS (
+        SELECT cent_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT cent_id, unnest(cent)::DOUBLE AS a FROM {C})
+        GROUP BY cent_id
+    ), p{T} AS (
+        SELECT t.vec_id, c.cent_id,
+               unnest(t.embedding)::DOUBLE AS a,
+               unnest(c.cent)::DOUBLE AS b
+        FROM v t, {C} c
+    ), d{T} AS (
+        SELECT vec_id, cent_id, {_DOT_FP} AS dot
+        FROM p{T} GROUP BY vec_id, cent_id
+    ), s{T} AS (
+        SELECT d.vec_id, d.cent_id,
+               round(d.dot / (vn.nrm * cn{T}.nrm), 6) AS s
+        FROM d{T} d JOIN vn ON vn.vec_id = d.vec_id
+                    JOIN cn{T} ON cn{T}.cent_id = d.cent_id
+    ), a{T} AS (
+        SELECT vec_id, cent_id AS bucket, s
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, cent_id) AS rn
+              FROM s{T})
+        WHERE rn = 1
+    )"""
+
+
+# oracle fragment: one Lloyd update — fixed-point per-dimension sums
+# over assignment {A}'s clusters; emptied clusters keep the previous
+# centroid from {CPREV}. Result centroid table is named {CNEXT}.
+def _km_update_cte(A: str, CPREV: str, CNEXT: str, T: str) -> str:
+    return f"""
+    m{T} AS (
+        SELECT a.bucket, r.i,
+               sum(floor(t.embedding[r.i + 1]::DOUBLE
+                         * 1000000000.0)::BIGINT) AS sfp,
+               count(*) AS cnt
+        FROM {A} a JOIN v t USING (vec_id), range(0, 64) r(i)
+        GROUP BY a.bucket, r.i
+    ), {CNEXT}m AS (
+        SELECT bucket AS cent_id,
+               list((sfp::DOUBLE) / (1000000000.0 * cnt) ORDER BY i) AS cent
+        FROM m{T} GROUP BY bucket
+    ), {CNEXT} AS (
+        SELECT {CPREV}.cent_id, coalesce({CNEXT}m.cent, {CPREV}.cent) AS cent
+        FROM {CPREV} LEFT JOIN {CNEXT}m USING (cent_id)
+    )"""
+
+
+@register(
+    "q97_kmeans",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    vn AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM v)
+        GROUP BY vec_id
+    ),
+    c0 AS (
+        SELECT vec_id AS cent_id,
+               list_transform(embedding, x -> x::DOUBLE) AS cent
+        FROM v WHERE vec_id < 8
+    ),
+    {_km_assign_cte("c0", "0")},
+    {_km_update_cte("a0", "c0", "c1", "0")},
+    {_km_assign_cte("c1", "1")},
+    {_km_update_cte("a1", "c1", "c2", "1")},
+    {_km_assign_cte("c2", "2")},
+    cf AS (
+        SELECT cent_id, sum(floor(a * 1000000.0)::BIGINT) AS centroid_fp
+        FROM (SELECT cent_id, unnest(cent)::DOUBLE AS a FROM c2)
+        GROUP BY cent_id
+    )
+    SELECT a.bucket,
+           count(*)::BIGINT AS cnt,
+           cast(sum(cast(round((1 - a.s) * 1000000.0, 0) AS BIGINT))
+               AS BIGINT) AS inertia_fp,
+           cast(min(cf.centroid_fp) AS BIGINT) AS centroid_fp
+    FROM a2 a JOIN cf ON cf.cent_id = a.bucket
+    GROUP BY a.bucket
+    """,
+    covers=("§2.13-similarity",),
+    doc="Distributed Lloyd k-means (SURVEY §2.13): 2 iterations, k=8, "
+        "deterministic first-k init (same convention as the IVF coarse "
+        "quantizer). Assignment is a broadcast map-only argmax; the "
+        "update is ONE keyed shuffle per iteration with map-side "
+        "partial aggregation; per-dimension sums are fixed-point "
+        "bigints (floor(x*1e9)) so centroid means are order-"
+        "independent and bit-identical across engines; emptied "
+        "clusters keep their previous centroid. The oracle replays "
+        "both iterations in SQL — per-cluster sizes, round-6 cosine "
+        "inertia, and centroid fingerprints all match exactly. This "
+        "is the corpus-curation clustering step (topic balancing, "
+        "diversity sampling) of an LLM data pipeline.",
+)
+def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.similarity import kmeans_fit
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assigned, cents = kmeans_fit(emb, k=8, n_iter=2, dim=64)
+    cfp = cents.select(
+        F.col("cent_id").alias("bucket"),
+        F.expr(
+            "aggregate(transform(cent, x -> cast(floor(x * 1000000.0) as "
+            "bigint)), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("centroid_fp"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.round((F.lit(1.0) - F.col("s")) * 1000000.0, 0).cast("bigint")
+            ).alias("inertia_fp"),
+        )
+        .join(cfp, "bucket")
+        .select("bucket", "cnt", "inertia_fp", "centroid_fp")
+    )

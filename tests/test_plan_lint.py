@@ -38,6 +38,7 @@ _ALLOWED_NESTED_LOOP = {
     "q48_embedding_topk",
     "q72_embedding_neardup",
     "q73_ann_ivf_topk",
+    "q97_kmeans",          # broadcast of k=8 centroids — the Lloyd assign
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 

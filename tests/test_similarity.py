@@ -46,3 +46,40 @@ def test_ann_is_subset_ranking(results):
     for r in ann:
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_kmeans_inertia_decreases_and_deterministic(spark):
+    """Lloyd invariants: every vector assigned exactly once; mean
+    round-6 cosine distance to the assigned centroid does not increase
+    with more update rounds; identical runs are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.operators.similarity import kmeans_fit
+    from tests.conftest import SF_DIR
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    n = emb.count()
+
+    def inertia(n_iter: int) -> float:
+        assigned, _ = kmeans_fit(emb, k=8, n_iter=n_iter, dim=64)
+        agg = assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.lit(1.0) - F.col("s")).alias("inertia"),
+        ).first()
+        assert agg["n"] == n
+        return float(agg["inertia"])
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i1 <= i0 + 1e-9 and i2 <= i1 + 1e-9, (i0, i1, i2)
+    assert i1 < i0, "first update round must strictly improve on init"
+
+    def run() -> "object":
+        return (
+            kmeans_fit(emb, k=8, n_iter=2, dim=64)[0]
+            .select("vec_id", "bucket", "s")
+            .toPandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+
+    assert run().equals(run())
