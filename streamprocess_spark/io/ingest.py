@@ -1,0 +1,124 @@
+"""Media ingestion edge (SURVEY §2.1 S4/S5): the engine-side half of
+the reference's upload paths.
+
+The reference's REST upload (`POST /stt/upload`, src/api/main.py:
+146-218) and WebSocket bridge (`/ws/stt`, :336-400) read client bytes,
+wrap them in a job envelope, and enqueue to the priority queue; the
+HTTP/WS transport itself is out of engine scope (SURVEY §2.1). This
+module is everything after the socket: format sniffing, validation
+through the real codecs, envelope assembly (`server.py:99-108,150-158`
+job dicts), and the `add_job` append — so a file dropped into a
+landing directory flows into the exact same `priority_queue` source
+the streaming pipeline reads.
+
+Formats are sniffed from magic bytes, never extensions (the reference
+trusts `AudioEncoding`/image sniffing, not names). Unknown payloads
+are enqueued as `unsupported_media` at low priority rather than
+dropped — the dead-letter-adjacent behavior of R3's unknown-type
+branch (stt_worker.py:115-137: unknown → nack, no retry).
+
+Payload bytes travel base64-inside-JSON, the reference's own wire
+shape for media in job envelopes (ocr_worker.py:289-291 decodes
+base64 image_content).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+
+from streamprocess_spark.io.queue_source import enqueue_job
+
+# magic-byte sniffers → (format tag, job type, default priority)
+_SNIFFERS = (
+    (b"RIFF", "WAV", "stt_batch", "normal"),          # + WAVE check below
+    (b"\x89PNG\r\n\x1a\n", "PNG", "ocr_single", "normal"),
+    (b"BM", "BMP", "ocr_single", "normal"),
+    (b"RAWV", "RAWV", "video_batch", "low"),
+)
+
+
+def sniff_format(raw: bytes) -> tuple[str, str, str]:
+    """(format, job_type, priority) from magic bytes; unknown payloads
+    degrade to ('UNKNOWN', 'unsupported_media', 'low')."""
+    for magic, fmt, jtype, prio in _SNIFFERS:
+        if raw[: len(magic)] == magic:
+            if fmt == "WAV" and raw[8:12] != b"WAVE":
+                continue  # RIFF but not WAVE (e.g. AVI) → unknown
+            return fmt, jtype, prio
+    return "UNKNOWN", "unsupported_media", "low"
+
+
+def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
+    """Run the payload through the real decoder — an envelope should
+    never carry bytes the pipeline will later crash on (the upload
+    edge's 400-before-enqueue behavior, api/main.py:162-168)."""
+    try:
+        if fmt == "WAV":
+            from streamprocess_spark.functions.audio import np_parse_wav
+
+            np_parse_wav(raw)
+        elif fmt == "PNG":
+            from streamprocess_spark.functions.image import np_decode_png
+
+            np_decode_png(raw)
+        elif fmt == "BMP":
+            from streamprocess_spark.functions.image import np_decode_bmp
+
+            np_decode_bmp(raw)
+        elif fmt == "RAWV":
+            from streamprocess_spark.functions.video import np_parse_rawv
+
+            np_parse_rawv(raw)
+        return True, ""
+    except (ValueError, NotImplementedError) as e:
+        return False, str(e)
+
+
+def ingest_bytes(
+    qdir: str,
+    raw: bytes,
+    *,
+    name: str = "",
+    priority: str | None = None,
+    enqueued_at: float = 0.0,
+) -> dict:
+    """One uploaded payload → sniff, validate, envelope, enqueue.
+    Returns the envelope (with `type='corrupt_media'` routed low when
+    validation fails — queued for the dead-letter path, not dropped).
+    Deterministic: job_id is a content hash, timestamps are caller-
+    supplied (no wall clock in the engine path)."""
+    fmt, jtype, prio = sniff_format(raw)
+    ok, err = _validate(raw, fmt) if fmt != "UNKNOWN" else (False, "unknown format")
+    if not ok and fmt != "UNKNOWN":
+        jtype, prio = "corrupt_media", "low"
+    job = {
+        "job_id": hashlib.md5(raw).hexdigest()[:16],
+        "type": jtype,
+        "enqueued_at": float(enqueued_at),
+        "payload": {
+            "filename": name,
+            "format": fmt,
+            "size_bytes": len(raw),
+            "content_b64": base64.b64encode(raw).decode("ascii"),
+            **({"error": err} if not ok else {}),
+        },
+    }
+    enqueue_job(qdir, priority or prio, job)
+    return job
+
+
+def ingest_dir(qdir: str, src_dir: str, enqueued_at: float = 0.0) -> list[dict]:
+    """Landing-directory sweep: every regular file becomes one job, in
+    deterministic name order."""
+    out = []
+    for fn in sorted(os.listdir(src_dir)):
+        path = os.path.join(src_dir, fn)
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                raw = f.read()
+            out.append(
+                ingest_bytes(qdir, raw, name=fn, enqueued_at=enqueued_at)
+            )
+    return out

@@ -1169,3 +1169,64 @@ def q96_g711_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(m14).alias("mag_sum"),
         )
     )
+
+
+@register(
+    "q98_video_dedup",
+    oracle="""
+    WITH vid AS (SELECT doc_id, 8 + doc_id % 5 AS nf FROM documents),
+    fr AS (
+        SELECT v.doc_id, t.f,
+               (v.doc_id * 13 + t.f * 29) % 251 AS vf
+        FROM vid v, range(0, 12) t(f)
+        WHERE t.f < v.nf
+    ),
+    sig AS (
+        SELECT doc_id, f,
+               vf * 640 + ((vf * 3 + 17) % 251) * 128 AS luma_sum
+        FROM fr
+    )
+    SELECT luma_sum,
+           count(*)::BIGINT AS n_frames,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           cast(min(doc_id * 100 + f) AS BIGINT) AS canonical
+    FROM sig
+    GROUP BY luma_sum
+    HAVING count(*) >= 2
+    """,
+    covers=("§2.13-multimodal", "§2.13-dedup"),
+    doc="Cross-video frame deduplication (SURVEY §2.13): every frame of "
+        "every clip is signatured (exact luma sum — the content-hash "
+        "analog for the synthetic rasters, injective over the frame "
+        "value formula) and exact-dup groups are collapsed with one "
+        "hash groupBy, reporting cluster size, distinct source clips, "
+        "and the canonical (min doc,frame) survivor — the frame-level "
+        "dup pruning step of a video training-data pipeline. Scale: "
+        "frame expansion happens inside the scan partition "
+        "(posexplode), then ONE keyed shuffle on the signature — the "
+        "same shape as document exact-dedup (operators/dedup.py) at "
+        "any corpus size.",
+)
+def q98_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.video import sample_frames_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("video", _synth_video_udf(F.col("doc_id")))
+        .withColumn("fr", sample_frames_udf(step=1)(F.col("video")))
+        .select("doc_id", F.explode("fr").alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.frame_idx").alias("f"),
+            F.col("e.luma_sum").alias("luma_sum"),
+        )
+        .groupBy("luma_sum")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.col("doc_id") * 100 + F.col("f")).alias("canonical"),
+        )
+        .filter(F.col("n_frames") >= 2)
+        .select("luma_sum", "n_frames", "n_docs", "canonical")
+    )

@@ -1,0 +1,83 @@
+"""Media ingestion edge (S4/S5): upload bytes → sniffed/validated job
+envelopes in the priority queue, decodable end-to-end by the same
+codecs the pipeline runs."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+
+from streamprocess_spark.functions import audio as A
+from streamprocess_spark.functions import image as I
+from streamprocess_spark.functions import video as V
+from streamprocess_spark.io.ingest import ingest_bytes, ingest_dir, sniff_format
+
+
+def _wav() -> bytes:
+    x = (0.3 * np.sin(np.arange(1600) * 0.1)).astype(np.float32)
+    return A.np_build_wav(A.np_encode_linear16(x), sr=16000)
+
+
+def _png() -> bytes:
+    img = np.full((20, 30), 200, dtype=np.uint8)
+    img[5:10, 5:20] = 30
+    return I.np_encode_png(img)
+
+
+def test_sniffers():
+    assert sniff_format(_wav())[0] == "WAV"
+    assert sniff_format(_png())[0] == "PNG"
+    assert sniff_format(I.np_encode_bmp(np.zeros((4, 4), np.uint8)))[0] == "BMP"
+    assert sniff_format(V.np_build_rawv(np.zeros((1, 4, 4), np.uint8)))[0] == "RAWV"
+    assert sniff_format(b"GIF89a....")[0] == "UNKNOWN"
+    # RIFF that is not WAVE (AVI) must not sniff as WAV
+    avi = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " + b"\x00" * 100
+    assert sniff_format(avi) == ("UNKNOWN", "unsupported_media", "low")
+
+
+def test_ingest_routes_and_validates(tmp_path):
+    qdir = str(tmp_path / "q")
+    ok = ingest_bytes(qdir, _wav(), name="a.wav", enqueued_at=1.0)
+    assert (ok["type"], ok["payload"]["format"]) == ("stt_batch", "WAV")
+    img = ingest_bytes(qdir, _png(), name="b.png", enqueued_at=2.0)
+    assert img["type"] == "ocr_single"
+    bad = ingest_bytes(qdir, _wav()[:20], name="torn.wav", enqueued_at=3.0)
+    assert bad["type"] == "corrupt_media" and "error" in bad["payload"]
+    unk = ingest_bytes(qdir, b"GIF89a" + b"\x00" * 10, enqueued_at=4.0)
+    assert unk["type"] == "unsupported_media"
+    # corrupt/unknown jobs land on the low queue, valid media on normal
+    lines = open(f"{qdir}/low.jsonl").read().splitlines()
+    assert len(lines) == 2
+    assert len(open(f"{qdir}/normal.jsonl").read().splitlines()) == 2
+
+
+def test_end_to_end_through_queue_source(spark, tmp_path):
+    """Landing dir → ingest → priority_queue source → b64 decode →
+    real codec: the payload that comes OUT of the queue decodes to the
+    exact samples that went in (the §3.2 upload lifecycle, engine
+    side)."""
+    from streamprocess_spark.io.queue_source import register_queue_source
+
+    land = tmp_path / "land"
+    land.mkdir()
+    wav_bytes = _wav()
+    (land / "u1.wav").write_bytes(wav_bytes)
+    (land / "u2.png").write_bytes(_png())
+    qdir = str(tmp_path / "q")
+    jobs = ingest_dir(qdir, str(land), enqueued_at=10.0)
+    assert [j["payload"]["filename"] for j in jobs] == ["u1.wav", "u2.png"]
+
+    register_queue_source(spark)
+    rows = (
+        spark.read.format("priority_queue").option("path", qdir).load()
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r["type"] for r in rows] == ["stt_batch", "ocr_single"]
+    payload = json.loads(rows[0]["payload"])
+    raw = base64.b64decode(payload["content_b64"])
+    assert raw == wav_bytes
+    y, sr, ch = A.np_parse_wav(raw)
+    assert sr == 16000 and len(y) == 1600
