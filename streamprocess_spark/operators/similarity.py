@@ -201,6 +201,7 @@ def ann_topk_ivf(
     probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors live in the inverted
     list of their nearest centroid; queries probe their `probe`
@@ -210,7 +211,12 @@ def ann_topk_ivf(
     identical. At 100 TB: corpus assignment is a one-pass broadcast
     map, the candidate join is an equi-join on the centroid id, and
     repartitioning by bucket co-locates each inverted list."""
-    cents = emb.filter(F.col(id_col) < n_centroids)
+    # default coarse quantizer: deterministic corpus sample; pass
+    # `centroids` (e.g. kmeans_fit output renamed to (id, vec) cols)
+    # for a trained quantizer — the search shape is identical
+    cents = centroids if centroids is not None else emb.filter(
+        F.col(id_col) < n_centroids
+    )
     corpus = ivf_assign(emb, cents, probe=1, vec_col=vec_col, id_col=id_col)
     probes = ivf_assign(queries, cents, probe=probe, vec_col=vec_col, id_col=id_col)
     pairs = (

@@ -1111,3 +1111,82 @@ def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cfp, "bucket")
         .select("bucket", "cnt", "inertia_fp", "centroid_fp")
     )
+
+
+@register(
+    "q99_ann_ivf_trained",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    vn AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM v)
+        GROUP BY vec_id
+    ),
+    c0 AS (
+        SELECT vec_id AS cent_id,
+               list_transform(embedding, x -> x::DOUBLE) AS cent
+        FROM v WHERE vec_id < 8
+    ),
+    {_km_assign_cte("c0", "0")},
+    {_km_update_cte("a0", "c0", "c1", "0")},
+    {_km_assign_cte("c1", "1")},
+    {_km_update_cte("a1", "c1", "c2", "1")},
+    {_km_assign_cte("c2", "2")},
+    rank2 AS (
+        SELECT vec_id, cent_id AS bucket,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS rn
+        FROM s2
+    ),
+    corpus_bucket AS (SELECT vec_id AS cid, bucket FROM rank2 WHERE rn = 1),
+    q_bucket AS (
+        SELECT vec_id AS qid, bucket FROM rank2
+        WHERE rn <= 2 AND vec_id < 10
+    ),
+    cand AS (
+        SELECT DISTINCT q.qid, c.cid
+        FROM q_bucket q JOIN corpus_bucket c USING (bucket)
+        WHERE c.cid != q.qid
+    ),
+    pairs AS (
+        SELECT cand.qid, cand.cid,
+               unnest(q.embedding)::DOUBLE AS a,
+               unnest(c.embedding)::DOUBLE AS b
+        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                  JOIN embeddings c ON c.vec_id = cand.cid
+    ),
+    pair_dots AS (
+        SELECT qid, cid, {_DOT_FP} AS dot FROM pairs GROUP BY qid, cid
+    ),
+    scored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+        FROM pair_dots JOIN vn nq ON nq.vec_id = qid
+                       JOIN vn nc ON nc.vec_id = cid
+    )
+    SELECT qid, cid, rank, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               cast(row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS int)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    covers=("§2.13-similarity",),
+    doc="IVF-flat ANN with a TRAINED coarse quantizer: the inverted-"
+        "list index is built on kmeans_fit centroids (2 Lloyd rounds, "
+        "k=8) instead of q73's corpus sample — train → index → probe "
+        "→ exact rescore, the full production IVF lifecycle, every "
+        "stage oracle-replayed (the SQL chains the k-means iteration "
+        "CTEs into the q73 search CTEs). Same 100 TB shape: broadcast "
+        "assignment, bucket equi-join, two-level rescore.",
+)
+def q99_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.similarity import ann_topk_ivf, kmeans_fit
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    _, cents = kmeans_fit(emb, k=8, n_iter=2, dim=64)
+    trained = cents.select(
+        F.col("cent_id").alias("vec_id"), F.col("cent").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_topk_ivf(emb, queries, k=5, probe=2, centroids=trained)

@@ -39,6 +39,7 @@ _ALLOWED_NESTED_LOOP = {
     "q72_embedding_neardup",
     "q73_ann_ivf_topk",
     "q97_kmeans",          # broadcast of k=8 centroids — the Lloyd assign
+    "q99_ann_ivf_trained",  # same broadcast-centroid assignment shape
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
