@@ -161,6 +161,11 @@ def np_decode_audio(
         return np_resample(np_decode_mulaw(raw), 8000, target_sr)
     if enc == "ALAW":
         return np_resample(np_decode_alaw(raw), 8000, target_sr)
+    if enc == "FLAC":
+        from streamprocess_spark.functions.flac import np_decode_flac
+
+        x, sr, ch = np_decode_flac(raw)
+        return np_resample(np_to_mono(x, ch), sr, target_sr)
     raise NotImplementedError(
         f"audio decode for {enc} needs a codec library (soundfile/ffmpeg); "
         "the reference decodes via soundfile (stt_worker.py:390-394)"

@@ -33,6 +33,7 @@ from streamprocess_spark.io.queue_source import enqueue_job
 # magic-byte sniffers → (format tag, job type, default priority)
 _SNIFFERS = (
     (b"RIFF", "WAV", "stt_batch", "normal"),          # + WAVE check below
+    (b"fLaC", "FLAC", "stt_batch", "normal"),
     (b"\x89PNG\r\n\x1a\n", "PNG", "ocr_single", "normal"),
     (b"BM", "BMP", "ocr_single", "normal"),
     (b"RAWV", "RAWV", "video_batch", "low"),
@@ -59,6 +60,10 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.audio import np_parse_wav
 
             np_parse_wav(raw)
+        elif fmt == "FLAC":
+            from streamprocess_spark.functions.flac import np_decode_flac
+
+            np_decode_flac(raw)
         elif fmt == "PNG":
             from streamprocess_spark.functions.image import np_decode_png
 

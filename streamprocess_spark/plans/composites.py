@@ -458,6 +458,15 @@ def _audio_suite_oracle() -> str:
                cast(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                cast(sum(s) * 1000000 AS BIGINT) AS norm_sum_fp
         FROM sgn GROUP BY doc_id
+    ),
+    fl AS (
+        SELECT d.doc_id,
+               count(*)::BIGINT AS n_flac,
+               cast(sum(((d.doc_id * 31 + t.i * 7) % 4001) - 2000) AS BIGINT)
+                   AS fsum16
+        FROM documents d, range(0, 1920) t(i)
+        WHERE t.i < 1600 + (d.doc_id % 3) * 160
+        GROUP BY d.doc_id
     )
     SELECT a.doc_id, a.n_samples, a.ssum_fp, a.sabs_fp,
            a.n_samples AS n_wav, a.ssum_fp AS wsum_fp,
@@ -465,8 +474,10 @@ def _audio_suite_oracle() -> str:
            a.ssum_fp AS rsum_even_fp,
            f.n_frames, f.n_speech,
            m.n_mono, m.msum_fp,
-           nz.n_pos, nz.norm_sum_fp
+           nz.n_pos, nz.norm_sum_fp,
+           fl.n_flac, fl.fsum16
     FROM a JOIN f USING (doc_id) JOIN m USING (doc_id) JOIN nz USING (doc_id)
+         JOIN fl USING (doc_id)
     """
 
 
@@ -485,7 +496,10 @@ def _audio_suite_oracle() -> str:
         "normalization (:93-114). Every decoded sample is verified "
         "bit-for-bit via µ-fixed-point content sums; the WAV columns "
         "must equal the LINEAR16 columns because the container wraps "
-        "the identical PCM payload.",
+        "the identical PCM payload. Plus S15 FLAC: real compressed "
+        "multi-frame FLAC (functions/flac.py — fixed predictors, Rice "
+        "residuals, CRC-8/16) decoded losslessly, checked by exact "
+        "16-bit integer sums against the synthesis formula.",
 )
 def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.audio import (
@@ -508,6 +522,7 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm0 = normalize_udf(target_dbfs=0.0)
     flags = vad_udf(sr=16000, frame_ms=30, threshold=0.01)
     wav_decode = decode_audio_udf("WAV")
+    flac_decode = decode_audio_udf("FLAC")
 
     ssum = _FP_SUM.format(arr="samples", val="cast(x as double)")
     sabs = _FP_SUM.format(arr="samples", val="abs(cast(x as double))")
@@ -520,9 +535,17 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(0 as bigint))), cast(0 as bigint), (a, x) -> a + x)"
     )
 
+    from streamprocess_spark.plans.multimodal import _synth_flac_udf
+
+    fsum16 = (
+        "aggregate(transform(flac_samples, x -> cast(round(cast(x as double) "
+        "* 32768.0, 0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+
     return (
         docs.withColumn("samples", decode_linear16_udf(_synth_audio_udf("doc_id")))
         .withColumn("wav_samples", wav_decode(_synth_wav_udf("doc_id")))
+        .withColumn("flac_samples", flac_decode(_synth_flac_udf("doc_id")))
         .withColumn("flags", flags(F.col("samples")))
         .withColumn("resampled", up(F.col("samples")))
         .withColumn("mono", mono(decode_linear16_udf(_synth_stereo_udf("doc_id"))))
@@ -544,6 +567,8 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(msum).alias("msum_fp"),
             F.expr("size(filter(normed, x -> x > 0))").cast("bigint").alias("n_pos"),
             F.expr(nsum).alias("norm_sum_fp"),
+            F.size("flac_samples").cast("bigint").alias("n_flac"),
+            F.expr(fsum16).alias("fsum16"),
         )
     )
 

@@ -1230,3 +1230,83 @@ def q98_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_frames") >= 2)
         .select("luma_sum", "n_frames", "n_docs", "canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC compressed-audio ingest (S15) — lossless roundtrip oracle
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_flac_udf(doc_id: pd.Series) -> pd.Series:
+    """Real compressed FLAC bytes per doc: PCM16 sawtooth
+    x_i = ((d*31 + i*7) % 4001) - 2000, n = 1600 + (d%3)*160 samples,
+    encoded with np_encode_flac (block 512 → multi-frame streams with a
+    short tail frame). The linear ramp compresses ~3x through the
+    order-1 fixed predictor — these are genuinely compressed payloads,
+    not verbatim wrappers."""
+    from streamprocess_spark.functions.flac import np_encode_flac
+
+    def synth(d: int) -> bytes:
+        n = 1600 + (d % 3) * 160
+        i = np.arange(n, dtype=np.int64)
+        pcm = (((d * 31 + i * 7) % 4001) - 2000).astype(np.int16)
+        return np_encode_flac(pcm, sr=16000, block_size=512)
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+@register(
+    "q100_flac_ingest",
+    oracle="""
+    WITH pcm AS (
+        SELECT d.doc_id, t.i,
+               ((d.doc_id * 31 + t.i * 7) % 4001) - 2000 AS v
+        FROM documents d, range(0, 1920) t(i)
+        WHERE t.i < 1600 + (d.doc_id % 3) * 160
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_samples,
+           cast(sum(v) AS BIGINT) AS ssum16,
+           cast(sum(abs(v)) AS BIGINT) AS mag_sum
+    FROM pcm GROUP BY doc_id
+    """,
+    covers=("S15", "F9"),
+    doc="FLAC compressed-audio ingest (S15): per-doc formula PCM16 is "
+        "encoded to real multi-frame FLAC (fixed predictors + Rice "
+        "residuals, CRC-8/16) and decoded back by the from-scratch "
+        "NumPy decoder (functions/flac.py) through the np_decode_audio "
+        "dispatch — the reference decodes FLAC via soundfile "
+        "(stt_worker.py:381-394; accepted encodings "
+        "protos/stream_process.proto:75-81). Losslessness makes the "
+        "oracle exact: DuckDB recomputes every 16-bit sample from the "
+        "synthesis formula and the integer sums must match "
+        "bit-for-bit (int16/32768 is exact in float32; round() "
+        "recovers the integer with ~5e-4 max error vs the 0.5 "
+        "margin). Scale: map-only per-row decode before one per-doc "
+        "aggregation — zero shuffles until the final groupBy.",
+)
+def q100_flac_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import decode_audio_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    dec = decode_audio_udf("FLAC", target_sr=16000)  # container rate: passthrough
+    s16 = (
+        "aggregate(transform(samples, x -> cast(round(cast(x as double) "
+        "* 32768.0, 0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    m16 = (
+        "aggregate(transform(samples, x -> cast(round(abs(cast(x as double)) "
+        "* 32768.0, 0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        docs.select("doc_id")
+        .withColumn("flac", _synth_flac_udf(F.col("doc_id")))
+        .withColumn("samples", dec(F.col("flac")))
+        .select(
+            "doc_id",
+            F.size("samples").cast("bigint").alias("n_samples"),
+            F.expr(s16).alias("ssum16"),
+            F.expr(m16).alias("mag_sum"),
+        )
+    )

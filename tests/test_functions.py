@@ -588,3 +588,155 @@ def test_ops_metrics_listener(spark):
         assert s["max_state_rows"] >= 5  # one state row per event_type
     finally:
         OM.detach(spark, listener)
+
+
+# ------------------------------------------------ FLAC container (S15)
+
+from streamprocess_spark.functions import flac as FL
+
+
+class TestFlac:
+    """From-scratch FLAC codec (functions/flac.py): lossless roundtrip,
+    real compression, CRC rejection, and decoder paths the encoder
+    never emits (LPC, escape partitions, wasted bits) via hand-built
+    bitstreams. Reference decodes FLAC via soundfile
+    (stt_worker.py:381-394)."""
+
+    def _roundtrip(self, x, block_size=512):
+        enc = FL.np_encode_flac(x, sr=16000, block_size=block_size)
+        y, sr, ch = FL.np_decode_flac(enc)
+        assert sr == 16000 and ch == 1
+        ints = np.round(np.asarray(y, dtype=np.float64) * 32768.0)
+        assert np.array_equal(ints.astype(np.int64), x.astype(np.int64))
+        return enc
+
+    def test_roundtrip_signals(self):
+        rng = np.random.default_rng(11)
+        self._roundtrip((((np.arange(5000) * 7) % 4001) - 2000).astype(np.int16))
+        self._roundtrip(np.full(1000, -123, dtype=np.int16))
+        self._roundtrip(rng.integers(-32768, 32768, 3333).astype(np.int16))
+        self._roundtrip(np.array([7], dtype=np.int16))
+        # full-scale extremes survive
+        self._roundtrip(np.array([-32768, 32767, 0, -1], dtype=np.int16))
+
+    def test_actually_compresses(self):
+        x = (((np.arange(8000) * 7) % 4001) - 2000).astype(np.int16)
+        enc = self._roundtrip(x)
+        assert len(enc) < len(x) * 2 * 0.5  # >2x smaller than raw PCM16
+
+    def test_multibyte_utf8_frame_numbers(self):
+        # 130 frames of 64 samples → frame numbers past 0x7F (2-byte UTF-8)
+        x = (np.arange(64 * 130) % 251 - 125).astype(np.int16)
+        self._roundtrip(x, block_size=64)
+
+    def test_md5_signature_real(self):
+        import hashlib
+        x = np.arange(-50, 50, dtype=np.int16)
+        enc = FL.np_encode_flac(x)
+        want = hashlib.md5(x.astype("<i2").tobytes()).digest()
+        # fLaC(4) + block header(4) + STREAMINFO fixed fields(18) → md5
+        assert enc[26:42] == want
+
+    def test_corrupt_frame_crc_rejected(self):
+        x = np.arange(-500, 500, dtype=np.int16)
+        enc = bytearray(FL.np_encode_flac(x, block_size=256))
+        enc[-1] ^= 0xFF  # corrupt the stored frame CRC-16
+        with pytest.raises(ValueError, match="CRC"):
+            FL.np_decode_flac(bytes(enc))
+        enc = bytearray(FL.np_encode_flac(x, block_size=256))
+        enc[-10] ^= 0x10  # flip a bit inside the frame body
+        with pytest.raises(ValueError):
+            FL.np_decode_flac(bytes(enc))
+
+    def test_garbage_and_truncation_rejected(self):
+        with pytest.raises(ValueError, match="FLAC"):
+            FL.np_decode_flac(b"OggS\x00\x00\x00\x00")
+        x = np.arange(2000, dtype=np.int16)
+        enc = FL.np_encode_flac(x, block_size=512)
+        with pytest.raises(ValueError):
+            FL.np_decode_flac(enc[: len(enc) // 2])
+
+    def test_lpc_matches_fixed_recurrence(self):
+        # LPC with the order-2 fixed coefficients [2, -1], shift 0 must
+        # reproduce _restore_fixed exactly
+        rng = np.random.default_rng(3)
+        warm = rng.integers(-100, 100, 2)
+        resid = rng.integers(-50, 50, 200)
+        a = FL._restore_fixed(warm, resid, 2)
+        b = FL._restore_lpc(warm, resid, [2, -1], 0)
+        assert np.array_equal(a, b)
+
+    # -- hand-built frames for decoder-only paths ----------------------
+
+    def _stream_with_frame(self, frame: bytes, n_samples: int) -> bytes:
+        info = bytearray()
+        info += (256).to_bytes(2, "big") * 2
+        info += (0).to_bytes(3, "big") * 2
+        packed = (16000 << 44) | (0 << 41) | (15 << 36) | n_samples
+        info += packed.to_bytes(8, "big")
+        info += b"\x00" * 16
+        return b"fLaC" + b"\x80" + len(info).to_bytes(3, "big") + bytes(info) + frame
+
+    def _frame_header(self, n: int) -> bytes:
+        hdr = bytearray([0xFF, 0xF8, (0b0111 << 4) | 0b1101, 0b100 << 1])
+        hdr += FL._utf8_encode_number(0)
+        hdr += (n - 1).to_bytes(2, "big") + (16000).to_bytes(2, "big")
+        hdr.append(FL.crc8(bytes(hdr)))
+        return bytes(hdr)
+
+    def _finish(self, bw: FL._BitWriter) -> bytes:
+        bw.align()
+        body = bw.bytes()
+        return body + FL.crc16(body).to_bytes(2, "big")
+
+    def test_escape_partition_and_partition_order(self):
+        """Fixed order 0, partition order 1: first partition Rice p=2,
+        second partition escaped raw 6-bit — both must decode."""
+        n = 8
+        vals = np.array([1, -2, 3, 0, -17, 30, -31, 5], dtype=np.int64)
+        bw = FL._BitWriter()
+        for b in self._frame_header(n):
+            bw.write(b, 8)
+        bw.write(0b0001000, 7)      # fixed order 0
+        bw.write(0, 1)
+        bw.write(0b00, 2)           # 4-bit rice method
+        bw.write(1, 4)              # partition order 1 → 2 partitions
+        bw.write(2, 4)              # partition 1: rice p=2
+        FL._write_rice_residual(bw, vals[:4], 2)
+        bw.write(15, 4)             # partition 2: escape
+        bw.write(6, 5)              # raw width 6
+        for v in vals[4:].tolist():
+            bw.write(int(v) & 0x3F, 6)
+        raw = self._stream_with_frame(self._finish(bw), n)
+        y, sr, ch = FL.np_decode_flac(raw)
+        assert np.array_equal(np.round(y * 32768).astype(np.int64), vals)
+
+    def test_wasted_bits_shift(self):
+        """Constant subframe with 2 wasted bits: decoded value is the
+        transmitted constant << 2."""
+        n = 4
+        bw = FL._BitWriter()
+        for b in self._frame_header(n):
+            bw.write(b, 8)
+        bw.write(0b0000000, 7)      # constant
+        bw.write(1, 1)              # wasted-bits flag
+        bw.write(0b01, 2)           # unary "01" → k-1=1 → 2 wasted bits
+        bw.write(300 & 0x3FFF, 14)  # bps 16 - 2 wasted = 14-bit constant
+        raw = self._stream_with_frame(self._finish(bw), n)
+        y, _, _ = FL.np_decode_flac(raw)
+        assert np.array_equal(
+            np.round(y * 32768).astype(np.int64), np.full(4, 300 << 2)
+        )
+
+    def test_ingest_sniffs_flac(self):
+        from streamprocess_spark.io.ingest import sniff_format
+        x = np.arange(100, dtype=np.int16)
+        fmt, jtype, prio = sniff_format(FL.np_encode_flac(x))
+        assert (fmt, jtype, prio) == ("FLAC", "stt_batch", "normal")
+
+    def test_decode_audio_dispatch_resamples(self):
+        # 8 kHz FLAC through np_decode_audio lands at 16 kHz
+        x = (np.arange(800) % 100 - 50).astype(np.int16)
+        enc = FL.np_encode_flac(x, sr=8000)
+        y = A.np_decode_audio(enc, "FLAC", target_sr=16000)
+        assert len(y) == 1600
