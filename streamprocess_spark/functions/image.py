@@ -67,6 +67,15 @@ def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.
                 f"BMP dims {img.shape[::-1]} != metadata {width}x{height}"
             )
         return img
+    if fmt == "JPEG":
+        from streamprocess_spark.functions.jpeg import np_decode_jpeg_gray
+
+        img = np_decode_jpeg_gray(raw)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"JPEG dims {img.shape[::-1]} != metadata {width}x{height}"
+            )
+        return img
     if fmt != "GRAY8":
         raise NotImplementedError(
             f"decode for {fmt} needs an image codec (PIL/OpenCV); the "

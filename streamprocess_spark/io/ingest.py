@@ -35,6 +35,7 @@ _SNIFFERS = (
     (b"RIFF", "WAV", "stt_batch", "normal"),          # + WAVE check below
     (b"fLaC", "FLAC", "stt_batch", "normal"),
     (b"\x89PNG\r\n\x1a\n", "PNG", "ocr_single", "normal"),
+    (b"\xff\xd8\xff", "JPEG", "ocr_single", "normal"),
     (b"BM", "BMP", "ocr_single", "normal"),
     (b"RAWV", "RAWV", "video_batch", "low"),
 )
@@ -72,6 +73,10 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.image import np_decode_bmp
 
             np_decode_bmp(raw)
+        elif fmt == "JPEG":
+            from streamprocess_spark.functions.jpeg import np_decode_jpeg_gray
+
+            np_decode_jpeg_gray(raw)
         elif fmt == "RAWV":
             from streamprocess_spark.functions.video import np_parse_rawv
 

@@ -602,6 +602,20 @@ def _image_suite_oracle() -> str:
                min(CASE WHEN b.idx = 0 THEN b.bw END) AS bbw
         FROM documents d LEFT JOIN blk b USING (doc_id)
         GROUP BY d.doc_id
+    ),
+    jp AS (
+        SELECT j.doc_id, cast(sum(j.v) * 64 AS BIGINT) AS jpeg_px_sum
+        FROM (
+            SELECT m.doc_id,
+                   128 + 2 * ((((m.doc_id * 7 + t.b) * 13) % 61) - 30) AS v
+            FROM (
+                SELECT doc_id,
+                       160 + (doc_id % 3) * 16 AS jw,
+                       120 + (doc_id % 2) * 8 AS jh
+                FROM documents
+            ) m, range(0, 384) t(b)
+            WHERE t.b < (m.jw // 8) * (m.jh // 8)
+        ) j GROUP BY j.doc_id
     )
     SELECT m.doc_id,
            CASE WHEN m.doc_id % 10 = 1 THEN 'too_small'
@@ -621,8 +635,9 @@ def _image_suite_oracle() -> str:
            cast(CASE WHEN a.bx IS NOT NULL THEN 10 END AS BIGINT) AS bbox_y,
            cast(a.bbw AS BIGINT) AS bbox_w,
            cast(CASE WHEN a.bx IS NOT NULL THEN 20 END AS BIGINT) AS bbox_h,
-           cast(m.w * m.h * 255 - a.area * 215 AS BIGINT) AS png_px_sum
-    FROM dims m JOIN agg a USING (doc_id)
+           cast(m.w * m.h * 255 - a.area * 215 AS BIGINT) AS png_px_sum,
+           jp.jpeg_px_sum
+    FROM dims m JOIN agg a USING (doc_id) JOIN jp USING (doc_id)
     """
 
 
@@ -641,7 +656,10 @@ def _image_suite_oracle() -> str:
         "first block's corner points (ocr_worker.py:373-379), and the "
         "S15 PNG container round-trip through the real zlib codec "
         "(exact pixel-sum oracle; reference decodes via cv2.imdecode, "
-        "ocr_worker.py:283-308).",
+        "ocr_worker.py:283-308). Plus S15 JPEG: real baseline JPEGs "
+        "(functions/jpeg.py, T.81 Huffman+DCT) over DC-exact "
+        "constant-block fixtures, decoded by the from-scratch marker "
+        "walker — exact pixel-sum checked.",
 )
 def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.image import (
@@ -654,7 +672,11 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_binarize_count_udf,
         validate_image_udf,
     )
-    from streamprocess_spark.plans.multimodal import _image_df
+    from streamprocess_spark.plans.multimodal import (
+        _image_df,
+        _jpeg_stats_udf as _jpeg_stats,
+        _synth_jpeg_udf as _synth_jpeg,
+    )
 
     img = _image_df(spark, sf_dir)
     cnt2x = resize_binarize_count_udf(2.0)
@@ -691,6 +713,7 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "c", crop_dims_udf(F.col("image"), F.col("width"), F.col("height"))
         )
+        .withColumn("jp", _jpeg_stats(_synth_jpeg(F.col("doc_id"))))
         .select(
             "doc_id",
             F.col("v.reason").alias("reason"),
@@ -713,6 +736,8 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             png_roundtrip_sum_udf(
                 F.col("image"), F.col("width"), F.col("height")
             ).alias("png_px_sum"),
+            # S15: baseline JPEG round-trip (DC-exact constant blocks)
+            F.col("jp.px_sum").alias("jpeg_px_sum"),
         )
     )
 

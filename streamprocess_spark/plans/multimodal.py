@@ -1310,3 +1310,102 @@ def q100_flac_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(m16).alias("mag_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG compressed-image ingest (S15) — DC-exact constant-block oracle
+# ---------------------------------------------------------------------------
+
+
+def _np_synth_jpeg(d: int) -> bytes:
+    """Real baseline JPEG per doc: w x h (multiples of 8, varied per
+    doc) of constant 8x8 blocks, block b valued
+    v = 128 + 2*(((d*7 + b)*13) % 61 - 30)  (even offsets in [68,188]).
+    A constant block has only a DC coefficient; with quality 50
+    (q00=16) and even (v-128), round(8(v-128)/16) is exact, so the
+    lossy codec round-trips these fixtures BIT-EXACTLY and the oracle
+    can recompute the pixel sum in closed form."""
+    from streamprocess_spark.functions.jpeg import np_encode_jpeg_gray
+
+    w = 160 + (d % 3) * 16
+    h = 120 + (d % 2) * 8
+    nbx = w // 8
+    b = np.arange((w // 8) * (h // 8), dtype=np.int64)
+    vals = (128 + 2 * (((d * 7 + b) * 13) % 61 - 30)).astype(np.uint8)
+    img = np.repeat(
+        np.repeat(vals.reshape(h // 8, nbx), 8, axis=0), 8, axis=1
+    )
+    return np_encode_jpeg_gray(img, quality=50)
+
+
+@pandas_udf(T.BinaryType())
+def _synth_jpeg_udf(doc_id: pd.Series) -> pd.Series:
+    return doc_id.apply(lambda d: _np_synth_jpeg(int(d)))
+
+
+_JPEG_STATS_SCHEMA = T.StructType([
+    T.StructField("jpeg_w", T.IntegerType()),
+    T.StructField("jpeg_h", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+])
+
+
+@pandas_udf(_JPEG_STATS_SCHEMA)
+def _jpeg_stats_udf(raw: pd.Series) -> pd.DataFrame:
+    from streamprocess_spark.functions.jpeg import np_decode_jpeg_gray
+
+    rows = []
+    for b in raw:
+        img = np_decode_jpeg_gray(bytes(b))
+        rows.append({
+            "jpeg_w": img.shape[1],
+            "jpeg_h": img.shape[0],
+            "px_sum": int(img.sum(dtype=np.int64)),
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q101_jpeg_ingest",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               160 + (doc_id % 3) * 16 AS w,
+               120 + (doc_id % 2) * 8 AS h
+        FROM documents
+    ),
+    blk AS (
+        SELECT m.doc_id, m.w, m.h,
+               128 + 2 * ((((m.doc_id * 7 + t.b) * 13) % 61) - 30) AS v
+        FROM dims m, range(0, 384) t(b)
+        WHERE t.b < (m.w // 8) * (m.h // 8)
+    )
+    SELECT doc_id,
+           cast(min(w) AS INT) AS jpeg_w,
+           cast(min(h) AS INT) AS jpeg_h,
+           cast(sum(v) * 64 AS BIGINT) AS px_sum
+    FROM blk GROUP BY doc_id
+    """,
+    covers=("S15",),
+    doc="JPEG container ingest (S15): pages are encoded as real "
+        "baseline JPEGs (functions/jpeg.py — T.81 Annex K tables, "
+        "Huffman entropy coding, 0xFF stuffing) and decoded by the "
+        "from-scratch marker-walking Huffman+IDCT decoder; dims come "
+        "from the parsed SOF0 and the exact pixel sum proves bit-exact "
+        "decode of the DC-only constant-block fixtures (the reference "
+        "decodes JPEG via cv2.imdecode, ocr_worker.py:283-308). "
+        "Scale: map-only per-row transform, zero shuffles.",
+)
+def q101_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("jpg", _synth_jpeg_udf(F.col("doc_id")))
+        .withColumn("s", _jpeg_stats_udf(F.col("jpg")))
+        .select(
+            "doc_id",
+            F.col("s.jpeg_w").alias("jpeg_w"),
+            F.col("s.jpeg_h").alias("jpeg_h"),
+            F.col("s.px_sum").alias("px_sum"),
+        )
+    )

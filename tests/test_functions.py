@@ -196,7 +196,7 @@ def test_decode_image_raw_and_stubs():
     with pytest.raises(ValueError):
         I.decode_image(img.tobytes(), 10, 10)
     with pytest.raises(NotImplementedError):
-        I.decode_image(img.tobytes(), 200, 150, fmt="JPEG")
+        I.decode_image(img.tobytes(), 200, 150, fmt="TIFF")
 
 
 # --------------------------------------------------- PNG codec (S15)
@@ -740,3 +740,88 @@ class TestFlac:
         enc = FL.np_encode_flac(x, sr=8000)
         y = A.np_decode_audio(enc, "FLAC", target_sr=16000)
         assert len(y) == 1600
+
+
+# ------------------------------------------------ JPEG container (S15)
+
+from streamprocess_spark.functions import jpeg as J
+
+
+class TestJpeg:
+    """From-scratch baseline JPEG codec (functions/jpeg.py): DC-exact
+    constant-block roundtrip, bounded-loss natural images, marker-walk
+    rejection paths. Reference decodes JPEG via cv2.imdecode
+    (ocr_worker.py:283-308)."""
+
+    def _block_img(self, seed=7, h=120, w=160):
+        img = np.zeros((h, w), dtype=np.uint8)
+        nbx = w // 8
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = 128 + 2 * (((seed + by * nbx + bx) * 13) % 61 - 30)
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+        return img
+
+    def test_constant_blocks_bit_exact(self):
+        img = self._block_img()
+        enc = J.np_encode_jpeg_gray(img, quality=50)
+        assert np.array_equal(J.np_decode_jpeg_gray(enc), img)
+        assert len(enc) < img.size // 10  # genuinely compressed
+
+    def test_smooth_image_bounded_loss(self):
+        y, x = np.mgrid[0:96, 0:128]
+        img = (128 + 80 * np.sin(y / 9) * np.cos(x / 13)).astype(np.uint8)
+        dec = J.np_decode_jpeg_gray(J.np_encode_jpeg_gray(img, quality=75))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    def test_non_multiple_of_8_dims_cropped(self):
+        img = (np.arange(37 * 53).reshape(37, 53) % 251).astype(np.uint8)
+        dec = J.np_decode_jpeg_gray(J.np_encode_jpeg_gray(img, quality=95))
+        assert dec.shape == (37, 53)
+
+    def test_quality_scaling_monotone(self):
+        img = self._block_img()
+        lo = J.np_encode_jpeg_gray(img, quality=10)
+        hi = J.np_encode_jpeg_gray(img, quality=95)
+        assert len(lo) < len(hi)
+        assert np.array_equal(J.quality_qtable(50), J._QTBL_LUM)
+
+    def test_rejects_garbage_truncation_color_progressive(self):
+        img = self._block_img(h=16, w=16)
+        enc = J.np_encode_jpeg_gray(img)
+        with pytest.raises(ValueError, match="SOI"):
+            J.np_decode_jpeg_gray(b"\x00\x01\x02")
+        with pytest.raises(ValueError):
+            J.np_decode_jpeg_gray(enc[: len(enc) - 8])  # drop entropy tail
+        # flip SOF0 component count to 3 → documented color rejection
+        sof_at = enc.index(b"\xFF\xC0")
+        mut = bytearray(enc)
+        mut[sof_at + 9] = 3
+        with pytest.raises(NotImplementedError, match="color"):
+            J.np_decode_jpeg_gray(bytes(mut))
+        # flip SOF0 to SOF2 (progressive) → rejected
+        mut = bytearray(enc)
+        mut[sof_at + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="0xc2"):
+            J.np_decode_jpeg_gray(bytes(mut))
+
+    def test_extend_receive_symmetry(self):
+        # T.81 F.2.2.1: EXTEND inverts the encoder's magnitude coding
+        for v in (-255, -128, -1, 1, 77, 255):
+            s = abs(v).bit_length()
+            raw = v if v > 0 else v + (1 << s) - 1
+            assert J._extend(raw, s) == v
+
+    def test_ingest_sniffs_jpeg(self):
+        from streamprocess_spark.io.ingest import sniff_format
+        enc = J.np_encode_jpeg_gray(self._block_img(h=16, w=16))
+        assert sniff_format(enc) == ("JPEG", "ocr_single", "normal")
+
+    def test_decode_image_dispatch(self):
+        img = self._block_img(h=24, w=32)
+        enc = J.np_encode_jpeg_gray(img, quality=50)
+        out = I.decode_image(enc, 32, 24, fmt="JPEG")
+        assert np.array_equal(out, img)
+        with pytest.raises(ValueError, match="dims"):
+            I.decode_image(enc, 99, 24, fmt="JPEG")
