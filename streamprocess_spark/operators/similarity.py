@@ -354,3 +354,79 @@ def kmeans_fit(
             )
         )
     return _kmeans_assign(v, cents), cents
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means, enumerate
+    near-duplicate pairs ONLY within clusters, and prune the member of
+    each duplicate pair that sits closer to its centroid (keeping the
+    lower-centroid-similarity example preserves diversity, the
+    paper's selection rule).
+
+    Returns per-cluster stats: (bucket, n_members, n_dup_pairs,
+    n_pruned).
+
+    Scale shape: the whole point of clustering first is to bound the
+    quadratic — pairs are enumerated by an equi-join on the cluster
+    id (shuffle on bucket, pairs never cross clusters), so the cost is
+    sum(|cluster|²) instead of |corpus|²; with balanced k-means at
+    k ∝ N/target the per-task work is constant. Dots are fixed-point
+    zip_with/aggregate in codegen (no Python); scores are round-6 with
+    id tie-breaks so pruning is deterministic across engines.
+    """
+    assigned, _ = kmeans_fit(emb, k=k, n_iter=n_iter, dim=dim)
+    a = with_norm(assigned.select("vec_id", "embedding", "bucket", "s"))
+    x, y = a.alias("x"), a.alias("y")
+    pairs = (
+        x.join(
+            y,
+            on=[
+                F.col("x.bucket") == F.col("y.bucket"),
+                F.col("x.vec_id") < F.col("y.vec_id"),
+            ],
+        )
+        .select(
+            F.col("x.bucket").alias("bucket"),
+            F.col("x.vec_id").alias("vx"),
+            F.col("y.vec_id").alias("vy"),
+            F.col("x.s").alias("sx"),
+            F.col("y.s").alias("sy"),
+            F.round(
+                _dot(F.col("x.embedding"), F.col("y.embedding"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    members = a.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    dup_pairs = pairs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    pruned = (
+        pairs.select(
+            "bucket",
+            F.when(F.col("sx") > F.col("sy"), F.col("vx"))
+            .when(F.col("sy") > F.col("sx"), F.col("vy"))
+            .otherwise(F.greatest("vx", "vy"))
+            .alias("vec_id"),
+        )
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pruned"))
+    )
+    return (
+        members.join(dup_pairs, "bucket", "left")
+        .join(pruned, "bucket", "left")
+        .select(
+            "bucket",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        )
+    )

@@ -106,3 +106,85 @@ def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("pred_lang", predicted_lang(text))
         .withColumn("fingerprint", fingerprint(text))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 keyword search over a corpus (§2.13 text-search):
+    returns the top-k documents for a bag-of-terms query.
+
+    Scale shape (the one that survives 100 TB):
+      - token explode + term filter happen inside the scan partition
+        (map-side; only query-term hits survive the explode)
+      - tf is ONE keyed shuffle on (doc_id, token) — cardinality is
+        bounded by |hits|, not corpus size
+      - df (per-term document frequency) and the (N, avgdl) corpus
+        stats are tiny aggregates joined back via broadcast hash
+        joins, never a shuffle of the big side
+      - final ranking is orderBy+limit → TakeOrderedAndProject (k rows
+        per partition, no global sort)
+
+    Cross-engine determinism: idf = ln(1 + (N-df+.5)/(df+.5)) is the
+    one transcendental — JVM Math.log and libm disagree by 1 ulp on
+    ~5% of inputs — so idf is quantized to 1e-4 by floor() in both
+    engines (a 1-ulp input wobble only flips the floor within ~4e-13
+    of a quantization boundary; verified against the test corpus).
+    Everything downstream is identically-shaped rational double
+    arithmetic + the fixed-point term-score sum.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token").isin(*query_terms))
+    tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        docs.select(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("dl")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("tot_dl"),
+        )
+        .withColumn("one", F.lit(1))
+    )
+
+    idf_q = (
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(10000.0)
+        )
+        / F.lit(10000.0)
+    )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs").cast("double")
+    num = F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))
+    den = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+
+    from pyspark.sql.functions import broadcast
+
+    from streamprocess_spark.plans.util import dsum
+
+    scored = (
+        tf.join(broadcast(df_), "token")
+        .withColumn("one", F.lit(1))
+        .join(broadcast(stats), "one")
+        .withColumn("sc", idf_q * num / den)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(dsum("sc", "score"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

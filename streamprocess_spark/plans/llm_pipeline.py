@@ -1190,3 +1190,147 @@ def q99_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_topk_ivf(emb, queries, k=5, probe=2, centroids=trained)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (§2.13 text-search)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "vector", "stream", "cache")
+_BM25_SQL_TERMS = "('" + "','".join(_BM25_TERMS) + "')"
+
+
+@register(
+    "q102_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+        FROM toks WHERE token IN {_BM25_SQL_TERMS}
+        GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_docs, sum(d.dl)::BIGINT AS tot_dl
+        FROM (
+            SELECT len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+            FROM documents
+        ) d
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               floor(ln(1.0 + (cast(s.n_docs AS double) - f.df + 0.5)
+                              / (f.df + 0.5)) * 10000.0) / 10000.0
+                 * (cast(t.tf AS double) * (1.2 + 1.0))
+                 / (cast(t.tf AS double) + 1.2 * (1.0 - 0.75
+                      + 0.75 * cast(t.dl AS double)
+                        / (cast(s.tot_dl AS double) / cast(s.n_docs AS double))))
+                   AS sc
+        FROM tf t JOIN dfreq f USING (token), stats s
+    )
+    SELECT doc_id,
+           cast(cast(sum(cast(floor(sc * 1000000.0) AS bigint)) AS bigint)
+                AS double) / 1000000.0 AS score,
+           count(*)::BIGINT AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    covers=("§2.13-text", "W3-adjacent", "J4-adjacent"),
+    doc="Okapi BM25 keyword search over the corpus "
+        "(operators/text.py:bm25_topk): tf from a map-side "
+        "term-filtered explode + one keyed shuffle; per-term df and "
+        "corpus (N, avgdl) stats joined back as broadcasts; final "
+        "top-k via TakeOrderedAndProject. idf is floor-quantized at "
+        "1e-4 in both engines to absorb the 1-ulp JVM-vs-libm ln() "
+        "divergence (see operator docstring); term-score sums use the "
+        "fixed-point pattern. The retrieval primitive for "
+        "training-data curation (targeted subcorpus pulls) and eval "
+        "harnesses.",
+)
+def q102_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return X.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic deduplication (§2.13 dedup × similarity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q103_semdedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    vn AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM v)
+        GROUP BY vec_id
+    ),
+    c0 AS (
+        SELECT vec_id AS cent_id,
+               list_transform(embedding, x -> x::DOUBLE) AS cent
+        FROM v WHERE vec_id < 8
+    ),
+    {{km}},
+    pp AS (
+        SELECT x.bucket, x.vec_id AS vx, y.vec_id AS vy,
+               x.s AS sx, y.s AS sy,
+               unnest(ex.embedding)::DOUBLE AS a,
+               unnest(ey.embedding)::DOUBLE AS b
+        FROM a2 x JOIN a2 y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+             JOIN v ex ON ex.vec_id = x.vec_id
+             JOIN v ey ON ey.vec_id = y.vec_id
+    ),
+    pd AS (
+        SELECT bucket, vx, vy, min(sx) AS sx, min(sy) AS sy,
+               {_DOT_FP} AS dot
+        FROM pp GROUP BY bucket, vx, vy
+    ),
+    dup AS (
+        SELECT p.bucket, p.vx, p.vy, p.sx, p.sy
+        FROM pd p JOIN vn nx ON nx.vec_id = p.vx
+                  JOIN vn ny ON ny.vec_id = p.vy
+        WHERE round(p.dot / (nx.nrm * ny.nrm), 6) >= 0.35
+    ),
+    mem AS (SELECT bucket, count(*)::BIGINT AS n_members FROM a2 GROUP BY 1),
+    dp AS (SELECT bucket, count(*)::BIGINT AS n_dup_pairs FROM dup GROUP BY 1),
+    pr AS (
+        SELECT bucket, count(*)::BIGINT AS n_pruned FROM (
+            SELECT DISTINCT bucket,
+                   CASE WHEN sx > sy THEN vx
+                        WHEN sy > sx THEN vy
+                        ELSE greatest(vx, vy) END AS vec_id
+            FROM dup
+        ) GROUP BY bucket
+    )
+    SELECT m.bucket, m.n_members,
+           coalesce(dp.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+           coalesce(pr.n_pruned, 0)::BIGINT AS n_pruned
+    FROM mem m LEFT JOIN dp USING (bucket) LEFT JOIN pr USING (bucket)
+    """.format(km=",\n    ".join([
+        _km_assign_cte("c0", "0").strip().lstrip(),
+        _km_update_cte("a0", "c0", "c1", "0").strip().lstrip(),
+        _km_assign_cte("c1", "1").strip().lstrip(),
+        _km_update_cte("a1", "c1", "c2", "1").strip().lstrip(),
+        _km_assign_cte("c2", "2").strip().lstrip(),
+    ])),
+    covers=("§2.13-dedup", "§2.13-similarity"),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023, "
+        "arXiv:2303.09540; operators/similarity.py:semdedup): k-means "
+        "cluster (k=8, 2 Lloyd iterations, the q97 trainer), enumerate "
+        "near-dup pairs ONLY within clusters (equi-join on the cluster "
+        "id bounds the quadratic to sum(|cluster|^2)), prune the "
+        "closer-to-centroid member of each pair (the paper's "
+        "diversity-preserving rule). Oracle chains the full k-means "
+        "replay CTEs into the pairwise rescoring CTEs; round-6 "
+        "fixed-point cosines and id tie-breaks make Spark and DuckDB "
+        "agree exactly on clusters, pairs, and prune choices.",
+)
+def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.semdedup(emb, k=8, n_iter=2, dim=64, threshold=0.35)

@@ -40,6 +40,12 @@ _ALLOWED_NESTED_LOOP = {
     "q73_ann_ivf_topk",
     "q97_kmeans",          # broadcast of k=8 centroids — the Lloyd assign
     "q99_ann_ivf_trained",  # same broadcast-centroid assignment shape
+    # q102: the (N, avgdl) corpus-stats single ROW is broadcast to the
+    # bounded tf table (|hits| ≤ docs × |query terms|); Catalyst folds
+    # the constant-key equi-join to a condition-free BNLJ with a 1-row
+    # build side — O(n·1), not a quadratic join.
+    "q102_bm25_search",
+    "q103_semdedup",       # broadcast of k=8 centroids — the Lloyd assign
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
@@ -88,7 +94,8 @@ def test_exemption_broadcast_side_is_the_small_side(spark):
 # state, with T8 proper carried by the armed sessionizer timeout).
 _BELOW_50_ONLY_OK = {
     "A10-adjacent", "A12-adjacent", "A2-shape", "A4-adjacent",
-    "T8-shape", "free-grouping-sets", "§2.6-free-analytics",
+    "J4-adjacent", "T8-shape", "free-grouping-sets",
+    "§2.6-free-analytics",
 }
 
 
