@@ -1334,3 +1334,246 @@ def q102_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.semdedup(emb, k=8, n_iter=2, dim=64, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (§2.13 text quality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_repetition_filter",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+        SELECT doc_id,
+               cast(len(toks) AS BIGINT) AS n_tokens,
+               cast(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM tk
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS b
+        FROM tk WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+    tb AS (
+        SELECT doc_id, max(c)::BIGINT AS mx, sum(c)::BIGINT AS tot
+        FROM bc GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens,
+           1.0 - cast(b.n_distinct AS DOUBLE) / cast(b.n_tokens AS DOUBLE)
+               AS dup_ratio,
+           coalesce(cast(t.mx AS DOUBLE) / cast(t.tot AS DOUBLE), 0.0)
+               AS top_bigram_frac,
+           (1.0 - cast(b.n_distinct AS DOUBLE) / cast(b.n_tokens AS DOUBLE)
+                <= 0.5
+            AND coalesce(cast(t.mx AS DOUBLE) / cast(t.tot AS DOUBLE), 0.0)
+                <= 0.05) AS keep
+    FROM base b LEFT JOIN tb t USING (doc_id)
+    WHERE b.n_tokens > 0
+    """,
+    covers=("§2.13-text", "A4-adjacent"),
+    doc="Repetition-based quality filter (Gopher rules, Rae et al. "
+        "2021 arXiv:2112.11446 §A1.1): per-doc duplicate-token ratio "
+        "(1 - distinct/total, a native array expression — no shuffle) "
+        "and top-bigram fraction (most frequent word 2-gram's share of "
+        "all 2-grams — one keyed shuffle on (doc, bigram) with "
+        "map-side combine, then a per-doc max/sum). Docs failing "
+        "either threshold are marked keep=false — the standard "
+        "mechanical quality gate before training-data inclusion. "
+        "Ratios are int/int divisions, bit-identical across engines.",
+)
+def q104_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    idx2 = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(0), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx2,
+                lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+            )
+        ).alias("b"),
+    )
+    tb = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    dup_ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    top_frac = F.coalesce(
+        F.col("mx").cast("double") / F.col("tot").cast("double"), F.lit(0.0)
+    )
+    return (
+        base.join(tb, "doc_id", "left")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_ratio.alias("dup_ratio"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_ratio <= F.lit(0.5)) & (top_frac <= F.lit(0.05))).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (§2.13 text quality)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PII_IP = r"\d+\.\d+\.\d+\.\d+"
+_PII_PHONE = r"\d{3}-\d{4}"
+_PII_ANY = f"({_PII_EMAIL}|{_PII_IP}|{_PII_PHONE})"
+
+
+@register(
+    "q105_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || ' contact u' || cast(doc_id AS VARCHAR)
+                         || '@mail.com tel 555-'
+                         || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' ip 10.' || cast(doc_id % 256 AS VARCHAR)
+                         || '.0.1'
+                    ELSE text END AS text2
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(text2, '{_PII_IP}')) AS n_ip,
+               len(regexp_extract_all(text2, '{_PII_PHONE}')) AS n_phone,
+               length(text2)
+                 - length(regexp_replace(text2, '{_PII_ANY}', '<pii>', 'g'))
+                 + 5 * len(regexp_extract_all(text2, '{_PII_ANY}'))
+                 AS chars_removed
+        FROM aug
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           cast(sum(n_email) AS BIGINT) AS n_email,
+           cast(sum(n_ip) AS BIGINT) AS n_ip,
+           cast(sum(n_phone) AS BIGINT) AS n_phone,
+           cast(sum(chars_removed) AS BIGINT) AS chars_removed
+    FROM per GROUP BY source
+    """,
+    covers=("§2.13-text", "R5-adjacent"),
+    doc="PII detection + scrubbing over the corpus — the mandatory "
+        "redaction pass of a training-data pipeline (emails, IPv4, "
+        "phone-shaped tokens). Detection is native regexp_extract_all "
+        "/ regexp_replace (whole-stage codegen, zero Python, zero "
+        "shuffle before the per-source rollup). Deterministic "
+        "formula-synthesized PII is appended to every 4th doc so both "
+        "engines see identical inputs; chars_removed measures the "
+        "scrub delta (masked span length net of the '<pii>' "
+        "replacement). The regex subset used is identical under "
+        "Java's engine and RE2.",
+)
+def q105_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    text2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.select("doc_id", "source", text2.alias("text2"))
+    n_email = F.size(F.regexp_extract_all("text2", F.lit(_PII_EMAIL), 0))
+    n_ip = F.size(F.regexp_extract_all("text2", F.lit(_PII_IP), 0))
+    n_phone = F.size(F.regexp_extract_all("text2", F.lit(_PII_PHONE), 0))
+    n_any = F.size(F.regexp_extract_all("text2", F.lit(_PII_ANY), 0))
+    chars_removed = (
+        F.length("text2")
+        - F.length(F.regexp_replace("text2", _PII_ANY, "<pii>"))
+        + F.lit(5) * n_any
+    )
+    return (
+        aug.select(
+            "source",
+            n_email.alias("e"),
+            n_ip.alias("i"),
+            n_phone.alias("p"),
+            chars_removed.alias("cr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("bigint").alias("n_email"),
+            F.sum("i").cast("bigint").alias("n_ip"),
+            F.sum("p").cast("bigint").alias("n_phone"),
+            F.sum("cr").cast("bigint").alias("chars_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection (§2.13 text quality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_contamination",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3]))) AS gram
+        FROM tk
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 3)
+    SELECT g.doc_id, count(*)::BIGINT AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id >= 3
+    GROUP BY g.doc_id
+    """,
+    covers=("§2.13-text", "§2.13-dedup"),
+    doc="Benchmark-contamination detection: flag training docs sharing "
+        "any word 4-gram with the held-out eval set (docs 0-2 stand in "
+        "as the benchmark; the GPT-3 appendix-C / C4 decontamination "
+        "op, scaled from 13-grams to the synthetic corpus). Scale "
+        "shape: eval-set grams are a BROADCAST build side (eval "
+        "suites are tiny vs a 100 TB corpus), so matching is a "
+        "map-side hash join over the corpus gram stream — one keyed "
+        "shuffle for the per-doc count, no corpus self-join. Reuses "
+        "operators/dedup.doc_shingles(n=4).",
+)
+def q106_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    grams = D.doc_shingles(docs, "doc_id", "text", n=4)
+    bench = (
+        grams.filter(F.col("doc_id") < 3).select("tok").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(bench), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

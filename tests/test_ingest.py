@@ -26,9 +26,26 @@ def _png() -> bytes:
     return I.np_encode_png(img)
 
 
+def _flac() -> bytes:
+    from streamprocess_spark.functions import flac as FL
+
+    x = ((np.arange(1600) * 7) % 2001 - 1000).astype(np.int16)
+    return FL.np_encode_flac(x, sr=16000, block_size=512)
+
+
+def _jpeg() -> bytes:
+    from streamprocess_spark.functions import jpeg as J
+
+    img = np.full((24, 32), 130, dtype=np.uint8)
+    img[8:16, 8:24] = 70
+    return J.np_encode_jpeg_gray(img, quality=50)
+
+
 def test_sniffers():
     assert sniff_format(_wav())[0] == "WAV"
     assert sniff_format(_png())[0] == "PNG"
+    assert sniff_format(_flac())[0] == "FLAC"
+    assert sniff_format(_jpeg())[0] == "JPEG"
     assert sniff_format(I.np_encode_bmp(np.zeros((4, 4), np.uint8)))[0] == "BMP"
     assert sniff_format(V.np_build_rawv(np.zeros((1, 4, 4), np.uint8)))[0] == "RAWV"
     assert sniff_format(b"GIF89a....")[0] == "UNKNOWN"
@@ -43,14 +60,23 @@ def test_ingest_routes_and_validates(tmp_path):
     assert (ok["type"], ok["payload"]["format"]) == ("stt_batch", "WAV")
     img = ingest_bytes(qdir, _png(), name="b.png", enqueued_at=2.0)
     assert img["type"] == "ocr_single"
+    fl = ingest_bytes(qdir, _flac(), name="c.flac", enqueued_at=2.5)
+    assert (fl["type"], fl["payload"]["format"]) == ("stt_batch", "FLAC")
+    jp = ingest_bytes(qdir, _jpeg(), name="d.jpg", enqueued_at=2.7)
+    assert (jp["type"], jp["payload"]["format"]) == ("ocr_single", "JPEG")
     bad = ingest_bytes(qdir, _wav()[:20], name="torn.wav", enqueued_at=3.0)
     assert bad["type"] == "corrupt_media" and "error" in bad["payload"]
+    # corrupt FLAC (CRC broken) must dead-letter, not crash
+    torn_flac = bytearray(_flac())
+    torn_flac[-1] ^= 0xFF
+    badf = ingest_bytes(qdir, bytes(torn_flac), name="t.flac", enqueued_at=3.5)
+    assert badf["type"] == "corrupt_media"
     unk = ingest_bytes(qdir, b"GIF89a" + b"\x00" * 10, enqueued_at=4.0)
     assert unk["type"] == "unsupported_media"
     # corrupt/unknown jobs land on the low queue, valid media on normal
     lines = open(f"{qdir}/low.jsonl").read().splitlines()
-    assert len(lines) == 2
-    assert len(open(f"{qdir}/normal.jsonl").read().splitlines()) == 2
+    assert len(lines) == 3
+    assert len(open(f"{qdir}/normal.jsonl").read().splitlines()) == 4
 
 
 def test_end_to_end_through_queue_source(spark, tmp_path):
