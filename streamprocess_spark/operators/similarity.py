@@ -430,3 +430,108 @@ def semdedup(
             F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
         )
     )
+
+
+def _dot_fp(a, b):
+    """Fixed-point dot WITHOUT the final division — a bigint, safe to
+    re-sum across subspaces order-independently (divide once at the
+    end)."""
+    prods = F.zip_with(
+        a, b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE))
+        .cast("bigint"),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 1,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, IEEE TPAMI 33(1)):
+    split vectors into m subspaces, k-means a codebook per subspace,
+    encode the corpus as m small codes, and answer queries by ADC
+    (asymmetric distance computation) — a table lookup per subspace
+    instead of a full-dimension scan.
+
+    Scale shape: training reuses kmeans_fit per subspace (broadcast
+    assign, one keyed shuffle per update); the corpus is stored as
+    (vec_id, subspace, code) — m ints per vector instead of dim
+    floats, the 16-64x memory compression that lets 100 TB of
+    embeddings fit an index; query time joins the code stream against
+    a BROADCAST table of n_queries x m x ksub partial dots, so scoring
+    is a map-side hash join + one keyed sum shuffle — the corpus
+    embeddings themselves are never touched after encoding.
+
+    Determinism: subspace assignment is kmeans_fit's round-6 cosine
+    with id tie-breaks; ADC partials stay bigint fixed-point until one
+    final division, so the cross-subspace sum is order-independent.
+    """
+    sub_dim = dim // m
+    v = emb.select("vec_id", "embedding")
+
+    code_parts = []
+    books = []
+    for s in range(m):
+        sub = v.select(
+            "vec_id", F.slice("embedding", s * sub_dim + 1, sub_dim).alias("embedding")
+        )
+        assigned, cents = kmeans_fit(sub, k=ksub, n_iter=n_iter, dim=sub_dim)
+        code_parts.append(
+            assigned.select(
+                "vec_id", F.lit(s).alias("sub"), F.col("bucket").alias("code")
+            )
+        )
+        books.append(cents.select(F.lit(s).alias("sub"), "cent_id", "cent"))
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    book = books[0]
+    for b in books[1:]:
+        book = book.unionByName(b)
+
+    queries = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    # ADC lookup table: per (query, subspace, code) partial dot (bigint fp)
+    table = (
+        queries.join(F.broadcast(book))
+        .select(
+            "qid",
+            "sub",
+            F.col("cent_id").alias("code"),
+            _dot_fp(
+                F.slice("q", F.col("sub") * sub_dim + 1, sub_dim), F.col("cent")
+            ).alias("pd_fp"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(
+            (F.sum("pd_fp").cast("double") / F.lit(DOT_SCALE)).alias("adc_score")
+        )
+        .withColumn("adc_score", F.round("adc_score", 6))
+    )
+    # two-level rank — a single per-qid window would funnel a query's
+    # whole corpus to one reducer (see cosine_topk)
+    w_local = Window.partitionBy(
+        "qid", F.pmod(F.hash("cid"), F.lit(32))
+    ).orderBy(F.desc("adc_score"), F.asc("cid"))
+    cand = (
+        scored.withColumn("r1", F.row_number().over(w_local))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc_score"), F.asc("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "adc_score")
+    )

@@ -9,8 +9,12 @@ same logic runs under Structured Streaming in
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from streamprocess_spark.io.tables import load_tables
@@ -431,4 +435,228 @@ def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1),
             )
         ).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107: pivot (wide metric matrix) — free relational surface
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q107_pivot_matrix",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           count(*) FILTER (event_type = 'click')::BIGINT AS click,
+           count(*) FILTER (event_type = 'error')::BIGINT AS error,
+           count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+           count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+           count(*) FILTER (event_type = 'view')::BIGINT AS view
+    FROM events
+    GROUP BY cohort
+    """,
+    covers=("A13-adjacent", "R4-adjacent"),
+    doc="Pivoted per-cohort event-type matrix — groupBy().pivot() with "
+        "an EXPLICIT value list (the labeled-counter matrix the "
+        "reference's Prometheus layer exposes as "
+        "jobs_by_type/status_by_priority, metrics.py there). The "
+        "explicit pivot values matter at scale: without them Spark "
+        "runs a blocking distinct scan over event_type before "
+        "planning; with them the pivot compiles to ONE pass of "
+        "conditional aggregates (same plan as the oracle's FILTER "
+        "clauses) — one keyed shuffle, map-side partials.",
+)
+def q107_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    out = (
+        ev.select((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .groupBy("cohort")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return out.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+          for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108: pandas GROUPED_AGG UDAF (§2.12 — completes the UDF/UDAF/UDTF trio)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def _count_udaf(v: pd.Series) -> int:
+    """Group size as a GROUPED_AGG UDAF — Spark disallows mixing
+    pandas UDAFs with built-in aggregates in one agg()."""
+    return int(len(v))
+
+
+@pandas_udf(T.DoubleType())
+def _energy_udaf(v: pd.Series) -> float:
+    """Custom aggregate: fixed-point signal energy sum(v²). Arrow
+    GROUPED_AGG — the whole group arrives as one vector. int64
+    fixed-point image keeps the fold order-independent (the group's
+    row order is NOT guaranteed across shuffles)."""
+    ints = np.floor(v.to_numpy(np.float64) ** 2 * 1e6).astype(np.int64)
+    return float(ints.sum()) / 1e6
+
+
+@pandas_udf(T.DoubleType())
+def _trimmed_mean_udaf(v: pd.Series) -> float:
+    """Custom aggregate: 2-each-end trimmed mean. Sorting the fixed-
+    point image makes the trim deterministic under ties (equal values
+    drop equal ints — the sum is unaffected by which instance drops)."""
+    ints = np.sort(np.floor(v.to_numpy(np.float64) * 1e6).astype(np.int64))
+    core = ints[2:-2] if len(ints) > 4 else ints
+    return float(core.sum()) / 1e6 / max(len(core), 1)
+
+
+@register(
+    "q108_udaf_energy",
+    oracle="""
+    WITH f AS (
+        SELECT event_type,
+               floor(value * value * 1000000.0)::BIGINT AS e6,
+               floor(value * 1000000.0)::BIGINT AS v6
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, v6,
+               row_number() OVER (PARTITION BY event_type ORDER BY v6) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM f
+    ),
+    core AS (
+        SELECT event_type, sum(v6)::BIGINT AS s, count(*)::BIGINT AS c
+        FROM r WHERE n <= 4 OR (rn > 2 AND rn <= n - 2)
+        GROUP BY event_type
+    )
+    SELECT f.event_type,
+           count(*)::BIGINT AS n_events,
+           cast(sum(f.e6) AS DOUBLE) / 1000000.0 AS energy,
+           cast(min(core.s) AS DOUBLE) / 1000000.0
+               / greatest(min(core.c), 1) AS trimmed_mean
+    FROM f JOIN core USING (event_type)
+    GROUP BY f.event_type
+    """,
+    covers=("§2.12-udaf", "A13-adjacent"),
+    doc="Custom aggregates via Arrow GROUPED_AGG pandas UDAFs (§2.12 "
+        "— the UDAF leg of the UDF/UDAF/UDTF API surface; q18/q55 are "
+        "UDTF shapes, F1-F27 scalar UDFs): fixed-point signal energy "
+        "and a tie-deterministic trimmed mean per event type. Both "
+        "fold int64 fixed-point images so results are independent of "
+        "intra-group row order (GROUPED_AGG gives no order "
+        "guarantee). Oracle replays the trim via a rank window over "
+        "the same int image. Scale: ONE keyed shuffle; each group "
+        "lands as a single Arrow vector.",
+)
+def q108_udaf_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            _count_udaf("value").alias("n_events"),
+            _energy_udaf("value").alias("energy"),
+            _trimmed_mean_udaf("value").alias("trimmed_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110: KMV distinct-count sketch (deterministic approximate aggregation)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_BUCKETS = 16
+
+
+@register(
+    "q110_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000007 AS h
+        FROM events
+    ),
+    local_k AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type, h % {_KMV_BUCKETS}
+                                      ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMV_K}
+    ),
+    global_k AS (
+        SELECT event_type, h, rn FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM local_k
+        ) WHERE rn <= {_KMV_K}
+    ),
+    kth AS (
+        SELECT event_type, max(h)::BIGINT AS h_k, count(*)::BIGINT AS k_got
+        FROM global_k GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, k.h_k, k.k_got, e.exact_distinct,
+           round(({_KMV_K} - 1.0) * 1000000007.0 / k.h_k, 4) AS est_distinct
+    FROM kth k JOIN exact e USING (event_type)
+    """,
+    covers=("A5-adjacent", "free-approx-distinct"),
+    doc="KMV (k-minimum-values) distinct-count sketch, deterministic "
+        "across engines — unlike HLL/approx_count_distinct, whose "
+        "register layouts differ per engine, the KMV synopsis is a "
+        "pure function of the md5 hash stream, so Spark and DuckDB "
+        "agree bit-for-bit on the sketch AND the estimate "
+        "(Bar-Yossef et al. 2002; est = (k-1)/x_(k)). Scale shape: "
+        "dedup → TWO-LEVEL k-min (per (group, hash-bucket) "
+        "row_number, then per group over ≤ buckets·k survivors) — "
+        "the full group's distinct stream never sorts on one task, "
+        "the same discipline as the similarity top-k. The sketch is "
+        "mergeable (union = re-min), the property that matters for "
+        "100 TB partial aggregation.",
+)
+def q110_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.dedup import MOD, token_hash
+
+    ev = load_tables(spark, sf_dir)["events"]
+    hashed = (
+        ev.select(
+            "event_type", token_hash(F.col("user_id").cast("string")).alias("h")
+        )
+        .dropDuplicates(["event_type", "h"])
+    )
+    w_local = Window.partitionBy("event_type", F.col("h") % _KMV_BUCKETS).orderBy("h")
+    local_k = (
+        hashed.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w_global = Window.partitionBy("event_type").orderBy("h")
+    global_k = (
+        local_k.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    kth = global_k.groupBy("event_type").agg(
+        F.max("h").cast("bigint").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k_got"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    est = F.round(
+        F.lit(float(_KMV_K) - 1.0) * F.lit(float(MOD)) / F.col("h_k"), 4
+    )
+    return (
+        kth.join(exact, "event_type")
+        .select("event_type", "h_k", "k_got", "exact_distinct",
+                est.alias("est_distinct"))
     )

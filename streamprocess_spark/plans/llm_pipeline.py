@@ -1577,3 +1577,149 @@ def q106_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q111: product-quantization ANN (§2.13 similarity — ADC search)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_SUBDIM, _PQ_NQ, _PQ_K = 4, 4, 16, 10, 5
+
+
+def _pq_sub_ctes(s: int) -> str:
+    """One subspace's CTE chain: slice → 1-iter Lloyd (assign c0,
+    update to c1) → final codes a{s}f. Mirrors kmeans_fit(n_iter=1)
+    on the sliced vectors."""
+    lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+    return f"""
+    v{s} AS (
+        SELECT vec_id,
+               list_transform(list_slice(embedding, {lo}, {hi}),
+                              x -> x::DOUBLE) AS e
+        FROM embeddings
+    ),
+    vn{s} AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(e) AS a FROM v{s}) GROUP BY vec_id
+    ),
+    c{s}0 AS (
+        SELECT vec_id AS cent_id, e AS cent FROM v{s} WHERE vec_id < {_PQ_KSUB}
+    ),
+    cn{s}0 AS (
+        SELECT cent_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT cent_id, unnest(cent) AS a FROM c{s}0) GROUP BY cent_id
+    ),
+    d{s}0 AS (
+        SELECT vec_id, cent_id, {_DOT_FP} AS dot FROM (
+            SELECT t.vec_id, c.cent_id,
+                   unnest(t.e) AS a, unnest(c.cent) AS b
+            FROM v{s} t, c{s}0 c
+        ) GROUP BY vec_id, cent_id
+    ),
+    a{s}0 AS (
+        SELECT vec_id, cent_id AS bucket FROM (
+            SELECT d.vec_id, d.cent_id,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY round(d.dot / (vn.nrm * cn.nrm), 6) DESC,
+                                d.cent_id) AS rn
+            FROM d{s}0 d JOIN vn{s} vn USING (vec_id)
+                         JOIN cn{s}0 cn USING (cent_id)
+        ) WHERE rn = 1
+    ),
+    m{s} AS (
+        SELECT a.bucket, r.i,
+               sum(floor(t.e[r.i + 1] * 1000000000.0)::BIGINT) AS sfp,
+               count(*) AS cnt
+        FROM a{s}0 a JOIN v{s} t USING (vec_id), range(0, {_PQ_SUBDIM}) r(i)
+        GROUP BY a.bucket, r.i
+    ),
+    c{s}1m AS (
+        SELECT bucket AS cent_id,
+               list((sfp::DOUBLE) / (1000000000.0 * cnt) ORDER BY i) AS cent
+        FROM m{s} GROUP BY bucket
+    ),
+    c{s}1 AS (
+        SELECT c{s}0.cent_id, coalesce(c{s}1m.cent, c{s}0.cent) AS cent
+        FROM c{s}0 LEFT JOIN c{s}1m USING (cent_id)
+    ),
+    cn{s}1 AS (
+        SELECT cent_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT cent_id, unnest(cent) AS a FROM c{s}1) GROUP BY cent_id
+    ),
+    d{s}1 AS (
+        SELECT vec_id, cent_id, {_DOT_FP} AS dot FROM (
+            SELECT t.vec_id, c.cent_id,
+                   unnest(t.e) AS a, unnest(c.cent) AS b
+            FROM v{s} t, c{s}1 c
+        ) GROUP BY vec_id, cent_id
+    ),
+    a{s}f AS (
+        SELECT vec_id, {s} AS sub, cent_id AS code FROM (
+            SELECT d.vec_id, d.cent_id,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY round(d.dot / (vn.nrm * cn.nrm), 6) DESC,
+                                d.cent_id) AS rn
+            FROM d{s}1 d JOIN vn{s} vn USING (vec_id)
+                         JOIN cn{s}1 cn USING (cent_id)
+        ) WHERE rn = 1
+    ),
+    t{s} AS (
+        SELECT z.vec_id AS qid, z.cent_id AS code,
+               sum(floor(z.a * z.b * 1000000000000.0)::BIGINT) AS pd_fp
+        FROM (
+            SELECT q0.vec_id, c0.cent_id,
+                   unnest(q0.e) AS a, unnest(c0.cent) AS b
+            FROM v{s} q0, c{s}1 c0
+            WHERE q0.vec_id < {_PQ_NQ}
+        ) z
+        GROUP BY z.vec_id, z.cent_id
+    )"""
+
+
+@register(
+    "q111_pq_ann",
+    oracle=lambda: f"""
+    WITH {",".join(_pq_sub_ctes(s) for s in range(_PQ_M))},
+    codes AS (
+        {" UNION ALL ".join(f"SELECT * FROM a{s}f" for s in range(_PQ_M))}
+    ),
+    tables AS (
+        {" UNION ALL ".join(
+            f"SELECT qid, {s} AS sub, code, pd_fp FROM t{s}"
+            for s in range(_PQ_M))}
+    ),
+    adc AS (
+        SELECT t.qid, c.vec_id AS cid,
+               round(cast(sum(t.pd_fp) AS DOUBLE) / 1000000000000.0, 6)
+                   AS adc_score
+        FROM codes c JOIN tables t ON t.sub = c.sub AND t.code = c.code
+        WHERE c.vec_id != t.qid
+        GROUP BY t.qid, c.vec_id
+    )
+    SELECT qid, cid, rank, adc_score FROM (
+        SELECT qid, cid, adc_score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_score DESC, cid) AS rank
+        FROM adc
+    ) WHERE rank <= {_PQ_K}
+    """,
+    covers=("§2.13-similarity",),
+    doc="Product-quantization ANN with ADC search (Jégou et al. 2011, "
+        "operators/similarity.py:pq_ann_topk): 4 subspaces x 4-entry "
+        "codebooks trained by the SAME Lloyd trainer as q97 on sliced "
+        "vectors; the corpus is stored as 4 small ints per vector "
+        "(16x compression — what makes a 100 TB embedding index fit); "
+        "queries precompute a broadcastable n_q x m x k_sub "
+        "partial-dot table and scoring is a map-side hash join on "
+        "(subspace, code) + one keyed fixed-point sum — corpus "
+        "embeddings are never touched after encoding. Oracle replays "
+        "per-subspace training, encoding, table build, and ADC "
+        "ranking end-to-end.",
+)
+def q111_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.pq_ann_topk(
+        emb, n_queries=_PQ_NQ, m=_PQ_M, ksub=_PQ_KSUB, n_iter=1, dim=64, k=_PQ_K
+    )

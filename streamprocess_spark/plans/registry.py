@@ -102,7 +102,7 @@ TOP50: tuple[str, ...] = (
     "q_semi_anti_join",          # q5 + q6
     "q7_set_ops",
     "q8_distinct_counts",
-    "q9_argmax",
+    "q102_bm25_search",          # O4/W3 carried by q24/q15; adds §2.13 search
     "q10_substr_truncate",
     "q31_cube_order_stats",
     "q32_time_functions",
@@ -133,10 +133,10 @@ TOP50: tuple[str, ...] = (
     "q_text_suite",              # q40 + q41 + q42
     "q_doc_signatures",          # q43 + q44 + q46
     "q45_minhash_lsh",
-    "q47_ngram_jaccard",
+    "q108_udaf_energy",          # §2.12 UDAF leg; q47's dedup tag redundant
     "q48_embedding_topk",
     "q49_ann_lsh_topk",
-    "q72_embedding_neardup",
+    "q103_semdedup",             # same tags as q72 + the SemDeDup pipeline
     "q73_ann_ivf_topk",
     "q_corpus_suite",            # q74 + q75 + q85 + q87 + q88
     # multimodal

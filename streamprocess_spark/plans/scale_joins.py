@@ -307,3 +307,95 @@ def q83_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q109: Z-order multi-dimensional clustering (100 TB layout op)
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8
+_ZFILE_SHIFT = 2 * _ZBITS - 4          # top 4 z bits → 16 files
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    """Bit-interleaved Morton code as engine-agnostic arithmetic
+    (multiplication instead of shifts — identical int64 semantics in
+    Spark and DuckDB)."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q109_zorder_layout",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id % 256 AS a,
+               cast(floor(epoch(cast(ts AS timestamp)) / 3600.0) AS BIGINT)
+                   % 256 AS b
+        FROM events
+    ),
+    keyed AS (
+        SELECT a, b, ({_z_interleave_sql('a', 'b')}) AS z FROM pts
+    ),
+    zf AS (
+        SELECT 'zorder' AS layout, z // {1 << _ZFILE_SHIFT} AS file_id,
+               count(*)::BIGINT AS n_rows,
+               (max(a) - min(a))::BIGINT AS span_user,
+               (max(b) - min(b))::BIGINT AS span_time
+        FROM keyed GROUP BY 2
+    ),
+    lf AS (
+        SELECT 'linear' AS layout, b // 16 AS file_id,
+               count(*)::BIGINT AS n_rows,
+               (max(a) - min(a))::BIGINT AS span_user,
+               (max(b) - min(b))::BIGINT AS span_time
+        FROM keyed GROUP BY 2
+    )
+    SELECT * FROM zf UNION ALL SELECT * FROM lf
+    """,
+    covers=("§2.13-layout", "A13-adjacent"),
+    doc="Z-order (Morton) multi-dimensional clustering — the lakehouse "
+        "layout op for multi-predicate pruning at 100 TB (Delta/Iceberg "
+        "OPTIMIZE ZORDER BY). The z-value is pure integer bit "
+        "interleaving (codegen arithmetic, no UDF); file assignment is "
+        "the z-key PREFIX — a map-only projection, no global sort "
+        "(the write path would repartitionByRange on z). The query "
+        "MEASURES why it works: per-file min/max spans under z-order "
+        "bound BOTH dimensions (≤3 bits free each → span ≤ 2^6-ish per "
+        "dim) while a time-linear layout bounds only time and leaves "
+        "user spanning the full 0-255 — exactly the min/max skip-index "
+        "statistics a scan would prune on.",
+)
+def q109_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = ev.select(
+        (F.col("user_id") % 256).alias("a"),
+        (F.floor(ts_sec("ts") / 3600.0).cast("bigint") % 256).alias("b"),
+    )
+    z = None
+    for i in range(_ZBITS):
+        ta = ((F.col("a") / (1 << i)).cast("bigint") % 2) * (1 << (2 * i + 1))
+        tb = ((F.col("b") / (1 << i)).cast("bigint") % 2) * (1 << (2 * i))
+        z = ta + tb if z is None else z + ta + tb
+    keyed = pts.withColumn("z", z)
+
+    def spans(df: DataFrame, layout: str, file_col) -> DataFrame:
+        return (
+            df.groupBy(file_col.alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.max("a") - F.min("a")).cast("bigint").alias("span_user"),
+                (F.max("b") - F.min("b")).cast("bigint").alias("span_time"),
+            )
+            .select(
+                F.lit(layout).alias("layout"), "file_id", "n_rows",
+                "span_user", "span_time",
+            )
+        )
+
+    zf = spans(keyed, "zorder", (F.col("z") / (1 << _ZFILE_SHIFT)).cast("bigint"))
+    lf = spans(keyed, "linear", (F.col("b") / 16).cast("bigint"))
+    return zf.unionByName(lf)

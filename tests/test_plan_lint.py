@@ -46,6 +46,8 @@ _ALLOWED_NESTED_LOOP = {
     # build side — O(n·1), not a quadratic join.
     "q102_bm25_search",
     "q103_semdedup",       # broadcast of k=8 centroids — the Lloyd assign
+    "q111_pq_ann",         # broadcast codebooks (m·k_sub = 16 rows) + the
+                           # n_q×m×k_sub ADC table — both constant-size
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
@@ -94,8 +96,11 @@ def test_exemption_broadcast_side_is_the_small_side(spark):
 # state, with T8 proper carried by the armed sessionizer timeout).
 _BELOW_50_ONLY_OK = {
     "A10-adjacent", "A12-adjacent", "A2-shape", "A4-adjacent",
-    "J4-adjacent", "R5-adjacent", "T8-shape", "free-grouping-sets",
-    "§2.6-free-analytics",
+    "A5-adjacent", "J4-adjacent", "R4-adjacent", "R5-adjacent",
+    "T8-shape", "free-grouping-sets", "§2.6-free-analytics",
+    # beyond-reference additions (no §2 id of their own) whose parity
+    # coverage lives in the repo suite: z-order layout, KMV sketch
+    "free-approx-distinct", "§2.13-layout",
 }
 
 

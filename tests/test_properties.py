@@ -183,3 +183,92 @@ def test_g711_decoders_total_on_any_bytes(raw):
         assert len(y) == len(raw)
         if len(y):
             assert float(np.max(np.abs(y))) <= 1.0
+
+
+# --------------------------------------------------------- FLAC (S15)
+
+int16_arrays = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=3000
+).map(lambda v: np.array(v, dtype=np.int16))
+
+
+@settings(max_examples=30, deadline=None)
+@given(int16_arrays, st.sampled_from([64, 256, 512, 4096]))
+def test_flac_roundtrip_lossless_any_signal(x, bs):
+    """FLAC is lossless for EVERY int16 signal and block size — the
+    property the exact integer-sum oracle (q100) rests on."""
+    from streamprocess_spark.functions import flac as FL
+
+    enc = FL.np_encode_flac(x, sr=16000, block_size=bs)
+    y, sr, ch = FL.np_decode_flac(enc)
+    assert (sr, ch) == (16000, 1)
+    assert np.array_equal(np.round(y * 32768.0).astype(np.int64), x.astype(np.int64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**35))
+def test_flac_utf8_frame_number_roundtrip(n):
+    from streamprocess_spark.functions import flac as FL
+
+    enc = FL._utf8_encode_number(n)
+    rd = FL._BitReader(enc)
+    assert FL._utf8_decode_number(rd) == n
+
+
+# --------------------------------------------------------- JPEG (S15)
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_jpeg_constant_blocks_bit_exact_any_grid(nbx, nby, seed):
+    """Constant 8x8 blocks with even (v-128) survive quality-50
+    quantization exactly, for any block grid — the q101 oracle
+    premise."""
+    from streamprocess_spark.functions import jpeg as J
+
+    vals = 128 + 2 * (((seed + np.arange(nbx * nby)) * 13) % 61 - 30)
+    img = np.repeat(
+        np.repeat(vals.reshape(nby, nbx).astype(np.uint8), 8, axis=0), 8, axis=1
+    )
+    dec = J.np_decode_jpeg_gray(J.np_encode_jpeg_gray(img, quality=50))
+    assert np.array_equal(dec, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=64),
+    st.integers(min_value=8, max_value=64),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_jpeg_decode_total_and_bounded_on_random_images(h, w, seed):
+    """Any uint8 image encodes/decodes with bounded error at q90 (the
+    quantization floor), shape preserved, values in range."""
+    from streamprocess_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    dec = J.np_decode_jpeg_gray(J.np_encode_jpeg_gray(img, quality=90))
+    assert dec.shape == (h, w) and dec.dtype == np.uint8
+
+
+# ---------------------------------------------------- z-order (q109)
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+def test_zorder_prefix_bounds_both_dims(a, b):
+    """Fixing the top 2k bits of a Morton code bounds BOTH coordinates
+    to 2^(8-k) ranges — the pruning property q109 measures."""
+    z = 0
+    for i in range(8):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    zfile = z >> 12          # top 4 z bits: a7, b7, a6, b6
+    want = (
+        ((a >> 7) & 1) * 8 + ((b >> 7) & 1) * 4
+        + ((a >> 6) & 1) * 2 + ((b >> 6) & 1)
+    )
+    assert zfile == want
+    # same file ⟺ both dims share their top-2-bit bucket
