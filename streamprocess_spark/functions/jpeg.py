@@ -314,6 +314,8 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 bits = list(body[i + 1: i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17: i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 _, dec = _canonical_codes(bits, vals)
                 huff[(cls, tid)] = dec
                 i += 17 + n
@@ -344,6 +346,12 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
         pos += 2 + ln
     if h is None or scan_at is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    if not (1 <= h <= 20000 and 1 <= w <= 20000):
+        raise ValueError(f"JPEG dims {w}x{h} out of sane range")
+    if comp_q not in qtables:
+        raise ValueError(f"JPEG missing quant table {comp_q}")
+    if (0, dc_tbl) not in huff or (1, ac_tbl) not in huff:
+        raise ValueError("JPEG missing Huffman table referenced by SOS")
     qt = qtables[comp_q]
     dc_dec = huff[(0, dc_tbl)]
     ac_dec = huff[(1, ac_tbl)]
@@ -368,8 +376,12 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
             rd.sync_restart()
             prev_dc = 0
         s = read_symbol(dc_dec)
+        if s > 11:                                      # T.81 F.1.2.1.1
+            raise ValueError(f"DC category {s} out of baseline range")
         diff = _extend(rd.read(s), s) if s else 0
         prev_dc += diff
+        if abs(prev_dc) > (1 << 15):                    # 8-bit baseline bound
+            raise ValueError("DC coefficient out of range")
         quant[b, 0] = prev_dc
         k = 1
         while k < 64:
@@ -380,6 +392,8 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
             if sym == 0xF0:                             # ZRL
                 k += 16
                 continue
+            if size > 10:                               # T.81 F.1.2.2.1
+                raise ValueError(f"AC size {size} out of baseline range")
             k += run
             if k > 63:
                 raise ValueError("AC run past block end")

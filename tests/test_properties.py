@@ -272,3 +272,50 @@ def test_zorder_prefix_bounds_both_dims(a, b):
     )
     assert zfile == want
     # same file ⟺ both dims share their top-2-bit bucket
+
+
+# --------------------------------- codec totality under corruption
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=1, max_value=6),
+)
+def test_flac_decoder_total_under_mutation(seed, n_flips):
+    """Any byte corruption of a valid stream either still decodes or
+    raises ValueError — never an unhandled exception or a hang (the
+    dead-letter path of io/ingest.py depends on this)."""
+    from streamprocess_spark.functions import flac as FL
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-5000, 5000, 400).astype(np.int16)
+    enc = bytearray(FL.np_encode_flac(x, block_size=128))
+    for _ in range(n_flips):
+        enc[rng.integers(0, len(enc))] ^= int(rng.integers(1, 256))
+    try:
+        y, sr, ch = FL.np_decode_flac(bytes(enc))
+        assert len(y) <= len(x) and ch >= 1
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=1, max_value=6),
+)
+def test_jpeg_decoder_total_under_mutation(seed, n_flips):
+    from streamprocess_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    enc = bytearray(J.np_encode_jpeg_gray(img, quality=80))
+    for _ in range(n_flips):
+        enc[rng.integers(0, len(enc))] ^= int(rng.integers(1, 256))
+    try:
+        dec = J.np_decode_jpeg_gray(bytes(enc))
+        assert dec.dtype == np.uint8
+    except (ValueError, NotImplementedError):
+        # exactly the exceptions io/ingest.py's dead-letter boundary
+        # catches — anything else would crash the ingest task
+        pass
