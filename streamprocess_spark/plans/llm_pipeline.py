@@ -1723,3 +1723,134 @@ def q111_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_ann_topk(
         emb, n_queries=_PQ_NQ, m=_PQ_M, ksub=_PQ_KSUB, n_iter=1, dim=64, k=_PQ_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q112: BPE tokenizer training (§2.13 text — the tokenizer-training op)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE merge round: count adjacent symbol pairs over the
+    frequency-weighted word vocab sym{r-1}, pick the most frequent
+    (pair-string tie-break), merge it in every word."""
+    prev = f"sym{r - 1}"
+    return f"""
+    pr{r} AS (
+        SELECT wcount,
+               unnest(list_transform(range(1, greatest(len(a), 1)),
+                                     i -> a[i] || '  ' || a[i+1])) AS pair
+        FROM (SELECT wcount, string_split(trim(s), '  ') AS a FROM {prev})
+        WHERE len(a) >= 2
+    ),
+    pc{r} AS (
+        SELECT pair, sum(wcount)::BIGINT AS freq FROM pr{r} GROUP BY pair
+    ),
+    best{r} AS (
+        SELECT pair, freq FROM pc{r}
+        ORDER BY freq DESC, pair LIMIT 1
+    ),
+    sym{r} AS (
+        SELECT v.wcount,
+               replace(v.s, ' ' || b.pair || ' ',
+                       ' ' || replace(b.pair, '  ', '') || ' ') AS s
+        FROM {prev} v, best{r} b
+    )"""
+
+
+@register(
+    "q112_bpe_train",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token AS word, count(*)::BIGINT AS wcount
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    sym0 AS (
+        SELECT wcount,
+               ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
+                   AS s
+        FROM vocab
+    ),
+    {",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {r} AS rank, pair, freq FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1))}
+    """,
+    covers=("§2.13-text", "A4-adjacent"),
+    doc="BPE tokenizer training (Sennrich et al. 2016, "
+        "arXiv:1508.07909) as a distributed dataflow — the actual "
+        "tokenizer-construction step of an LLM data pipeline, not "
+        "just token counting (q94). The corpus collapses to a "
+        "frequency-weighted word VOCAB first (the classic trick: "
+        "merge work scales with |vocab|, not corpus size — at 100 TB "
+        "the vocab is a few million rows while the corpus is "
+        "trillions of tokens); each round is one keyed pair-count "
+        "shuffle + a 1-row argmax (TakeOrderedAndProject) broadcast "
+        "back for the merge rewrite. Merges use the two-space symbol "
+        "encoding so replace() is exact left-to-right non-overlapping "
+        "pair substitution in both engines. Output: the learned "
+        "merge table (rank, pair, corpus frequency).",
+)
+def q112_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    sym = vocab.select(
+        "wcount",
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace("word", "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.trim("s"), "  ")
+        idx = F.when(
+            F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = sym.select(
+            "wcount",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.concat_ws("  ", arr[i], arr[i + 1])
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wcount").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .withColumn("one", F.lit(1))
+        )
+        merges.append(
+            best.select(F.lit(r).cast("bigint").alias("rank"), "pair", "freq")
+        )
+        sym = (
+            sym.withColumn("one", F.lit(1))
+            .join(F.broadcast(best), "one")
+            .select(
+                "wcount",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit("  "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ).alias("s"),
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

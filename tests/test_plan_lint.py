@@ -48,6 +48,7 @@ _ALLOWED_NESTED_LOOP = {
     "q103_semdedup",       # broadcast of k=8 centroids — the Lloyd assign
     "q111_pq_ann",         # broadcast codebooks (m·k_sub = 16 rows) + the
                            # n_q×m×k_sub ADC table — both constant-size
+    "q112_bpe_train",      # per-round 1-ROW best-pair broadcast to the vocab
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
