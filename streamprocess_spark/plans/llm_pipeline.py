@@ -1583,7 +1583,7 @@ def q106_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q111: product-quantization ANN (§2.13 similarity — ADC search)
 # ---------------------------------------------------------------------------
 
-_PQ_M, _PQ_KSUB, _PQ_SUBDIM, _PQ_NQ, _PQ_K = 4, 4, 16, 10, 5
+_PQ_M, _PQ_KSUB, _PQ_SUBDIM, _PQ_NQ, _PQ_K = 4, 8, 16, 10, 5
 
 
 def _pq_sub_ctes(s: int) -> str:

@@ -83,3 +83,23 @@ def test_kmeans_inertia_decreases_and_deterministic(spark):
         )
 
     assert run().equals(run())
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ/ADC (q111) is a coarse quantization (m=4, k_sub=4 → 256
+    distinct code words): it must still place a meaningful share of
+    the exact top-5 in its top-5 (recall floor), and every query must
+    return exactly 5 ranked rows."""
+    exact = query_map()["q48_embedding_topk"](spark, SF_DIR).collect()
+    pq = query_map()["q111_pq_ann"](spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in pq:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 10
+    for qid, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r.cid != qid for r in rows)
+    e = {(r.qid, r.cid) for r in exact}
+    a = {(r.qid, r.cid) for r in pq}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.1, f"ADC recall collapsed: {recall:.2f}"
