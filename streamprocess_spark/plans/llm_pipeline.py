@@ -1854,3 +1854,63 @@ def q112_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q113: feature-hashing text embedder (§2.13 — embed without a model)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 16
+
+
+@register(
+    "q113_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               {_HASH.format(v="t")} % {_FH_DIM} AS bucket,
+               CASE WHEN ({_HASH.format(v="t")} // {_FH_DIM}) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks WHERE t <> ''
+    )
+    SELECT doc_id, bucket,
+           cast(sum(sgn) AS BIGINT) AS w,
+           count(*)::BIGINT AS n_hits
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+    covers=("§2.13-text", "§2.13-similarity"),
+    doc="Feature-hashing text embedder (the hashing trick, Weinberger "
+        "et al. 2009, ICML): every token hashes to one of 16 buckets "
+        "with a sign hash; the signed term-frequency vector is a "
+        "model-free document embedding — the cheap first-pass vector "
+        "for clustering/dedup when no encoder model is in the loop "
+        "(the md5 bucket+sign reuses the engine-agnostic token_hash). "
+        "Long-format output (doc, bucket, weight) keeps weights "
+        "integer and the result exactly hashable. Scale: map-side "
+        "explode+hash, ONE keyed shuffle — embedding 100 TB of text "
+        "is a single aggregation pass, no model servers.",
+)
+def q113_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = D.token_hash(F.col("t"))
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            (h % _FH_DIM).alias("bucket"),
+            F.when((h / _FH_DIM).cast("bigint") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("w"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )

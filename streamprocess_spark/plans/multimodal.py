@@ -1409,3 +1409,81 @@ def q101_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.px_sum").alias("px_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q114: cross-document audio fingerprint dedup (§2.13 multimodal dedup)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_audio_mod_udf(doc_id: pd.Series) -> pd.Series:
+    """Audio with INTENDED duplicates: doc d carries the stream of
+    seed d % 50, so every 50th doc is an exact re-upload — the
+    re-encoded-copy situation audio dedup exists for."""
+    return doc_id.apply(lambda d: _np_synth_audio(int(d) % 50))
+
+
+@register(
+    "q114_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH au AS (
+        SELECT doc_id, doc_id % 50 AS dm, 10 + (doc_id % 50) % 5 AS nf
+        FROM documents
+    ),
+    samp AS (
+        SELECT a.doc_id, t.i // {FRAME} AS f,
+               CASE WHEN ((t.i // {FRAME}) + a.dm) % 3 = 0 THEN 0
+                    ELSE (a.dm * 31 + t.i * 7) % 1025 - 512 END AS k
+        FROM au a, range(0, {FRAME} * 15) t(i)
+        WHERE t.i < a.nf * {FRAME}
+    ),
+    fr AS (
+        SELECT doc_id, f,
+               sum(cast(floor((k * k) / 1048576.0 * 1000000.0) AS BIGINT))
+                   AS e_fp
+        FROM samp GROUP BY doc_id, f
+    ),
+    fp AS (
+        SELECT doc_id, string_agg(e_fp, ',' ORDER BY f) AS sig
+        FROM fr GROUP BY doc_id
+    )
+    SELECT sig,
+           count(*)::BIGINT AS n_docs,
+           cast(min(doc_id) AS BIGINT) AS canonical
+    FROM fp GROUP BY sig
+    HAVING count(*) >= 2
+    """,
+    covers=("§2.13-multimodal", "§2.13-dedup", "W1-adjacent"),
+    doc="Cross-document audio deduplication by frame-energy "
+        "fingerprint (the audio analog of q98's video frame dedup, "
+        "and the shape of chromaprint-style audio matching): decode "
+        "-> per-30ms-frame fixed-point energy -> ordered "
+        "comma-joined signature -> ONE hash groupBy collapses exact "
+        "re-uploads, reporting group size and the canonical (min "
+        "doc_id) survivor. Fixture seeds repeat every 50 docs so real "
+        "duplicate groups exist. Scale: framing happens inside the "
+        "scan partition (array ops, no explode shuffle); the only "
+        "shuffle is the signature groupBy — corpus-size-linear.",
+)
+def q114_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import decode_linear16_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    frame_e = (
+        "transform(sequence(0, cast(size(samples)/480 as int) - 1), f -> "
+        "aggregate(slice(samples, f*480 + 1, 480), cast(0 as bigint), "
+        "(a, x) -> a + cast(floor(cast(x as double) * cast(x as double) "
+        "* 1000000.0) as bigint)))"
+    )
+    return (
+        docs.select("doc_id")
+        .withColumn("samples", decode_linear16_udf(_synth_audio_mod_udf("doc_id")))
+        .withColumn("sig", F.array_join(F.expr(frame_e), ","))
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
