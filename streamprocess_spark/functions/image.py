@@ -3,11 +3,11 @@
 Image model: opaque binary column = raw 8-bit grayscale bytes in
 row-major order, with width/height carried as typed metadata columns
 (FIXTURES.md document_jobs). The container has no OpenCV/PIL, so:
-  - PNG/JPEG decode is STUBBED (decode_image raises
-    NotImplementedError for real formats; the deterministic procedural
-    decoder `fake_decode` generates a seeded bitmap) — the Spark-side
-    plumbing (schema, partitioning, UDF signatures, Arrow batching)
-    is real and tested.
+  - Container codecs implemented from scratch: PNG (stdlib zlib, all
+    5 scanline filters), BMP, uncompressed TIFF (both byte orders),
+    baseline JPEG (functions/jpeg.py), PDF image extraction
+    (functions/pdf.py). Formats needing codec libs absent here
+    (WEBP, compressed TIFF, …) raise NotImplementedError.
   - Geometry/threshold/crop/layout ops are real NumPy implementations
     mirroring src/preprocessing/image_processor.py semantics.
 
@@ -48,10 +48,10 @@ WHITE = 230  # "non-white" threshold for content detection
 def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.ndarray:
     """Decode an image payload to a HxW uint8 grayscale array.
 
-    GRAY8 (raw raster) and PNG (stdlib-zlib decoder below) are
-    implemented; JPEG/BMP/TIFF/PDF (the reference's other accepted
-    formats, src/grpc_server/server.py:354) require a codec library
-    not present in this container."""
+    GRAY8 (raw raster), PNG (stdlib-zlib decoder below), BMP, baseline
+    JPEG (functions/jpeg.py), and uncompressed TIFF are implemented
+    from scratch; remaining formats from the reference's accepted list
+    (src/grpc_server/server.py:354) raise NotImplementedError."""
     if fmt == "PNG":
         img = np_decode_png(raw)
         img = np_png_to_gray(img)
@@ -74,6 +74,13 @@ def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.
         if img.shape != (height, width):
             raise ValueError(
                 f"JPEG dims {img.shape[::-1]} != metadata {width}x{height}"
+            )
+        return img
+    if fmt == "TIFF":
+        img = np_decode_tiff_gray(raw)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"TIFF dims {img.shape[::-1]} != metadata {width}x{height}"
             )
         return img
     if fmt != "GRAY8":
@@ -749,3 +756,93 @@ def deskew_report_udf(
             "sharp_gain": (s1 / s0) if s0 > 0 else 1.0,
         })
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec (S15) — baseline uncompressed grayscale, both byte orders
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bps", 259: "compression",
+              262: "photometric", 273: "strip_offsets", 277: "spp",
+              278: "rows_per_strip", 279: "strip_counts"}
+
+
+def np_encode_tiff_gray(img: np.ndarray, big_endian: bool = False) -> bytes:
+    """Baseline TIFF 6.0 writer: single uncompressed gray strip."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    bo = ">" if big_endian else "<"
+    e2 = lambda v: int(v).to_bytes(2, "big" if big_endian else "little")
+    e4 = lambda v: int(v).to_bytes(4, "big" if big_endian else "little")
+    pix = img.tobytes()
+    ifd_off = 8 + len(pix)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1),
+        (278, 3, 1, h), (279, 4, 1, len(pix)),
+    ]
+    ifd = e2(len(entries))
+    for tag, typ, cnt, val in entries:
+        # SHORT values are LEFT-justified in the 4-byte field (TIFF §2)
+        v = e4(val) if typ == 4 else e2(val) + b"\x00\x00"
+        ifd += e2(tag) + e2(typ) + e4(cnt) + v
+    ifd += e4(0)
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + e4(ifd_off)
+    return hdr + pix + ifd
+
+
+def np_decode_tiff_gray(raw: bytes) -> np.ndarray:
+    """Baseline TIFF reader: uncompressed 8-bit grayscale, II/MM byte
+    orders, multi-strip, Photometric 0 (WhiteIsZero, inverted) or 1.
+    Compressed TIFF (LZW/PackBits/JPEG) raises NotImplementedError —
+    the reference decodes via cv2.imdecode (ocr_worker.py:283-308)."""
+    if raw[:4] == b"II*\x00":
+        end = "little"
+    elif raw[:4] == b"MM\x00*":
+        end = "big"
+    else:
+        raise ValueError("not a TIFF (bad byte-order/magic)")
+    d2 = lambda b: int.from_bytes(b, end)
+    ifd_off = d2(raw[4:8])
+    if ifd_off + 2 > len(raw):
+        raise ValueError("TIFF IFD offset out of range")
+    n = d2(raw[ifd_off:ifd_off + 2])
+    tags: dict[str, list[int]] = {}
+    for i in range(n):
+        at = ifd_off + 2 + i * 12
+        ent = raw[at:at + 12]
+        if len(ent) < 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ = d2(ent[0:2]), d2(ent[2:4])
+        cnt = d2(ent[4:8])
+        if tag not in _TIFF_TAGS:
+            continue
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF type {typ} unsupported for tag {tag}")
+        if size * cnt <= 4:
+            buf = ent[8:8 + size * cnt]
+        else:
+            off = d2(ent[8:12])
+            buf = raw[off:off + size * cnt]
+        vals = [d2(buf[j * size:(j + 1) * size]) for j in range(cnt)]
+        tags[_TIFF_TAGS[tag]] = vals
+    try:
+        w, h = tags["width"][0], tags["height"][0]
+        offs, cnts = tags["strip_offsets"], tags["strip_counts"]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    if tags.get("compression", [1])[0] != 1:
+        raise NotImplementedError(
+            f"TIFF compression {tags['compression'][0]} needs a codec "
+            "(cv2 path in the reference)"
+        )
+    if tags.get("bps", [8])[0] != 8 or tags.get("spp", [1])[0] != 1:
+        raise NotImplementedError("only 8-bit single-sample TIFF")
+    data = b"".join(raw[o:o + c] for o, c in zip(offs, cnts))
+    if len(data) < w * h:
+        raise ValueError("TIFF pixel data truncated")
+    img = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+    if tags.get("photometric", [1])[0] == 0:         # WhiteIsZero
+        img = 255 - img
+    return img

@@ -36,6 +36,9 @@ _SNIFFERS = (
     (b"fLaC", "FLAC", "stt_batch", "normal"),
     (b"\x89PNG\r\n\x1a\n", "PNG", "ocr_single", "normal"),
     (b"\xff\xd8\xff", "JPEG", "ocr_single", "normal"),
+    (b"II*\x00", "TIFF", "ocr_single", "normal"),
+    (b"MM\x00*", "TIFF", "ocr_single", "normal"),
+    (b"%PDF-", "PDF", "ocr_batch", "normal"),
     (b"BM", "BMP", "ocr_single", "normal"),
     (b"RAWV", "RAWV", "video_batch", "low"),
 )
@@ -77,6 +80,14 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.jpeg import np_decode_jpeg_gray
 
             np_decode_jpeg_gray(raw)
+        elif fmt == "TIFF":
+            from streamprocess_spark.functions.image import np_decode_tiff_gray
+
+            np_decode_tiff_gray(raw)
+        elif fmt == "PDF":
+            from streamprocess_spark.functions.pdf import np_extract_pdf_images
+
+            np_extract_pdf_images(raw)
         elif fmt == "RAWV":
             from streamprocess_spark.functions.video import np_parse_rawv
 

@@ -1487,3 +1487,114 @@ def q114_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q115: TIFF + PDF document-container ingest (S15) — exact-pixel oracles
+# ---------------------------------------------------------------------------
+
+
+def _np_synth_doc_page(d: int) -> np.ndarray:
+    """Formula page for the document-container fixtures: 48x64,
+    constant 8x8 blocks v = 128 + 2*(((d*11 + b)*7) % 61 - 30) — even
+    offsets from 128 so the same raster is ALSO DC-exact under the
+    JPEG-in-PDF (DCTDecode) path."""
+    b = np.arange(6 * 8, dtype=np.int64)
+    vals = (128 + 2 * (((d * 11 + b) * 7) % 61 - 30)).astype(np.uint8)
+    return np.repeat(np.repeat(vals.reshape(6, 8), 8, axis=0), 8, axis=1)
+
+
+@pandas_udf(T.BinaryType())
+def _synth_tiff_udf(doc_id: pd.Series) -> pd.Series:
+    from streamprocess_spark.functions.image import np_encode_tiff_gray
+
+    # alternate byte orders so both decoder paths stay exercised
+    return doc_id.apply(
+        lambda d: np_encode_tiff_gray(_np_synth_doc_page(int(d)),
+                                      big_endian=bool(int(d) % 2))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def _synth_pdf_udf(doc_id: pd.Series) -> pd.Series:
+    from streamprocess_spark.functions.pdf import np_build_pdf_image
+
+    # alternate lossless Flate and lossy-but-DC-exact DCT embeddings
+    return doc_id.apply(
+        lambda d: np_build_pdf_image(
+            _np_synth_doc_page(int(d)),
+            "FlateDecode" if int(d) % 2 == 0 else "DCTDecode",
+        )
+    )
+
+
+_DOC_PAGE_SUM_CTE = """
+    page AS (
+        SELECT d.doc_id,
+               cast(sum(128 + 2 * ((((d.doc_id * 11 + t.b) * 7) % 61) - 30))
+                    * 64 AS BIGINT) AS px_sum
+        FROM documents d, range(0, 48) t(b)
+        GROUP BY d.doc_id
+    )"""
+
+
+@register(
+    "q115_document_containers",
+    oracle=f"""
+    WITH {_DOC_PAGE_SUM_CTE}
+    SELECT doc_id,
+           px_sum AS tiff_px_sum,
+           px_sum AS pdf_px_sum,
+           cast(1 AS BIGINT) AS n_pdf_images
+    FROM page
+    """,
+    covers=("S15", "S3"),
+    doc="Scanned-document container ingest (S15): the same formula "
+        "page travels as (a) real TIFF — from-scratch IFD writer/"
+        "reader, alternating little/big byte orders per doc — and "
+        "(b) real single-page PDF with the page as an image XObject "
+        "(functions/pdf.py), alternating lossless /FlateDecode with "
+        "/DCTDecode routed through the repo's own baseline JPEG "
+        "decoder (DC-exact constant blocks). Equal pixel sums across "
+        "both containers and the closed-form oracle prove bit-exact "
+        "decode end-to-end (reference accepts TIFF/PDF on the OCR "
+        "upload path, server.py:354). Map-only, zero shuffles.",
+)
+def q115_document_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.image import np_decode_tiff_gray
+    from streamprocess_spark.functions.pdf import np_extract_pdf_images
+
+    @pandas_udf(T.LongType())
+    def tiff_sum_udf(raw: pd.Series) -> pd.Series:
+        return raw.apply(
+            lambda b: int(np_decode_tiff_gray(bytes(b)).sum(dtype=np.int64))
+        )
+
+    pdf_schema = T.StructType([
+        T.StructField("pdf_px_sum", T.LongType()),
+        T.StructField("n_pdf_images", T.LongType()),
+    ])
+
+    @pandas_udf(pdf_schema)
+    def pdf_sum_udf(raw: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in raw:
+            imgs = np_extract_pdf_images(bytes(b))
+            rows.append({
+                "pdf_px_sum": sum(int(i.sum(dtype=np.int64)) for i in imgs),
+                "n_pdf_images": len(imgs),
+            })
+        return pd.DataFrame(rows)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("tiff_px_sum", tiff_sum_udf(_synth_tiff_udf("doc_id")))
+        .withColumn("p", pdf_sum_udf(_synth_pdf_udf("doc_id")))
+        .select(
+            "doc_id",
+            "tiff_px_sum",
+            F.col("p.pdf_px_sum").alias("pdf_px_sum"),
+            F.col("p.n_pdf_images").alias("n_pdf_images"),
+        )
+    )

@@ -196,7 +196,7 @@ def test_decode_image_raw_and_stubs():
     with pytest.raises(ValueError):
         I.decode_image(img.tobytes(), 10, 10)
     with pytest.raises(NotImplementedError):
-        I.decode_image(img.tobytes(), 200, 150, fmt="TIFF")
+        I.decode_image(img.tobytes(), 200, 150, fmt="WEBP")
 
 
 # --------------------------------------------------- PNG codec (S15)
@@ -825,3 +825,89 @@ class TestJpeg:
         assert np.array_equal(out, img)
         with pytest.raises(ValueError, match="dims"):
             I.decode_image(enc, 99, 24, fmt="JPEG")
+
+
+# ----------------------------------------- TIFF + PDF containers (S15)
+
+class TestTiffPdf:
+    """From-scratch TIFF reader/writer and PDF image-XObject
+    extraction (functions/pdf.py). Reference accepts both on the OCR
+    upload path (server.py:354)."""
+
+    def _img(self, h=37, w=53, seed=3):
+        return np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+
+    def test_tiff_roundtrip_both_byte_orders(self):
+        img = self._img()
+        for be in (False, True):
+            raw = I.np_encode_tiff_gray(img, big_endian=be)
+            assert np.array_equal(I.np_decode_tiff_gray(raw), img)
+
+    def test_tiff_white_is_zero_inverted(self):
+        img = self._img(8, 8)
+        raw = bytearray(I.np_encode_tiff_gray(img))
+        # photometric tag (262) value lives in the IFD after the pixels;
+        # flip 1 -> 0 (WhiteIsZero): find the tag entry and zero it
+        at = raw.rfind((262).to_bytes(2, "little"))
+        raw[at + 8] = 0
+        out = I.np_decode_tiff_gray(bytes(raw))
+        assert np.array_equal(out, 255 - img)
+
+    def test_tiff_rejections(self):
+        img = self._img(8, 8)
+        with pytest.raises(ValueError, match="TIFF"):
+            I.np_decode_tiff_gray(b"II+\x00garbage")
+        raw = bytearray(I.np_encode_tiff_gray(img))
+        at = raw.rfind((259).to_bytes(2, "little"))  # compression tag
+        raw[at + 8] = 5                               # LZW
+        with pytest.raises(NotImplementedError, match="compression"):
+            I.np_decode_tiff_gray(bytes(raw))
+        with pytest.raises(ValueError):
+            I.np_decode_tiff_gray(I.np_encode_tiff_gray(img)[:20])
+
+    def test_pdf_flate_lossless_and_dct_exact(self):
+        from streamprocess_spark.functions import pdf as P
+
+        img = self._img(48, 64, seed=1)
+        back = P.np_extract_pdf_images(P.np_build_pdf_image(img, "FlateDecode"))
+        assert len(back) == 1 and np.array_equal(back[0], img)
+        # constant-block page through DCTDecode → exact via jpeg codec
+        vals = (128 + 2 * (((np.arange(12) * 7) % 61) - 30)).astype(np.uint8)
+        cb = np.repeat(np.repeat(vals.reshape(3, 4), 8, 0), 8, 1)
+        back2 = P.np_extract_pdf_images(P.np_build_pdf_image(cb, "DCTDecode"))
+        assert np.array_equal(back2[0], cb)
+        back3 = P.np_extract_pdf_images(P.np_build_pdf_image(img, None))
+        assert np.array_equal(back3[0], img)
+
+    def test_pdf_rejections(self):
+        from streamprocess_spark.functions import pdf as P
+
+        with pytest.raises(ValueError, match="PDF"):
+            P.np_extract_pdf_images(b"not a pdf")
+        img = self._img(8, 8)
+        pdf = P.np_build_pdf_image(img)
+        with pytest.raises(NotImplementedError, match="encrypt"):
+            P.np_extract_pdf_images(pdf.replace(b"/Root", b"/Encrypt"))
+        with pytest.raises(ValueError, match="no image"):
+            P.np_extract_pdf_images(b"%PDF-1.4\nno objects here")
+        # corrupted Flate payload dead-letters as ValueError
+        broken = bytearray(pdf)
+        at = broken.find(b"stream\n") + 10
+        broken[at] ^= 0xFF
+        with pytest.raises(ValueError):
+            P.np_extract_pdf_images(bytes(broken))
+
+    def test_ingest_sniffs_tiff_and_pdf(self):
+        from streamprocess_spark.functions import pdf as P
+        from streamprocess_spark.io.ingest import sniff_format
+
+        img = self._img(8, 8)
+        assert sniff_format(I.np_encode_tiff_gray(img))[0] == "TIFF"
+        assert sniff_format(I.np_encode_tiff_gray(img, True))[0] == "TIFF"
+        fmt, jtype, prio = sniff_format(P.np_build_pdf_image(img))
+        assert (fmt, jtype) == ("PDF", "ocr_batch")
+
+    def test_decode_image_dispatch_tiff(self):
+        img = self._img(24, 32)
+        out = I.decode_image(I.np_encode_tiff_gray(img), 32, 24, fmt="TIFF")
+        assert np.array_equal(out, img)
