@@ -1914,3 +1914,98 @@ def q113_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: bigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+_LM_Q = 10000.0  # idf-style ln() quantization (see q102)
+
+
+@register(
+    "q116_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(a), 1)),
+                                     i -> a[i] || ' ' || a[i+1])) AS b,
+               unnest(list_transform(range(1, greatest(len(a), 1)),
+                                     i -> a[i])) AS w1
+        FROM toks WHERE len(a) >= 2
+    ),
+    bgc AS (SELECT b, count(*)::BIGINT AS cb FROM bg GROUP BY b),
+    ugc AS (SELECT w1, count(*)::BIGINT AS cu FROM bg GROUP BY w1),
+    scored AS (
+        SELECT g.doc_id,
+               floor(ln((c.cb + 1.0) / (u.cu + 1.0)) * {_LM_Q}) / {_LM_Q}
+                   AS lp
+        FROM bg g JOIN bgc c USING (b) JOIN ugc u USING (w1)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           cast(cast(sum(cast(floor(-lp * 1000000.0) AS bigint)) AS bigint)
+                AS double) / 1000000.0 / count(*) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    covers=("§2.13-text", "A1-adjacent"),
+    doc="Bigram language-model perplexity scoring (the CCNet/KenLM "
+        "quality-filter family, Wenzek et al. 2020 arXiv:1911.00359, "
+        "with the LM trained ON the corpus itself): bigram and "
+        "unigram-context counts are two keyed shuffles; per-token "
+        "add-one log-probs ln((c(w1,w2)+1)/(c(w1)+1)) join back on "
+        "the bigram/unigram keys; a doc's score is its mean negative "
+        "log-likelihood — high avg_nll = improbable word sequences = "
+        "the filter signal. ln() is floor-quantized at 1e-4 (the "
+        "q102 trick) and the per-doc mean uses the fixed-point sum, "
+        "so both engines agree exactly. At 100 TB the LM tables are "
+        "the shuffled aggregate of the corpus itself — no model "
+        "server, the way CCNet actually ran.",
+)
+def q116_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.util import SCALE
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.split("text", " ").alias("a"))
+    idx = F.when(
+        F.size("a") >= 2, F.sequence(F.lit(0), F.size("a") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.col("a")[i], F.col("a")[i + 1]).alias("b"),
+                    F.col("a")[i].alias("w1"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.b").alias("b"), F.col("e.w1").alias("w1"))
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    lp = (
+        F.floor(
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.lit(1.0)))
+            * F.lit(_LM_Q)
+        )
+        / F.lit(_LM_Q)
+    )
+    return (
+        bg.join(bgc, "b")
+        .join(ugc, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.floor(-F.col("lp") * F.lit(SCALE)).cast("bigint"))
+                .cast("double")
+                / F.lit(SCALE)
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )

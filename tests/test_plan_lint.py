@@ -97,7 +97,7 @@ def test_exemption_broadcast_side_is_the_small_side(spark):
 # state, with T8 proper carried by the armed sessionizer timeout).
 _BELOW_50_ONLY_OK = {
     "A10-adjacent", "A12-adjacent", "A2-shape", "A4-adjacent",
-    "A5-adjacent", "J4-adjacent", "R4-adjacent", "R5-adjacent",
+    "A1-adjacent", "A5-adjacent", "J4-adjacent", "R4-adjacent", "R5-adjacent",
     "T8-shape", "W1-adjacent", "free-grouping-sets",
     "§2.6-free-analytics",
     # beyond-reference additions (no §2 id of their own) whose parity
