@@ -399,3 +399,64 @@ def q109_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     zf = spans(keyed, "zorder", (F.col("z") / (1 << _ZFILE_SHIFT)).cast("bigint"))
     lf = spans(keyed, "linear", (F.col("b") / 16).cast("bigint"))
     return zf.unionByName(lf)
+
+
+# ---------------------------------------------------------------------------
+# q117: SCD2 history build (warehouse pattern over the event stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_scd2_history",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, state, ts AS valid_from, event_id,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state, valid_from, valid_to, event_id,
+           (valid_to IS NULL) AS is_current
+    FROM versions
+    """,
+    covers=("W2-adjacent", "J-free"),
+    doc="Slowly-changing-dimension type-2 history build — the "
+        "warehouse versioning pattern, derived from the event stream "
+        "as entity-state changes: change detection via lag() (runs of "
+        "equal state collapse), validity intervals via lead() "
+        "(valid_from/valid_to half-open, NULL = current). Both "
+        "windows share ONE (user_id, ts, event_id) sort — Catalyst "
+        "plans a single shuffle+sort reused by both window operators. "
+        "The output is exactly what q79's as-of join probes at read "
+        "time. Deterministic: event_id breaks ts ties.",
+)
+def q117_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    ).filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        "event_id",
+    ).select(
+        "user_id", "state", "valid_from", "valid_to", "event_id",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -67,3 +67,30 @@ def test_pruned_count_matches_unpartitioned(spark, partitioned_path):
         .count()
     )
     assert got == expected > 0
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_path):
+    """DPP: a selective filter on a DIMENSION joined on the partition
+    column must prune the fact scan at RUNTIME (the partition values
+    are not known statically). At 100 TB this is the difference
+    between scanning one day and scanning the table — the plan must
+    carry a dynamicpruning subquery on the fact side."""
+    fact = spark.read.parquet(partitioned_path)
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("view", "traffic"), ("click", "traffic"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, team string",
+    )
+    # join on the partition column, filter on the dim only
+    joined = (
+        fact.join(dim, "event_type")
+        .filter(F.col("team") == "rev")
+        .select("event_id", "value")
+    )
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized, (
+        "expected a DPP subquery on the partitioned fact scan:\n" + optimized
+    )
+    # and it returns exactly the statically-pruned rows
+    expected = fact.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == expected

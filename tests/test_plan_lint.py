@@ -98,7 +98,7 @@ def test_exemption_broadcast_side_is_the_small_side(spark):
 _BELOW_50_ONLY_OK = {
     "A10-adjacent", "A12-adjacent", "A2-shape", "A4-adjacent",
     "A1-adjacent", "A5-adjacent", "J4-adjacent", "R4-adjacent", "R5-adjacent",
-    "T8-shape", "W1-adjacent", "free-grouping-sets",
+    "T8-shape", "W1-adjacent", "W2-adjacent", "free-grouping-sets",
     "§2.6-free-analytics",
     # beyond-reference additions (no §2 id of their own) whose parity
     # coverage lives in the repo suite: z-order layout, KMV sketch
