@@ -2009,3 +2009,115 @@ def q116_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q118: domain mixing / sampling weights (DoReMi-lite corpus assembly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_domain_mixing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               cast(len(toks) AS double) AS n,
+               cast(len(list_filter(toks, x -> list_contains({_STOPLIST}, lower(x))))
+                    AS double) AS n_stop,
+               cast(list_sum(list_transform(toks, x -> length(x))) AS double) AS sum_len
+        FROM t
+    ), q AS (
+        SELECT doc_id, source,
+               round(greatest(0.0, least(1.0,
+                   0.5 * least(n / 64.0, 1.0)
+                 + 0.3 * least((sum_len / greatest(n, 1.0)) / 5.0, 1.0)
+                 + 0.2 * (1.0 - n_stop / greatest(n, 1.0)))), 6) AS quality
+        FROM m
+    ),
+    src AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               cast(sum(cast(floor(quality * 1000000.0) AS bigint)) AS BIGINT)
+                   AS q_fp
+        FROM q GROUP BY source
+    ),
+    wts AS (
+        SELECT source, n_docs,
+               floor((cast(q_fp AS double) / 1000000.0 / n_docs)
+                     * sqrt(cast(n_docs AS double)) * 1000000.0) AS w_fp
+        FROM src
+    ),
+    norm AS (SELECT sum(w_fp)::BIGINT AS tot FROM wts),
+    rates AS (
+        SELECT w.source, w.n_docs,
+               round(w.w_fp / cast(n.tot AS double), 6) AS weight,
+               cast(floor(w.w_fp / cast(n.tot AS double) * 1000000.0) AS BIGINT)
+                   AS thr
+        FROM wts w, norm n
+    )
+    SELECT r.source, r.n_docs, r.weight,
+           cast(sum(CASE WHEN ('0x' || substr(md5(cast(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              % 1000000007 % 1000000 < r.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM rates r JOIN q ON q.source = r.source
+    GROUP BY r.source, r.n_docs, r.weight
+    """,
+    covers=("§2.13-text", "A13-adjacent"),
+    doc="Domain mixing weights + deterministic sampling (the "
+        "DoReMi/data-mixture step of corpus assembly, arXiv:2305.10429 "
+        "simplified to quality x sqrt(size) heuristic weights): "
+        "per-source quality aggregates (fixed-point), weight "
+        "normalization over the tiny source table, then hash-threshold "
+        "sampling — every doc's keep/drop decision is a pure function "
+        "of (doc_id, source rate), reproducible across engines and "
+        "cluster layouts, the property that makes a 100 TB sampling "
+        "pass auditable. One corpus shuffle (per-source agg) + one "
+        "broadcast join back.",
+)
+def q118_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.dedup import MOD
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    q = docs.select(
+        "doc_id", "source", X.quality_score("text").alias("quality")
+    )
+    src = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.floor(F.col("quality") * F.lit(1000000.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("q_fp"),
+    )
+    wts = src.select(
+        "source",
+        "n_docs",
+        F.floor(
+            (F.col("q_fp").cast("double") / F.lit(1000000.0) / F.col("n_docs"))
+            * F.sqrt(F.col("n_docs").cast("double"))
+            * F.lit(1000000.0)
+        ).alias("w_fp"),
+    )
+    norm = wts.agg(F.sum("w_fp").cast("bigint").alias("tot")).withColumn(
+        "one", F.lit(1)
+    )
+    rates = (
+        wts.withColumn("one", F.lit(1))
+        .join(F.broadcast(norm), "one")
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("w_fp") / F.col("tot").cast("double"), 6).alias("weight"),
+            F.floor(
+                F.col("w_fp") / F.col("tot").cast("double") * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("thr"),
+        )
+    )
+    h = D.token_hash(F.col("doc_id").cast("string")) % 1000000
+    return (
+        q.join(F.broadcast(rates), "source")
+        .select("source", "n_docs", "weight", (h < F.col("thr")).alias("keep"))
+        .groupBy("source", "n_docs", "weight")
+        .agg(F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_sampled"))
+    )

@@ -49,6 +49,7 @@ _ALLOWED_NESTED_LOOP = {
     "q111_pq_ann",         # broadcast codebooks (m·k_sub = 16 rows) + the
                            # n_q×m×k_sub ADC table — both constant-size
     "q112_bpe_train",      # per-round 1-ROW best-pair broadcast to the vocab
+    "q118_domain_mixing",  # 1-row weight-normalizer broadcast to 20 sources
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
