@@ -460,3 +460,88 @@ def q117_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "state", "valid_from", "valid_to", "event_id",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: small-file compaction planner (lakehouse maintenance op)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 100  # rows per compacted output file (scaled for test SF)
+
+
+@register(
+    "q119_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT cast(cast(ts AS timestamp) AS date) AS event_date,
+               event_type,
+               cast(floor(epoch(cast(ts AS timestamp)) / 3600.0) AS BIGINT)
+                   AS file_id,
+               count(*)::BIGINT AS file_rows
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    binned AS (
+        SELECT event_date, event_type, file_id, file_rows,
+               cast(floor(
+                   (sum(file_rows) OVER (PARTITION BY event_date, event_type
+                                         ORDER BY file_id
+                                         ROWS UNBOUNDED PRECEDING)
+                    - file_rows) / {_COMPACT_TARGET}.0) AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT event_date, event_type, bin,
+           count(*)::BIGINT AS n_files,
+           cast(sum(file_rows) AS BIGINT) AS bin_rows,
+           cast(min(file_id) AS BIGINT) AS first_file,
+           cast(max(file_id) AS BIGINT) AS last_file
+    FROM binned
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    """,
+    covers=("§2.13-layout", "A13-adjacent"),
+    doc="Small-file compaction planner — the lakehouse OPTIMIZE "
+        "bin-packing step every partitioned streaming ingest needs "
+        "(hourly micro-batch files accumulate; scans degrade on file "
+        "count, not bytes). File inventory is simulated as one file "
+        "per (partition, ingest hour); bins are NEXT-FIT on the "
+        "running row count (cumulative-sum window, floor(cum_before / "
+        "target)) — the one-pass strategy that needs no iteration, "
+        "keeps time-adjacent files together (preserving min/max "
+        "pruning locality), and plans each partition independently "
+        "(embarrassingly parallel across partitions at 100 TB). "
+        "Output: multi-file bins = the actual compaction work list.",
+)
+def q119_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    files = (
+        ev.select(
+            F.col("ts").cast("date").alias("event_date"),
+            "event_type",
+            F.floor(ts_sec("ts") / 3600.0).cast("bigint").alias("file_id"),
+        )
+        .groupBy("event_date", "event_type", "file_id")
+        .agg(F.count(F.lit(1)).alias("file_rows"))
+    )
+    w = (
+        Window.partitionBy("event_date", "event_type")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("file_rows").over(w) - F.col("file_rows"))
+            / F.lit(float(_COMPACT_TARGET))
+        ).cast("bigint"),
+    )
+    return (
+        binned.groupBy("event_date", "event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_rows").cast("bigint").alias("bin_rows"),
+            F.min("file_id").cast("bigint").alias("first_file"),
+            F.max("file_id").cast("bigint").alias("last_file"),
+        )
+        .filter(F.col("n_files") >= 2)
+    )
