@@ -1598,3 +1598,166 @@ def q115_document_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.n_pdf_images").alias("n_pdf_images"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q120: perceptual-hash image near-dup (the image leg of §2.13 dedup)
+# ---------------------------------------------------------------------------
+
+_AH_GRID = 8          # 8x8 block grid → 64-bit average hash
+_AH_CELL = 8          # 8x8 pixels per block → 64x64 images
+_AH_SEG_BITS = 16     # 4 segments → pigeonhole-exact for hamming <= 3
+
+
+def _np_synth_phash_image(d: int) -> bytes:
+    """64x64 GRAY8 raster for doc d: base pattern from group g = d%40
+    (every 40th doc is a near-copy), with variant v = d//40 perturbing
+    ONE block — the re-encoded / slightly-edited duplicate situation
+    perceptual hashing exists for. All-integer so the oracle replays
+    the hash in closed form."""
+    g, v = d % 40, d // 40
+    b = np.arange(64, dtype=np.int64)
+    vals = 40 + ((g * 13 + b * 7) % 160)
+    vals[(g + v) % 64] += (v % 3) * 90
+    img = np.repeat(
+        np.repeat(vals.reshape(_AH_GRID, _AH_GRID), _AH_CELL, 0), _AH_CELL, 1
+    )
+    return np.clip(img, 0, 255).astype(np.uint8).tobytes()
+
+
+@pandas_udf(T.BinaryType())
+def _synth_phash_udf(doc_id: pd.Series) -> pd.Series:
+    return doc_id.apply(lambda d: _np_synth_phash_image(int(d)))
+
+
+_AH_SEG_SCHEMA = T.StructType([
+    T.StructField(f"s{i}", T.LongType()) for i in range(4)
+])
+
+
+@pandas_udf(_AH_SEG_SCHEMA)
+def _ahash_segments_udf(raw: pd.Series) -> pd.DataFrame:
+    """Average hash over the REAL raster: bit b = (block b's pixel sum
+    x 64) > image pixel sum — integer cross-multiply, no float mean.
+    Returned as four 16-bit segments (pigeonhole candidates; avoids
+    signed-bit-63 asymmetries of a single int64 hash)."""
+    rows = []
+    for buf in raw:
+        img = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        img = img.reshape(_AH_GRID * _AH_CELL, _AH_GRID * _AH_CELL)
+        blocks = (
+            img.reshape(_AH_GRID, _AH_CELL, _AH_GRID, _AH_CELL)
+            .transpose(0, 2, 1, 3)
+            .reshape(64, -1)
+            .sum(axis=1)
+        )
+        bits = (blocks * 64 > img.sum()).astype(np.int64)
+        segs = {
+            f"s{s}": int((bits[s * 16:(s + 1) * 16]
+                          << np.arange(16, dtype=np.int64)).sum())
+            for s in range(4)
+        }
+        rows.append(segs)
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q120_image_phash_dedup",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, doc_id % 40 AS grp, doc_id // 40 AS var
+        FROM documents
+    ),
+    blk AS (
+        SELECT g.doc_id, t.b,
+               40 + ((g.grp * 13 + t.b * 7) % 160)
+               + CASE WHEN t.b = (g.grp + g.var) % 64
+                      THEN (g.var % 3) * 90 ELSE 0 END AS v
+        FROM g, range(0, 64) t(b)
+    ),
+    tot AS (SELECT doc_id, sum(least(v, 255)) AS sv FROM blk GROUP BY doc_id),
+    bits AS (
+        SELECT b.doc_id, b.b,
+               CASE WHEN least(b.v, 255) * 64 > t.sv THEN 1 ELSE 0 END AS bit
+        FROM blk b JOIN tot t USING (doc_id)
+    ),
+    segs AS (
+        SELECT doc_id, b // 16 AS seg,
+               sum(bit * (1::BIGINT << (b % 16)))::BIGINT AS seg_val
+        FROM bits GROUP BY doc_id, b // 16
+    ),
+    cand AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM segs a JOIN segs b
+          ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ham AS (
+        SELECT c.da, c.db,
+               sum(bit_count(xor(sa.seg_val, sb.seg_val)))::BIGINT AS h
+        FROM cand c
+        JOIN segs sa ON sa.doc_id = c.da
+        JOIN segs sb ON sb.doc_id = c.db AND sb.seg = sa.seg
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b, h AS hamming
+    FROM ham WHERE h <= 3
+    """,
+    covers=("§2.13-multimodal", "§2.13-dedup"),
+    doc="Perceptual-hash image near-duplicate detection — the IMAGE "
+        "leg of the dedup family (text SimHash q76, video q98, audio "
+        "q114): 64-bit average hash computed from the real raster "
+        "(integer cross-multiply, no float means), stored as four "
+        "16-bit segments; candidate pairs from the pigeonhole "
+        "segment equi-join (EXACT for hamming <= 3, never an "
+        "all-pairs scan), hamming rescored per-pair as a 4-way "
+        "xor-popcount. Fixtures repeat a base pattern every 40 docs "
+        "with one-block perturbations, so real near-dup pairs at "
+        "hamming 0-2 exist. Same scale shape as q76: bucket-local "
+        "pair expansion only.",
+)
+def q120_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    segs_wide = (
+        docs.select("doc_id")
+        .withColumn("img", _synth_phash_udf(F.col("doc_id")))
+        .withColumn("ah", _ahash_segments_udf(F.col("img")))
+        .select("doc_id", *[F.col(f"ah.s{i}").alias(f"s{i}") for i in range(4)])
+    )
+    seg_arr = F.array(*[
+        F.struct(F.lit(i).alias("seg"), F.col(f"s{i}").alias("seg_val"))
+        for i in range(4)
+    ])
+    segs = segs_wide.select(
+        "doc_id", F.explode(seg_arr).alias("e")
+    ).select("doc_id", "e.seg", "e.seg_val")
+    sa = segs.select(
+        F.col("doc_id").alias("doc_a"), "seg", "seg_val"
+    )
+    sb = segs.select(
+        F.col("doc_id").alias("doc_b"), "seg", "seg_val"
+    )
+    cand = (
+        sa.join(sb, ["seg", "seg_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    wa = segs_wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(4)],
+    )
+    wb = segs_wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
