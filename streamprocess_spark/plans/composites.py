@@ -616,6 +616,13 @@ def _image_suite_oracle() -> str:
             ) m, range(0, 384) t(b)
             WHERE t.b < (m.jw // 8) * (m.jh // 8)
         ) j GROUP BY j.doc_id
+    ),
+    doccont AS (
+        SELECT d.doc_id,
+               cast(sum(128 + 2 * ((((d.doc_id * 11 + t.b) * 7) % 61) - 30))
+                    * 64 AS BIGINT) AS page_px_sum
+        FROM documents d, range(0, 48) t(b)
+        GROUP BY d.doc_id
     )
     SELECT m.doc_id,
            CASE WHEN m.doc_id % 10 = 1 THEN 'too_small'
@@ -636,8 +643,11 @@ def _image_suite_oracle() -> str:
            cast(a.bbw AS BIGINT) AS bbox_w,
            cast(CASE WHEN a.bx IS NOT NULL THEN 20 END AS BIGINT) AS bbox_h,
            cast(m.w * m.h * 255 - a.area * 215 AS BIGINT) AS png_px_sum,
-           jp.jpeg_px_sum
+           jp.jpeg_px_sum,
+           dc.page_px_sum AS tiff_px_sum,
+           dc.page_px_sum AS pdf_px_sum
     FROM dims m JOIN agg a USING (doc_id) JOIN jp USING (doc_id)
+         JOIN doccont dc USING (doc_id)
     """
 
 
@@ -659,7 +669,10 @@ def _image_suite_oracle() -> str:
         "ocr_worker.py:283-308). Plus S15 JPEG: real baseline JPEGs "
         "(functions/jpeg.py, T.81 Huffman+DCT) over DC-exact "
         "constant-block fixtures, decoded by the from-scratch marker "
-        "walker — exact pixel-sum checked.",
+        "walker — exact pixel-sum checked. Plus S15 TIFF + PDF: the "
+        "q115 formula page through the real IFD reader (alternating "
+        "byte orders) and PDF image-XObject extraction (alternating "
+        "Flate/DCT filters) — both exact pixel sums.",
 )
 def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.image import (
@@ -675,7 +688,11 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.plans.multimodal import (
         _image_df,
         _jpeg_stats_udf as _jpeg_stats,
+        _pdf_stats_udf as _pdf_sum,
         _synth_jpeg_udf as _synth_jpeg,
+        _synth_pdf_udf as _synth_pdf,
+        _synth_tiff_udf as _synth_tiff,
+        _tiff_sum_udf as _tiff_sum,
     )
 
     img = _image_df(spark, sf_dir)
@@ -714,6 +731,8 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c", crop_dims_udf(F.col("image"), F.col("width"), F.col("height"))
         )
         .withColumn("jp", _jpeg_stats(_synth_jpeg(F.col("doc_id"))))
+        .withColumn("tiff_px_sum", _tiff_sum(_synth_tiff(F.col("doc_id"))))
+        .withColumn("pp", _pdf_sum(_synth_pdf(F.col("doc_id"))))
         .select(
             "doc_id",
             F.col("v.reason").alias("reason"),
@@ -738,6 +757,9 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("png_px_sum"),
             # S15: baseline JPEG round-trip (DC-exact constant blocks)
             F.col("jp.px_sum").alias("jpeg_px_sum"),
+            # S15: TIFF + PDF document containers (q115 fixtures)
+            "tiff_px_sum",
+            F.col("pp.pdf_px_sum").alias("pdf_px_sum"),
         )
     )
 

@@ -1538,6 +1538,35 @@ _DOC_PAGE_SUM_CTE = """
     )"""
 
 
+@pandas_udf(T.LongType())
+def _tiff_sum_udf(raw: pd.Series) -> pd.Series:
+    from streamprocess_spark.functions.image import np_decode_tiff_gray
+
+    return raw.apply(
+        lambda b: int(np_decode_tiff_gray(bytes(b)).sum(dtype=np.int64))
+    )
+
+
+_PDF_STATS_SCHEMA = T.StructType([
+    T.StructField("pdf_px_sum", T.LongType()),
+    T.StructField("n_pdf_images", T.LongType()),
+])
+
+
+@pandas_udf(_PDF_STATS_SCHEMA)
+def _pdf_stats_udf(raw: pd.Series) -> pd.DataFrame:
+    from streamprocess_spark.functions.pdf import np_extract_pdf_images
+
+    rows = []
+    for b in raw:
+        imgs = np_extract_pdf_images(bytes(b))
+        rows.append({
+            "pdf_px_sum": sum(int(i.sum(dtype=np.int64)) for i in imgs),
+            "n_pdf_images": len(imgs),
+        })
+    return pd.DataFrame(rows)
+
+
 @register(
     "q115_document_containers",
     oracle=f"""
@@ -1561,36 +1590,11 @@ _DOC_PAGE_SUM_CTE = """
         "upload path, server.py:354). Map-only, zero shuffles.",
 )
 def q115_document_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocess_spark.functions.image import np_decode_tiff_gray
-    from streamprocess_spark.functions.pdf import np_extract_pdf_images
-
-    @pandas_udf(T.LongType())
-    def tiff_sum_udf(raw: pd.Series) -> pd.Series:
-        return raw.apply(
-            lambda b: int(np_decode_tiff_gray(bytes(b)).sum(dtype=np.int64))
-        )
-
-    pdf_schema = T.StructType([
-        T.StructField("pdf_px_sum", T.LongType()),
-        T.StructField("n_pdf_images", T.LongType()),
-    ])
-
-    @pandas_udf(pdf_schema)
-    def pdf_sum_udf(raw: pd.Series) -> pd.DataFrame:
-        rows = []
-        for b in raw:
-            imgs = np_extract_pdf_images(bytes(b))
-            rows.append({
-                "pdf_px_sum": sum(int(i.sum(dtype=np.int64)) for i in imgs),
-                "n_pdf_images": len(imgs),
-            })
-        return pd.DataFrame(rows)
-
     docs = load_tables(spark, sf_dir)["documents"]
     return (
         docs.select("doc_id")
-        .withColumn("tiff_px_sum", tiff_sum_udf(_synth_tiff_udf("doc_id")))
-        .withColumn("p", pdf_sum_udf(_synth_pdf_udf("doc_id")))
+        .withColumn("tiff_px_sum", _tiff_sum_udf(_synth_tiff_udf("doc_id")))
+        .withColumn("p", _pdf_stats_udf(_synth_pdf_udf("doc_id")))
         .select(
             "doc_id",
             "tiff_px_sum",
