@@ -127,3 +127,25 @@ def test_top50_oracle_backed_except_documented_rows_only():
     names = list(query_map())[:50]
     rows_only = {n for n in names if QUERIES[n].oracle is None}
     assert rows_only <= rows_only_ok, rows_only - rows_only_ok
+
+
+def test_new_exemptions_broadcast_only_bounded_sides(spark):
+    """Every round-3 BNLJ exemption must put the BOUNDED relation under
+    the BroadcastExchange: corpus-side data never nest-loops against
+    corpus-side data."""
+    def tree(plan: str) -> str:
+        return plan.split("\n\n", 1)[0]      # the physical-plan tree only
+
+    # q102: ONE nested loop, build side = the single-row (n_docs,
+    # tot_dl) global aggregate under a BroadcastExchange
+    plan = _plan(spark, "q102_bm25_search")
+    assert tree(plan).count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastExchange" in plan and "tot_dl" in plan
+    # q112: each merge round broadcasts a LIMIT-1 best-pair row
+    plan = _plan(spark, "q112_bpe_train")
+    assert "BroadcastNestedLoopJoin" in tree(plan)
+    assert "TakeOrderedAndProject" in plan  # the 1-row argmax feed
+    # q118: the normalizer is a single global-agg row
+    plan = _plan(spark, "q118_domain_mixing")
+    assert tree(plan).count("BroadcastNestedLoopJoin") == 1
+    assert "tot" in plan
