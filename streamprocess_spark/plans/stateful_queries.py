@@ -73,3 +73,82 @@ def stream_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = sessionize_stream(stream, DEFAULT_CONFIG, timeout="NoTimeout")
     out = run_to_completion(segs, "append")
     return out
+
+
+@register(
+    "q121_autoscaler_sim",
+    oracle="""
+    WITH RECURSIVE m AS (
+        SELECT event_type AS worker_type,
+               time_bucket(INTERVAL '5 minutes', cast(ts AS timestamp)) AS w,
+               count(*) * 200.0 / 300.0 AS rate
+        FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+        SELECT worker_type, w, rate,
+               row_number() OVER (PARTITION BY worker_type ORDER BY w) AS rn,
+               least(greatest(cast(ceil(rate / 0.7 / 2.0) AS BIGINT), 1), 20)
+                   AS cap_t,
+               epoch(w) AS ws
+        FROM m
+    ),
+    sim(worker_type, rn, replicas, last_scale, action, target, w, rate) AS (
+        SELECT worker_type, rn, cap_t,
+               CASE WHEN cap_t = 1 THEN -1000000000000.0 ELSE ws END,
+               CASE WHEN cap_t > 1 THEN 'scale_up' ELSE 'no_change' END,
+               cap_t, w, rate
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.worker_type, o.rn,
+               CASE WHEN o.ws - s.last_scale < 1800.0 THEN s.replicas
+                    ELSE o.cap_t END,
+               CASE WHEN o.ws - s.last_scale < 1800.0
+                         OR o.cap_t = s.replicas
+                    THEN s.last_scale ELSE o.ws END,
+               CASE WHEN o.ws - s.last_scale < 1800.0 THEN 'no_change'
+                    WHEN o.cap_t > s.replicas THEN 'scale_up'
+                    WHEN o.cap_t < s.replicas THEN 'scale_down'
+                    ELSE 'no_change' END,
+               o.cap_t, o.w, o.rate
+        FROM sim s JOIN ord o
+          ON o.worker_type = s.worker_type AND o.rn = s.rn + 1
+    )
+    SELECT worker_type, w AS window_start, rate,
+           cast(target AS BIGINT) AS target,
+           cast(replicas AS BIGINT) AS replicas, action
+    FROM sim
+    """,
+    covers=("A10", "A11-adjacent", "M-ops", "§3-control"),
+    doc="Autoscaler CONTROL LOOP simulation "
+        "(streaming/autoscaler.py; reference controller.py:253-330): "
+        "per worker type the metric-window stream is walked in event "
+        "time, a ceil-capacity target is computed per window "
+        "(q_autoscale_plan's model) and scale_up/scale_down/no_change "
+        "is applied under the 30-min cooldown — last_scale advances "
+        "only on applied actions, the sequential recurrence that "
+        "makes this a STATEFUL operator, not a window query. Runs as "
+        "groupBy(worker_type).applyInPandas (sessionizer-style "
+        "exception: groups are one-row-per-window tiny); the oracle "
+        "replays the exact recurrence as a DuckDB recursive CTE — "
+        "every decision, replica count, and cooldown suppression "
+        "matches bit-for-bit.",
+)
+def q121_autoscaler_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.util import ts_sec
+    from streamprocess_spark.streaming.autoscaler import autoscaler_decisions
+
+    ev = load_tables(spark, sf_dir)["events"]
+    metrics = (
+        ev.groupBy(
+            F.col("event_type").alias("worker_type"),
+            F.window("ts", "5 minutes").alias("win"),
+        )
+        .agg((F.count(F.lit(1)) * F.lit(200.0) / F.lit(300.0)).alias("rate"))
+        .select(
+            "worker_type",
+            F.col("win.start").alias("window_start"),
+            ts_sec(F.col("win.start")).alias("ws_epoch"),
+            "rate",
+        )
+    )
+    return autoscaler_decisions(metrics)

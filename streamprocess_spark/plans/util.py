@@ -62,13 +62,14 @@ def events_us_oracle(sql: str) -> str:
     if "events" not in sql:
         return sql
     body = sql.replace("FROM events", "FROM ev").replace("JOIN events", "JOIN ev")
-    prelude = (
-        "WITH ev AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)"
-    )
+    ev_cte = "ev AS (SELECT * REPLACE (cast(ts AS timestamp) AS ts) FROM events)"
     s = body.lstrip()
+    if s.upper().startswith("WITH RECURSIVE"):
+        # RECURSIVE must stay the first keyword of the WITH list
+        return "WITH RECURSIVE " + ev_cte + ", " + s[len("WITH RECURSIVE"):].lstrip()
     if s.upper().startswith("WITH"):
-        return prelude + ", " + s[4:].lstrip()
-    return prelude + " " + s
+        return "WITH " + ev_cte + ", " + s[4:].lstrip()
+    return "WITH " + ev_cte + " " + s
 
 
 def sql_dsum(expr: str, alias: str) -> str:

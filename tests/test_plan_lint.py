@@ -102,8 +102,11 @@ _BELOW_50_ONLY_OK = {
     "T8-shape", "W1-adjacent", "W2-adjacent", "free-grouping-sets",
     "§2.6-free-analytics",
     # beyond-reference additions (no §2 id of their own) whose parity
-    # coverage lives in the repo suite: z-order layout, KMV sketch
-    "free-approx-distinct", "§2.13-layout",
+    # coverage lives in the repo suite: z-order layout, KMV sketch,
+    # the autoscaler control-loop sim (its A10 base id is top-50 via
+    # q_autoscale_plan)
+    "A11-adjacent", "M-ops", "free-approx-distinct",
+    "§2.13-layout", "§3-control",
 }
 
 

@@ -281,3 +281,43 @@ def test_idle_timeout_reaps_session_in_real_stream(spark, tmp_path):
     assert seg.trigger == "final" and not seg.is_partial
     assert seg.n_samples == 2 * CFG.chunk_samples
     assert seg.start_offset_ms == 0 and seg.end_offset_ms == 200
+
+
+# ----------------------------------------------- autoscaler recurrence
+
+def test_autoscaler_cooldown_recurrence():
+    """Cooldown semantics (controller.py:258-268): an applied action
+    blocks further actions for COOLDOWN_S; last_scale advances ONLY on
+    applied actions, so the block window is anchored to the last real
+    scale, not to suppressed attempts."""
+    import pandas as pd
+
+    from streamprocess_spark.streaming.autoscaler import (
+        COOLDOWN_S,
+        run_controller,
+    )
+
+    t0 = 1_000_000.0
+    rows = pd.DataFrame({
+        "worker_type": ["stt"] * 5,
+        "window_start": pd.to_datetime(
+            [t0, t0 + 300, t0 + 600, t0 + COOLDOWN_S, t0 + COOLDOWN_S + 300],
+            unit="s",
+        ),
+        "ws_epoch": [t0, t0 + 300, t0 + 600, t0 + COOLDOWN_S,
+                     t0 + COOLDOWN_S + 300],
+        # targets: 5, 1, 1, 1, 1  (rate/0.7/2.0 ceil)
+        "rate": [6.5, 0.5, 0.5, 0.5, 0.5],
+    })
+    out = run_controller(rows)
+    assert list(out["action"]) == [
+        "scale_up",      # 1 -> 5
+        "no_change",     # target 1 but inside cooldown
+        "no_change",     # still inside cooldown
+        "scale_down",    # cooldown elapsed (>= boundary) -> 5 -> 1
+        "no_change",     # back at target
+    ]
+    assert list(out["replicas"]) == [5, 5, 5, 1, 1]
+    # shuffled input must produce identical decisions (event-time sort)
+    shuffled = rows.sample(frac=1.0, random_state=7)
+    assert run_controller(shuffled).equals(out)
