@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamprocess_spark.io.tables import load_tables
-from streamprocess_spark.plans.registry import register
+from streamprocess_spark.plans.registry import QUERIES, register
 from streamprocess_spark.streaming.core import run_to_completion
 from streamprocess_spark.streaming.sessionizer import (
     CHUNK_SCHEMA,
@@ -152,3 +152,46 @@ def q121_autoscaler_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return autoscaler_decisions(metrics)
+
+
+@register(
+    "stream_autoscaler",
+    oracle=QUERIES["q121_autoscaler_sim"].oracle,
+    covers=("A10", "§2.11-stateful", "M-ops"),
+    doc="Streaming twin of q121: the metric-window stream drives "
+        "applyInPandasWithState keyed by worker type, with "
+        "(replicas, last_scale) persisted in GroupState across "
+        "micro-batches — a checkpoint-resumed run continues the "
+        "cooldown exactly where it stopped. Full availableNow replay "
+        "converges to the batch recurrence, so the same recursive-CTE "
+        "oracle checks it.",
+)
+def stream_autoscaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.util import ts_sec
+    from streamprocess_spark.streaming.autoscaler import (
+        DECISION_SCHEMA,
+        autoscaler_stream_decisions,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    metrics = (
+        ev.groupBy(
+            F.col("event_type").alias("worker_type"),
+            F.window("ts", "5 minutes").alias("win"),
+        )
+        .agg((F.count(F.lit(1)) * F.lit(200.0) / F.lit(300.0)).alias("rate"))
+        .select(
+            "worker_type",
+            F.col("win.start").alias("window_start"),
+            ts_sec(F.col("win.start")).alias("ws_epoch"),
+            "rate",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="spautoscale_")
+    metrics.coalesce(1).write.mode("overwrite").parquet(tmp)
+    mstream = spark.readStream.schema(metrics.schema).parquet(tmp)
+    from streamprocess_spark.streaming.core import run_to_completion
+
+    return run_to_completion(
+        autoscaler_stream_decisions(mstream), "append"
+    )

@@ -55,12 +55,14 @@ def capacity_target(rate: float) -> int:
     return max(MIN_WORKERS, min(MAX_WORKERS, t))
 
 
-def run_controller(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One worker type's metric windows (any order in, event-time
-    order applied here) → one decision row per window."""
+def controller_step(
+    pdf: pd.DataFrame, replicas: int, last_scale: float
+) -> tuple[pd.DataFrame, int, float]:
+    """Seedable recurrence core: apply the control loop to a batch of
+    metric windows starting from (replicas, last_scale); returns the
+    decisions plus the carried-forward state (the streaming form
+    persists it in GroupState across micro-batches)."""
     pdf = pdf.sort_values("window_start", ignore_index=True)
-    replicas = MIN_WORKERS
-    last_scale = _NEG_INF
     rows = []
     for r in pdf.itertuples(index=False):
         ws = r.ws_epoch
@@ -81,7 +83,13 @@ def run_controller(pdf: pd.DataFrame) -> pd.DataFrame:
             "replicas": replicas,
             "action": action,
         })
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows), replicas, last_scale
+
+
+def run_controller(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One worker type's full metric history → decisions (batch form)."""
+    out, _, _ = controller_step(pdf, MIN_WORKERS, _NEG_INF)
+    return out
 
 
 def autoscaler_decisions(metrics: DataFrame) -> DataFrame:
@@ -89,4 +97,36 @@ def autoscaler_decisions(metrics: DataFrame) -> DataFrame:
     rate double) → decision stream. One tiny group per worker type."""
     return metrics.groupBy("worker_type").applyInPandas(
         run_controller, schema=DECISION_SCHEMA
+    )
+
+
+def autoscale_stream_fn(key, pdf_iter, state):
+    """applyInPandasWithState form: (replicas, last_scale) persists in
+    GroupState across micro-batches, so a resumed/checkpointed run
+    continues the cooldown exactly where it left off — the streaming
+    twin of q121 (decisions converge to the batch recurrence on full
+    replay)."""
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    if state.exists:
+        replicas, last_scale = state.get
+    else:
+        replicas, last_scale = MIN_WORKERS, _NEG_INF
+    out, replicas, last_scale = controller_step(pdf, int(replicas), float(last_scale))
+    state.update((int(replicas), float(last_scale)))
+    yield out
+
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("replicas", T.LongType()),
+    T.StructField("last_scale", T.DoubleType()),
+])
+
+
+def autoscaler_stream_decisions(metrics_stream: DataFrame) -> DataFrame:
+    return metrics_stream.groupBy("worker_type").applyInPandasWithState(
+        autoscale_stream_fn,
+        outputStructType=DECISION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
