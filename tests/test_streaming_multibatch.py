@@ -113,3 +113,66 @@ def test_multiple_micro_batches_actually_ran(spark, split_dir):
         assert len(listener.metrics.batches) >= N_SPLITS
     finally:
         OM.detach(spark, listener)
+
+
+def test_autoscaler_state_continues_across_microbatches(spark, tmp_path):
+    """The cooldown anchor must survive micro-batch boundaries: metrics
+    split into two time-ordered files processed one per trigger give
+    EXACTLY the decisions of the single-pass batch recurrence (a
+    scale applied in batch 1 still suppresses actions in batch 2)."""
+    import pandas as pd
+
+    from streamprocess_spark.streaming.autoscaler import (
+        COOLDOWN_S,
+        autoscaler_stream_decisions,
+        run_controller,
+    )
+
+    t0 = 1_700_000_000.0
+    # one worker type; rates force: up at w0, cooldown-suppressed at
+    # w1 (file 1) and w2 (file 2!), then down at w3 after cooldown
+    rows = pd.DataFrame({
+        "worker_type": ["stt"] * 4,
+        "window_start": pd.to_datetime(
+            [t0, t0 + 600, t0 + 1200, t0 + COOLDOWN_S], unit="s"
+        ),
+        "ws_epoch": [t0, t0 + 600, t0 + 1200, t0 + COOLDOWN_S],
+        "rate": [6.5, 0.5, 0.5, 0.5],
+    })
+    src = tmp_path / "metrics"
+    src.mkdir()
+    schema = (
+        "worker_type string, window_start timestamp, "
+        "ws_epoch double, rate double"
+    )
+    spark.createDataFrame(rows.iloc[:2]).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    spark.createDataFrame(rows.iloc[2:]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    mstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/f*")
+    )
+    q = (
+        autoscaler_stream_decisions(mstream)
+        .writeStream.format("memory")
+        .queryName("autoscale_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("autoscale_mb")
+        .orderBy("window_start")
+        .toPandas()
+    )
+    want = run_controller(rows)
+    assert list(got["action"]) == list(want["action"]) == [
+        "scale_up", "no_change", "no_change", "scale_down"
+    ]
+    assert list(got["replicas"]) == list(want["replicas"]) == [5, 5, 5, 1]
