@@ -2121,3 +2121,76 @@ def q118_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_docs", "weight")
         .agg(F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_sampled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q122: incremental dedup — new batch vs indexed corpus (daily-run shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_incremental_dedup",
+    oracle=f"""
+    WITH {_minhash_sig_sql()}, bands AS ({_BANDS_SQL}),
+    idx AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    new AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    vs_index AS (
+        SELECT n.doc_id AS new_doc, i.doc_id AS corpus_doc,
+               count(*) AS n_shared_bands
+        FROM new n JOIN idx i
+          ON i.band = n.band AND i.band_key = n.band_key
+        GROUP BY 1, 2
+    ),
+    within AS (
+        SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+               count(*) AS n_shared_bands
+        FROM new a JOIN new b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT 'vs_index' AS kind, new_doc, corpus_doc, n_shared_bands
+    FROM vs_index
+    UNION ALL
+    SELECT 'within_batch' AS kind, new_doc, corpus_doc, n_shared_bands
+    FROM within
+    """,
+    covers=("§2.13-dedup", "S12-adjacent"),
+    doc="INCREMENTAL near-dedup — the shape a production pipeline "
+        "actually runs daily: the arriving batch (odd doc_ids) is "
+        "checked against the EXISTING corpus's persisted band index "
+        "(even doc_ids) plus within itself, never re-scanning or "
+        "re-pairing the historical corpus against itself. At 100 TB "
+        "the index side is a bucketed/pre-partitioned table keyed on "
+        "(band, band_key), so the daily cost is O(batch) — shuffle "
+        "the increment, join into the co-located index — instead of "
+        "the O(corpus) full self-join q45 demonstrates. Both edges "
+        "(vs_index and within_batch) are tagged in one output.",
+)
+def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    bands = D.minhash_bands(D.minhash_signatures(docs, "doc_id", "text"))
+    idx = bands.filter(F.col("doc_id") % 2 == 0)
+    new = bands.filter(F.col("doc_id") % 2 == 1)
+    vs_index = (
+        new.select(F.col("doc_id").alias("new_doc"), "band", "band_key")
+        .join(
+            idx.select(F.col("doc_id").alias("corpus_doc"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .select(F.lit("vs_index").alias("kind"), "new_doc", "corpus_doc",
+                "n_shared_bands")
+    )
+    na = new.select(F.col("doc_id").alias("new_doc"), "band", "band_key")
+    nb = new.select(F.col("doc_id").alias("corpus_doc"), "band", "band_key")
+    within = (
+        na.join(nb, ["band", "band_key"])
+        .filter(F.col("new_doc") < F.col("corpus_doc"))
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .select(F.lit("within_batch").alias("kind"), "new_doc", "corpus_doc",
+                "n_shared_bands")
+    )
+    return vs_index.unionByName(within)
