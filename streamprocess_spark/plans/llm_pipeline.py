@@ -2194,3 +2194,129 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_shared_bands")
     )
     return vs_index.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# q123: corpus admission verdict (the end-to-end curation decision table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_corpus_admission",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS fp
+        FROM documents
+    ),
+    canon AS (SELECT fp, min(doc_id) AS keeper FROM t GROUP BY fp),
+    dup AS (
+        SELECT t.doc_id, (t.doc_id != c.keeper) AS is_dup
+        FROM t JOIN canon c USING (fp)
+    ),
+    g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3]))) AS gram
+        FROM t
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 3),
+    contam AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE g.doc_id >= 3
+    ),
+    m AS (
+        SELECT doc_id,
+               cast(len(toks) AS double) AS n,
+               cast(len(list_filter(toks, x -> list_contains({_STOPLIST}, lower(x))))
+                    AS double) AS n_stop,
+               cast(list_sum(list_transform(toks, x -> length(x))) AS double)
+                   AS sum_len,
+               cast(len(list_distinct(toks)) AS double) AS n_distinct
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id,
+               round(greatest(0.0, least(1.0,
+                   0.5 * least(n / 64.0, 1.0)
+                 + 0.3 * least((sum_len / greatest(n, 1.0)) / 5.0, 1.0)
+                 + 0.2 * (1.0 - n_stop / greatest(n, 1.0)))), 6) AS quality,
+               (1.0 - n_distinct / greatest(n, 1.0)) > 0.5 AS repetitive
+        FROM m
+    )
+    SELECT d.doc_id AS doc_id,
+           CASE WHEN d.doc_id < 3 THEN 'eval_holdout'
+                WHEN dup.is_dup THEN 'drop_duplicate'
+                WHEN contam.doc_id IS NOT NULL THEN 'drop_contaminated'
+                WHEN q.repetitive THEN 'drop_repetitive'
+                WHEN q.quality < 0.5 THEN 'drop_quality'
+                WHEN d.doc_id % 4 = 0 THEN 'keep_scrubbed'
+                ELSE 'keep' END AS verdict,
+           q.quality
+    FROM documents d
+    JOIN dup USING (doc_id)
+    LEFT JOIN contam ON contam.doc_id = d.doc_id
+    JOIN q USING (doc_id)
+    """,
+    covers=("§2.13-text", "§2.13-dedup", "R7-adjacent"),
+    doc="Corpus ADMISSION verdict — the end-to-end curation decision "
+        "table a training pipeline materializes per document, "
+        "composing the individual signals in precedence order: eval "
+        "holdout (docs 0-2 = the q106 benchmark) > exact-duplicate "
+        "non-survivor (canonical-fingerprint groupBy, q43/q87 "
+        "survivorship) > benchmark contamination (q106 4-grams) > "
+        "Gopher repetition (q104 dup-token ratio) > quality floor "
+        "(q41 score < 0.5) > PII-bearing docs admitted as "
+        "'keep_scrubbed' (the q105 redaction path) > keep. Every "
+        "signal is one keyed shuffle joined back on doc_id; at 100 TB "
+        "this is the materialized audit artifact that makes a corpus "
+        "reproducible and reviewable.",
+)
+def q123_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select(
+        "doc_id",
+        X.tokens_col("text").alias("toks"),
+        X.fingerprint("text").alias("fp"),
+    )
+    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dup = t.join(canon, "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
+    )
+    grams = D.doc_shingles(docs, "doc_id", "text", n=4)
+    bench = grams.filter(F.col("doc_id") < 3).select("tok").distinct()
+    contam = (
+        grams.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(bench), "tok")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    toks2 = X.tokens_col("text")
+    n = F.size(toks2).cast("double")
+    q = docs.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        (
+            (F.lit(1.0) - F.size(F.array_distinct(toks2)).cast("double")
+             / F.greatest(n, F.lit(1.0))) > F.lit(0.5)
+        ).alias("repetitive"),
+    )
+    verdict = (
+        F.when(F.col("doc_id") < 3, "eval_holdout")
+        .when(F.col("is_dup"), "drop_duplicate")
+        .when(F.col("contaminated"), "drop_contaminated")
+        .when(F.col("repetitive"), "drop_repetitive")
+        .when(F.col("quality") < 0.5, "drop_quality")
+        .when(F.col("doc_id") % 4 == 0, "keep_scrubbed")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(dup, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(q, "doc_id")
+        .select("doc_id", verdict.alias("verdict"), "quality")
+    )

@@ -105,7 +105,8 @@ _BELOW_50_ONLY_OK = {
     # coverage lives in the repo suite: z-order layout, KMV sketch,
     # the autoscaler control-loop sim (its A10 base id is top-50 via
     # q_autoscale_plan)
-    "A11-adjacent", "M-ops", "S12-adjacent", "free-approx-distinct",
+    "A11-adjacent", "M-ops", "R7-adjacent", "S12-adjacent",
+    "free-approx-distinct",
     "§2.11-stateful", "§2.13-layout", "§3-control",
 }
 
