@@ -12,10 +12,11 @@ curated TOP50 ordering (plans/registry.py) covers every §2 id:
   q_autoscale_plan    q27/q28 + capacity model (A10, A11;
                       src/autoscaler/controller.py:131-135,281-428)
   q_doc_signatures    q43 + q44 + q46  (§2.13 exact/fingerprint/simhash)
-  q_audio_suite       q50+q51+q52+q57+q58 + REAL WAV decode (F1-F3,
-                      F7, F9, S15, T4)
-  q_image_suite       q54+q60+q61+q62+q63+q66+q64 (F13, F15-F17,
-                      F19, F20, F22, F23)
+  q_audio_suite       q50+q51+q52+q57+q58 + REAL WAV decode + FLAC
+                      codec roundtrip (F1-F3, F7, F9, S15, T4)
+  q_image_suite       q54+q60+q61+q62+q63+q66+q64 + PNG/JPEG/TIFF/PDF
+                      container roundtrips (F13, F15-F17, F19, F20,
+                      F22, F23, S15)
   q_inference_suite   q55+q56 + engine selection over TWO distinct OCR
                       backends (F24-F27, S3, S14; ocr/service.py:275-360)
   q_media_rowsonly    q59+q67+q91      (F4-F6, F8, F10-F12, F14, F21)
