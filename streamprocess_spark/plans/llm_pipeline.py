@@ -15,7 +15,7 @@ from streamprocess_spark.io.tables import load_tables
 from streamprocess_spark.operators import dedup as D
 from streamprocess_spark.operators import similarity as S
 from streamprocess_spark.operators import text as X
-from streamprocess_spark.plans.registry import register
+from streamprocess_spark.plans.registry import QUERIES, register
 from streamprocess_spark.plans.util import sql_davg
 
 # DuckDB fragments mirroring operators.text / operators.dedup
@@ -2319,4 +2319,131 @@ def q123_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contam, "doc_id", "left")
         .join(q, "doc_id")
         .select("doc_id", verdict.alias("verdict"), "quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124: BPE apply — tokenize the corpus with the learned merges
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q124_bpe_apply",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token AS word, count(*)::BIGINT AS wcount
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    sym0 AS (
+        SELECT wcount,
+               ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
+                   AS s
+        FROM vocab
+    ),
+    {",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+    mg AS (
+        SELECT max(CASE WHEN r = 1 THEN pair END) AS p1,
+               max(CASE WHEN r = 2 THEN pair END) AS p2,
+               max(CASE WHEN r = 3 THEN pair END) AS p3
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, pair FROM best{r}"
+                for r in range(1, _BPE_ROUNDS + 1))}
+        )
+    ),
+    docsym AS (
+        SELECT d.doc_id,
+               list_transform(
+                   list_filter(string_split(d.text, ' '), w -> w <> ''),
+                   w -> replace(replace(replace(
+                            ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
+                                || ' ',
+                            ' ' || m.p1 || ' ',
+                            ' ' || replace(m.p1, '  ', '') || ' '),
+                            ' ' || m.p2 || ' ',
+                            ' ' || replace(m.p2, '  ', '') || ' '),
+                            ' ' || m.p3 || ' ',
+                            ' ' || replace(m.p3, '  ', '') || ' ')
+               ) AS syms
+        FROM documents d, mg m
+    )
+    SELECT doc_id,
+           cast(len(syms) AS BIGINT) AS n_tokens,
+           cast(list_sum(list_transform(
+                    syms, s -> len(string_split(trim(s), '  ')))) AS BIGINT)
+               AS n_symbols
+    FROM docsym
+    """,
+    covers=("§2.13-text", "A4-adjacent"),
+    doc="BPE APPLY — tokenize the corpus with the merges q112 learned "
+        "(the train→apply lifecycle, like q99's train→index→search for "
+        "IVF): the 3-row merge table is pivoted to one row and "
+        "broadcast; every word is symbolized and the merge rewrites "
+        "run IN ORDER inside a native array transform (codegen string "
+        "ops, zero Python, zero extra shuffle — tokenizing 100 TB is "
+        "a map-only pass once the merges exist). Output: per-doc "
+        "whitespace-token vs BPE-symbol counts — n_symbols < "
+        "n_chars-per-token x n_tokens proves the merges actually "
+        "compress. Oracle replays training AND application end-to-end.",
+)
+def q124_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    # retrain (same plan as q112) and pivot the merges to one row
+    merges = QUERIES["q112_bpe_train"].builder(spark, sf_dir)
+    mg = (
+        merges.agg(
+            *[
+                F.max(F.when(F.col("rank") == r, F.col("pair"))).alias(f"p{r}")
+                for r in range(1, _BPE_ROUNDS + 1)
+            ]
+        )
+        .withColumn("one", F.lit(1))
+    )
+    def apply_merge(col, p):
+        return F.replace(
+            col,
+            F.concat(F.lit(" "), p, F.lit(" ")),
+            F.concat(F.lit(" "), F.replace(p, F.lit("  "), F.lit("")), F.lit(" ")),
+        )
+
+    docsym = (
+        docs.withColumn("one", F.lit(1))
+        .join(F.broadcast(mg), "one")
+        .select(
+            "doc_id",
+            F.transform(
+                F.filter(F.split("text", " "), lambda t: t != ""),
+                lambda w: F.size(
+                    F.split(
+                        F.trim(
+                            apply_merge(
+                                apply_merge(
+                                    apply_merge(
+                                        F.concat(
+                                            F.lit(" "),
+                                            F.rtrim(
+                                                F.regexp_replace(w, "(.)", "$1  ")
+                                            ),
+                                            F.lit(" "),
+                                        ),
+                                        F.col("p1"),
+                                    ),
+                                    F.col("p2"),
+                                ),
+                                F.col("p3"),
+                            )
+                        ),
+                        "  ",
+                    )
+                ),
+            ).alias("counts"),
+        )
+    )
+    return docsym.select(
+        "doc_id",
+        F.size("counts").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "counts", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("n_symbols"),
     )

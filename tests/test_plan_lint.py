@@ -50,6 +50,7 @@ _ALLOWED_NESTED_LOOP = {
                            # n_q×m×k_sub ADC table — both constant-size
     "q112_bpe_train",      # per-round 1-ROW best-pair broadcast to the vocab
     "q118_domain_mixing",  # 1-row weight-normalizer broadcast to 20 sources
+    "q124_bpe_apply",      # 1-row pivoted merge table broadcast to the corpus
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
