@@ -2447,3 +2447,112 @@ def q124_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "counts", F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("n_symbols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125: per-source embedding drift audit (domain-shift monitoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q125_embedding_drift",
+    oracle="""
+    WITH j AS (
+        SELECT d.source, e.embedding
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    dims AS (
+        SELECT source, t.i,
+               sum(floor(embedding[t.i + 1]::DOUBLE * 1000000000.0)::BIGINT)
+                   AS sfp,
+               count(*) AS cnt
+        FROM j, range(0, 64) t(i)
+        GROUP BY source, t.i
+    ),
+    means AS (
+        SELECT source, i,
+               (sfp::DOUBLE) / (1000000000.0 * cnt) AS ms,
+               (sum(sfp) OVER (PARTITION BY i)::DOUBLE)
+                   / (1000000000.0 * sum(cnt) OVER (PARTITION BY i)) AS mg,
+               cnt
+        FROM dims
+    ),
+    dots AS (
+        SELECT source, min(cnt)::BIGINT AS n_vecs,
+               cast(sum(floor(ms * mg * 1000000000000.0)::BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS d_sg,
+               cast(sum(floor(ms * ms * 1000000000000.0)::BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS d_ss,
+               cast(sum(floor(mg * mg * 1000000000000.0)::BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS d_gg
+        FROM means GROUP BY source
+    )
+    SELECT source, n_vecs,
+           round(1.0 - d_sg / (sqrt(d_ss) * sqrt(d_gg)), 6) AS drift
+    FROM dots
+    """,
+    covers=("§2.13-similarity", "M-ops"),
+    doc="Per-source embedding DRIFT audit — domain-shift monitoring "
+        "for a corpus assembled from many sources: each source's mean "
+        "embedding is compared to the global mean by cosine, and "
+        "drift = 1 - cos flags sources whose content distribution "
+        "diverges (the check that catches a crawler gone off-domain "
+        "before it poisons the mixture weights q118 computes). Scale "
+        "shape: ONE keyed shuffle on (source, dim); the global mean "
+        "is derived from the per-source partial sums by an exact "
+        "integer window over the tiny source x dim table — the corpus "
+        "is read once, and no second aggregation pass or broadcast "
+        "join exists. All means/dots are fixed-point, bit-identical "
+        "across engines.",
+)
+def q125_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    j = t["embeddings"].join(
+        t["documents"].select(F.col("doc_id").alias("vec_id"), "source"),
+        "vec_id",
+    )
+    dims = (
+        j.select("source", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("source", "i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("bigint")
+            ).alias("sfp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    wi = Window.partitionBy("i")
+    means = dims.select(
+        "source",
+        "i",
+        "cnt",
+        (F.col("sfp").cast("double") / (F.lit(1e9) * F.col("cnt"))).alias("ms"),
+        (
+            F.sum("sfp").over(wi).cast("double")
+            / (F.lit(1e9) * F.sum("cnt").over(wi))
+        ).alias("mg"),
+    )
+
+    def fdot(a, b):
+        return (
+            F.sum(F.floor(a * b * F.lit(1e12)).cast("bigint")).cast("double")
+            / F.lit(1e12)
+        )
+
+    dots = means.groupBy("source").agg(
+        F.min("cnt").cast("bigint").alias("n_vecs"),
+        fdot(F.col("ms"), F.col("mg")).alias("d_sg"),
+        fdot(F.col("ms"), F.col("ms")).alias("d_ss"),
+        fdot(F.col("mg"), F.col("mg")).alias("d_gg"),
+    )
+    return dots.select(
+        "source",
+        "n_vecs",
+        F.round(
+            F.lit(1.0)
+            - F.col("d_sg") / (F.sqrt("d_ss") * F.sqrt("d_gg")),
+            6,
+        ).alias("drift"),
+    )
