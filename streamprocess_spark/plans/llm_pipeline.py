@@ -1199,11 +1199,9 @@ def q99_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("join", "filter", "vector", "stream", "cache")
 _BM25_SQL_TERMS = "('" + "','".join(_BM25_TERMS) + "')"
 
-
-@register(
-    "q102_bm25_search",
-    oracle=f"""
-    WITH toks AS (
+# shared CTE chain: per-doc BM25 score (used by q102 and the q126
+# rerank pipeline)
+_BM25_CTES = f"""toks AS (
         SELECT doc_id,
                len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
                unnest(string_split(text, ' ')) AS token
@@ -1232,12 +1230,22 @@ _BM25_SQL_TERMS = "('" + "','".join(_BM25_TERMS) + "')"
                         / (cast(s.tot_dl AS double) / cast(s.n_docs AS double))))
                    AS sc
         FROM tf t JOIN dfreq f USING (token), stats s
-    )
-    SELECT doc_id,
-           cast(cast(sum(cast(floor(sc * 1000000.0) AS bigint)) AS bigint)
-                AS double) / 1000000.0 AS score,
-           count(*)::BIGINT AS n_terms
-    FROM scored GROUP BY doc_id
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               cast(cast(sum(cast(floor(sc * 1000000.0) AS bigint)) AS bigint)
+                    AS double) / 1000000.0 AS score,
+               count(*)::BIGINT AS n_terms
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+@register(
+    "q102_bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score, n_terms
+    FROM perdoc
     ORDER BY score DESC, doc_id LIMIT 10
     """,
     covers=("§2.13-text", "W3-adjacent", "J4-adjacent"),
@@ -2555,4 +2563,78 @@ def q125_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("d_sg") / (F.sqrt("d_ss") * F.sqrt("d_gg")),
             6,
         ).alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126: retrieve -> rerank pipeline (BM25 recall + cross-encoder precision)
+# ---------------------------------------------------------------------------
+
+_RERANK_QUERY = " ".join(_BM25_TERMS)
+
+
+@register(
+    "q126_retrieve_rerank",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    cand AS (
+        SELECT doc_id, score FROM perdoc
+        ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    mx AS (SELECT max(score) AS ms FROM cand),
+    rr AS (
+        SELECT c.doc_id, c.score,
+               round(0.5 * (c.score / m.ms)
+                     + 0.5 * ((('0x' || substr(md5('{_RERANK_QUERY} [SEP] '
+                                 || d.text), 1, 15))::BIGINT
+                               % 1000000007 % 1000) / 1000.0), 6) AS final
+        FROM cand c JOIN documents d USING (doc_id), mx m
+    )
+    SELECT doc_id, final,
+           row_number() OVER (ORDER BY final DESC, doc_id) AS rank
+    FROM rr
+    ORDER BY rank LIMIT 10
+    """,
+    covers=("§2.13-text", "S14-adjacent"),
+    doc="Two-stage retrieval pipeline — BM25 RECALL stage (the q102 "
+        "scorer, top-20 candidates via TakeOrderedAndProject) feeding "
+        "a cross-encoder RERANK stage (the mock pluggable model "
+        "boundary, functions/inference.py style: md5-reproducible "
+        "query x document score), blended 50/50 with the min-max-"
+        "normalized BM25 signal — the standard retrieve->rerank shape "
+        "of RAG/eval harnesses. Scale: the expensive model only ever "
+        "sees the CANDIDATE set (20 rows vs the corpus — the entire "
+        "point of two-stage retrieval); candidate text is fetched by "
+        "one keyed join; the normalization window runs over the "
+        "bounded candidate set only.",
+)
+def q126_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    cand = X.bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "score")
+    wall = Window.partitionBy()           # bounded: |candidates| = 20
+    mock = (
+        D.token_hash(
+            F.concat(F.lit(_RERANK_QUERY + " [SEP] "), F.col("text"))
+        )
+        % 1000
+    ).cast("double") / F.lit(1000.0)
+    rr = (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("ms", F.max("score").over(wall))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(0.5) * (F.col("score") / F.col("ms"))
+                + F.lit(0.5) * mock,
+                6,
+            ).alias("final"),
+        )
+    )
+    wrank = Window.partitionBy().orderBy(F.desc("final"), F.asc("doc_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "final", "rank")
     )

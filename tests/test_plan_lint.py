@@ -51,6 +51,7 @@ _ALLOWED_NESTED_LOOP = {
     "q112_bpe_train",      # per-round 1-ROW best-pair broadcast to the vocab
     "q118_domain_mixing",  # 1-row weight-normalizer broadcast to 20 sources
     "q124_bpe_apply",      # 1-row pivoted merge table broadcast to the corpus
+    "q126_retrieve_rerank",  # inherits q102's 1-row stats broadcast
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
@@ -106,7 +107,7 @@ _BELOW_50_ONLY_OK = {
     # coverage lives in the repo suite: z-order layout, KMV sketch,
     # the autoscaler control-loop sim (its A10 base id is top-50 via
     # q_autoscale_plan)
-    "A11-adjacent", "M-ops", "R7-adjacent", "S12-adjacent",
+    "A11-adjacent", "M-ops", "R7-adjacent", "S12-adjacent", "S14-adjacent",
     "free-approx-distinct",
     "§2.11-stateful", "§2.13-layout", "§3-control",
 }
