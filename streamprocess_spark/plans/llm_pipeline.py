@@ -2638,3 +2638,57 @@ def q126_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "final", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q127: reproducible train/val/test splits (stratified, hash-assigned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_data_splits",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CASE WHEN h < 80 THEN 'train'
+                    WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('split:' || cast(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 1000000007 % 100 AS h
+            FROM documents
+        )
+    )
+    SELECT source, split,
+           count(*)::BIGINT AS n_docs,
+           cast(sum(doc_id) AS BIGINT) AS membership_sum
+    FROM assigned GROUP BY source, split
+    """,
+    covers=("§2.13-text", "A13-adjacent"),
+    doc="Reproducible train/val/test assignment (80/10/10): the split "
+        "is a pure salted-hash function of doc_id — stable across "
+        "runs, cluster layouts, engines, and corpus growth (a doc "
+        "never migrates between splits when new data arrives, the "
+        "property random() sampling cannot give and the reason "
+        "leakage audits are possible at all). membership_sum "
+        "fingerprints the exact member set per (source, split) cell, "
+        "so the oracle check proves assignment identity, not just "
+        "counts. Map-only + one keyed rollup.",
+)
+def q127_data_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = D.token_hash(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("membership_sum"),
+        )
+    )
