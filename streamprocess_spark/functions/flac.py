@@ -313,6 +313,11 @@ def _read_residual(rd: _BitReader, n: int, order: int) -> np.ndarray:
     n_parts = 1 << part_order
     if n % n_parts:
         raise ValueError("partition count does not divide blocksize")
+    if n // n_parts < order:
+        # spec: first partition holds (n >> part_order) - order samples,
+        # which must not be negative; a crafted stream (e.g. n=4, FIXED
+        # order 4, partition order 2) would otherwise write out of range
+        raise ValueError("partition order too large for predictor order")
     out = np.empty(n - order, dtype=np.int64)
     w = 0
     for part in range(n_parts):
@@ -425,8 +430,12 @@ def np_decode_flac(raw: bytes) -> tuple[np.ndarray, int, int]:
 
     chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     got = 0
-    while got < total and pos < len(raw):
-        rd = _BitReader(raw[pos:])
+    # one reader over the whole frame region, reused across frames —
+    # unpacking per frame would make an F-frame file O(F * stream_bytes)
+    buf = raw[pos:]
+    rd = _BitReader(buf)
+    while got < total and rd.byte_pos() < len(buf):
+        frame_start = rd.byte_pos()
         sync = rd.read(14)
         if sync != 0x3FFE:
             raise ValueError(f"bad frame sync 0x{sync:04x}")
@@ -452,9 +461,9 @@ def np_decode_flac(raw: bytes) -> tuple[np.ndarray, int, int]:
             rd.read(16)
         elif rate_code not in _RATE_CODE and rate_code != 0:
             raise ValueError(f"bad sample-rate code {rate_code}")
-        hdr_len = rd.byte_pos()
+        hdr_len = rd.byte_pos() - frame_start
         want_crc8 = rd.read(8)
-        if crc8(raw[pos:pos + hdr_len]) != want_crc8:
+        if crc8(buf[frame_start:frame_start + hdr_len]) != want_crc8:
             raise ValueError("frame header CRC-8 mismatch")
         bps = _BPS_CODE.get(bps_code, bps_default)
 
@@ -480,14 +489,13 @@ def np_decode_flac(raw: bytes) -> tuple[np.ndarray, int, int]:
         if len(subs) != channels:
             raise ValueError("frame channel count != STREAMINFO")
         rd.align()
-        frame_len = rd.byte_pos()
+        frame_len = rd.byte_pos() - frame_start
         want_crc16 = rd.read(16)
-        if crc16(raw[pos:pos + frame_len]) != want_crc16:
+        if crc16(buf[frame_start:frame_start + frame_len]) != want_crc16:
             raise ValueError("frame CRC-16 mismatch")
         for c in range(channels):
             chans[c].append(subs[c])
         got += n
-        pos += rd.byte_pos()
 
     full = [np.concatenate(c)[:total] if c else np.empty(0, np.int64)
             for c in chans]

@@ -149,6 +149,12 @@ class _StuffReader:
 
     def __init__(self, data: bytes, pos: int) -> None:
         clean = bytearray()
+        # real RSTn positions (clean-stream byte offsets), recorded here
+        # where marker context is unambiguous — an unstuffed data 0xFF
+        # followed by an entropy byte in 0xD0-0xD7 is otherwise
+        # indistinguishable from a restart marker (baseline JPEG has no
+        # CRC to catch a false resync)
+        restarts: list[int] = []
         while pos < len(data):
             b = data[pos]
             if b == 0xFF:
@@ -158,6 +164,7 @@ class _StuffReader:
                     pos += 2
                     continue
                 if nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+                    restarts.append(len(clean))
                     clean.append(0xFF)       # keep as sentinel
                     clean.append(nxt)
                     pos += 2
@@ -167,6 +174,8 @@ class _StuffReader:
             pos += 1
         self.data = bytes(clean)
         self.end_pos = pos
+        self.restarts = restarts
+        self._rst_i = 0
         self.bits = np.unpackbits(np.frombuffer(self.data, dtype=np.uint8))
         self.pos = 0
 
@@ -184,15 +193,20 @@ class _StuffReader:
         return v
 
     def sync_restart(self) -> None:
-        """Skip to just past the next RSTn sentinel (byte-aligned)."""
+        """Skip to just past the next recorded RSTn marker (byte-aligned).
+        Seeks via positions recorded during unstuffing, never by byte
+        rescan — a data 0xFF + 0xD0-0xD7 pair cannot cause a false
+        resync."""
         self.pos = (self.pos + 7) // 8 * 8
         byte = self.pos // 8
-        while byte + 1 < len(self.data):
-            if self.data[byte] == 0xFF and 0xD0 <= self.data[byte + 1] <= 0xD7:
-                self.pos = (byte + 2) * 8
-                return
-            byte += 1
-        raise ValueError("expected JPEG restart marker")
+        while (self._rst_i < len(self.restarts)
+               and self.restarts[self._rst_i] < byte):
+            self._rst_i += 1
+        if self._rst_i >= len(self.restarts):
+            raise ValueError("expected JPEG restart marker")
+        start = self.restarts[self._rst_i]
+        self._rst_i += 1
+        self.pos = (start + 2) * 8
 
 
 def _extend(v: int, s: int) -> int:
@@ -295,6 +309,8 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
         if marker == 0xD9:
             break
         ln = int.from_bytes(raw[pos + 2: pos + 4], "big")
+        if ln < 2 or pos + 2 + ln > len(raw):
+            raise ValueError("truncated JPEG segment")
         body = raw[pos + 4: pos + 2 + ln]
         if marker == 0xDB:                              # DQT
             i = 0
@@ -302,6 +318,8 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 prec, tid = body[i] >> 4, body[i] & 0x0F
                 if prec != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 zz = np.frombuffer(body[i + 1: i + 65], dtype=np.uint8)
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[_ZIGZAG] = zz
@@ -320,6 +338,8 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 huff[(cls, tid)] = dec
                 i += 17 + n
         elif marker == 0xC0:                            # SOF0 baseline
+            if len(body) < 9:                           # 6 fixed + 1 comp
+                raise ValueError("short SOF0 segment")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -337,8 +357,12 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 f"JPEG process 0x{marker:02x} (only baseline SOF0)"
             )
         elif marker == 0xDD:                            # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI segment")
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:                            # SOS
+            if len(body) < 6:                           # ns + 1 comp + 3
+                raise ValueError("short SOS segment")
             dc_tbl = body[2] >> 4
             ac_tbl = body[2] & 0x0F
             scan_at = pos + 2 + ln

@@ -728,6 +728,24 @@ class TestFlac:
             np.round(y * 32768).astype(np.int64), np.full(4, 300 << 2)
         )
 
+    def test_partition_order_exceeding_block_rejected(self):
+        """n=4, FIXED order 4, partition order 2 → first partition would
+        hold 1-4=-3 samples; must raise ValueError (dead-letterable),
+        not IndexError (would crash the ingest task)."""
+        n = 4
+        bw = FL._BitWriter()
+        for b in self._frame_header(n):
+            bw.write(b, 8)
+        bw.write(0b0001100, 7)      # FIXED order 4
+        bw.write(0, 1)              # no wasted bits
+        for v in (1, 2, 3, 4):      # warmup = whole block
+            bw.write(v, 16)
+        bw.write(0b00, 2)           # 4-bit rice method
+        bw.write(2, 4)              # partition order 2 → 4 partitions of 1
+        raw = self._stream_with_frame(self._finish(bw), n)
+        with pytest.raises(ValueError, match="partition order"):
+            FL.np_decode_flac(raw)
+
     def test_ingest_sniffs_flac(self):
         from streamprocess_spark.io.ingest import sniff_format
         x = np.arange(100, dtype=np.int16)
@@ -804,6 +822,23 @@ class TestJpeg:
         mut = bytearray(enc)
         mut[sof_at + 1] = 0xC2
         with pytest.raises(NotImplementedError, match="0xc2"):
+            J.np_decode_jpeg_gray(bytes(mut))
+
+    def test_short_segments_raise_value_error(self):
+        """Truncated/short segment lengths must raise ValueError (the
+        ingest dead-letter boundary), never IndexError."""
+        # ln < 2 in an APP0 segment
+        with pytest.raises(ValueError, match="truncated JPEG segment"):
+            J.np_decode_jpeg_gray(b"\xFF\xD8\xFF\xE0\x00\x01")
+        # SOF0 with a 3-byte body (needs >= 9)
+        with pytest.raises(ValueError, match="short SOF0"):
+            J.np_decode_jpeg_gray(b"\xFF\xD8\xFF\xC0\x00\x05\x08\x00\x10")
+        # valid stream with the SOS length shortened under the minimum
+        enc = J.np_encode_jpeg_gray(self._block_img(h=16, w=16))
+        sos_at = enc.index(b"\xFF\xDA")
+        mut = bytearray(enc)
+        mut[sos_at + 2:sos_at + 4] = b"\x00\x05"
+        with pytest.raises(ValueError, match="short SOS"):
             J.np_decode_jpeg_gray(bytes(mut))
 
     def test_extend_receive_symmetry(self):
