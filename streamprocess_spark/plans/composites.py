@@ -19,7 +19,7 @@ curated TOP50 ordering (plans/registry.py) covers every §2 id:
                       F22, F23, S15)
   q_inference_suite   q55+q56 + engine selection over TWO distinct OCR
                       backends (F24-F27, S3, S14; ocr/service.py:275-360)
-  q_media_rowsonly    q59+q67+q91      (F4-F6, F8, F10-F12, F14, F21)
+  q_media_invariants  q59+q67+q128     (F4-F6, F8, F10-F12, F14, F21)
   stream_window_suite tumbling+sliding+routing+dedup streaming runs
 
 Every constituent query stays registered under its original name (the
@@ -885,51 +885,79 @@ def q_inference_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_media_rowsonly (q59 ∪ q67 ∪ q91 — rows-only constituents)
+# q_media_invariants (q59 ∪ q67 ∪ q128 — the former rows-only slot,
+# now fully oracle-checked via closed-form invariants)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "q_media_rowsonly",
-    oracle=None,  # IIR/FFT/percentile/PCA float paths: rows-only check
+    "q_media_invariants",
+    oracle="""
+    SELECT 'audio_preprocess' AS modality, doc_id,
+           cast((10 + doc_id % 5) * 480 AS BIGINT) AS n_int,
+           true AS ok1, true AS ok2, true AS ok3
+    FROM documents
+    UNION ALL
+    SELECT 'image_enhance', doc_id,
+           cast((160 + (doc_id % 3) * 80) * (120 + (doc_id % 2) * 60)
+                AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 10 >= 2
+    UNION ALL
+    SELECT 'image_deskew', doc_id,
+           cast(-2 * (doc_id % 9 - 4) AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 10 >= 2
+    """,
     covers=("F4", "F5", "F6", "F8", "F10", "F11", "F12", "F14", "F21"),
-    doc="Rows-only media composite (q59/q67/q91): audio preprocess "
-        "chain + spectral features (audio_processor.py:20-68,384-420), "
-        "contrast/gamma enhancement stats (image_processor.py:198-215,"
-        "400-420), and deskew angle recovery under injected skew "
-        "(:81-180). Recursive filters, FFTs, percentile interpolation "
-        "and PCA trig are not SQL-expressible, so the driver records "
-        "the weaker rows-only check; each constituent's numerics are "
-        "unit-tested (tests/test_functions.py).",
+    doc="Media float paths made driver-checkable: every recursive "
+        "filter / FFT / percentile / rotation path still executes, and "
+        "the emitted columns are closed-form invariants DuckDB "
+        "recomputes exactly. Audio (q59 chain, audio_processor.py:"
+        "20-68,384-420): n_int is the exact length-preservation of the "
+        "preprocess chain; ok1-ok3 are measured physics bands with "
+        ">=2x margin over 600 docs (AGC pins rms in (0.01,0.5); the "
+        "pseudo-uniform synthesis pins the spectral centroid in "
+        "(1000,5000) Hz and 85% rolloff in (2500,8000) Hz). Enhance "
+        "(q67, image_processor.py:198-215,400-420): the percentile "
+        "stretch provably maps to full range (dark fraction "
+        "analytically in [2.8%,9.2%]), n_int = exact page area. Deskew "
+        "(q128, image_processor.py:81-180): the 0.5-deg grid search "
+        "must recover EXACTLY the negated injected angle "
+        "(half-degrees, closed form), with the structural sharpness "
+        "bound and the PCA error bound as booleans.",
 )
-def q_media_rowsonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = QUERIES["q59_audio_preprocess"].builder(spark, sf_dir)
     enh = QUERIES["q67_image_enhance"].builder(spark, sf_dir)
-    dsk = QUERIES["q91_image_deskew"].builder(spark, sf_dir)
+    dsk = QUERIES["q128_deskew_grid"].builder(spark, sf_dir)
     return (
         pre.select(
             F.lit("audio_preprocess").alias("modality"),
             "doc_id",
-            F.col("n_out").cast("double").alias("m1"),
-            F.col("rms").alias("m2"),
-            F.col("centroid").alias("m3"),
+            F.col("n_out").cast("bigint").alias("n_int"),
+            F.col("rms").between(0.01, 0.5).alias("ok1"),
+            F.col("centroid").between(1000.0, 5000.0).alias("ok2"),
+            F.col("rolloff").between(2500.0, 8000.0).alias("ok3"),
         )
         .unionByName(
             enh.select(
                 F.lit("image_enhance").alias("modality"),
                 "doc_id",
-                F.col("out_min").cast("double").alias("m1"),
-                F.col("out_max").cast("double").alias("m2"),
-                F.col("n_px").cast("double").alias("m3"),
+                F.col("n_px").cast("bigint").alias("n_int"),
+                (F.col("out_min") == 0).alias("ok1"),
+                (F.col("out_max") == 255).alias("ok2"),
+                F.lit(True).alias("ok3"),
             )
         )
         .unionByName(
             dsk.select(
                 F.lit("image_deskew").alias("modality"),
                 "doc_id",
-                F.col("inject_deg").alias("m1"),
-                F.col("delta_deg").alias("m2"),
-                F.col("sharp_gain").alias("m3"),
+                F.col("applied_half_deg").cast("bigint").alias("n_int"),
+                F.col("gain_ok").alias("ok1"),
+                F.col("pca_bounded").alias("ok2"),
+                F.lit(True).alias("ok3"),
             )
         )
     )

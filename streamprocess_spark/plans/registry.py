@@ -143,14 +143,14 @@ TOP50: tuple[str, ...] = (
     "q_audio_suite",             # q50 + q51 + q52 + q57 + q58 + WAV
     "q_image_suite",             # q54 + q60..q64 + q66
     "q_inference_suite",         # q55 + q56 + dual OCR engines
-    "q_media_rowsonly",          # q59 + q67 + q91 (rows-only)
+    "q_media_invariants",        # q59 + q67 + q128 (closed-form invariants)
     "q53_image_layout",
     # scale joins / frames
     "q_scale_join_suite",        # q79 + q80 + q83
     # streaming
     "stream_window_suite",       # 4 converged streaming runs
     "stream_state_suite",        # session-window + stream-join + top-k
-    "sessionize_batch_segments",  # T1/T6/T7 sessionizer (rows-only)
+    "sessionize_batch_segments",  # T1/T6/T7 sessionizer (recursive-CTE oracle)
 )
 
 

@@ -1,8 +1,17 @@
-"""Stateful-sessionizer queries (SURVEY M4, T1-T9). Not SQL-
-expressible — the driver records rows-only checks; correctness is
-covered by the batch/stream convergence suite
-(tests/test_sessionizer.py), mirroring SURVEY §5's deterministic
-chunk-replay strategy.
+"""Stateful-sessionizer queries (SURVEY M4, T1-T9).
+
+The session recurrence IS oracle-expressible: chunks are synthesized
+deterministically from events (chunks_from_events), each chunk's VAD
+decision reduces to a closed-form threshold on |value| (the chunk is a
+pure sine, so rms == |value|/1000/sqrt(2), with a >=0.004 data margin
+vs float32 noise ~1e-7), and the per-chunk state transition
+(buffer/trigger/overlap/final — stt_worker.py:469-504) is replayed as
+a DuckDB RECURSIVE CTE, the same oracle pattern as
+q121_autoscaler_sim. Even the mock transcript matches bit-for-bit
+(DuckDB md5() == hashlib.md5 hexdigest). Only mean_energy (a float
+reduction over the synthesized samples) is excluded from the
+driver-checked projection; it stays covered by
+tests/test_sessionizer.py.
 """
 
 from __future__ import annotations
@@ -26,30 +35,119 @@ from streamprocess_spark.streaming.sessionizer import (
 )
 
 
+# Recursive-CTE replay of the sessionizer state machine. Parameters are
+# DEFAULT_CONFIG's: 160 samples/chunk (100 ms @ 1600 Hz), 240-sample
+# overlap (150 ms), 300 ms VAD endpoint, 320 ms size trigger. The VAD
+# threshold |value| > 1000*sqrt(2)*energy_threshold = sqrt(2) is exact
+# for the synthesized pure-sine chunks (integer cycle count → rms ==
+# |amp|/sqrt(2)); events.value has 0.01 granularity so the nearest
+# datum sits 0.0042 from the boundary — ~30,000x any float32 error.
+def _sessionizer_oracle(where: str = "") -> str:
+    return f"""
+    WITH RECURSIVE ch AS (
+        SELECT cast(user_id AS VARCHAR) AS session_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS i,
+               count(*) OVER (PARTITION BY user_id) AS cnt,
+               (event_type <> 'error'
+                AND abs(value) > 1.4142135623730951) AS speech
+        FROM events {where}
+    ),
+    c2 AS (
+        SELECT session_id, i, speech, (i = cnt - 1) AS fin,
+               cast(100 * i AS BIGINT) AS o
+        FROM ch
+    ),
+    sim(session_id, i, bl, bs, sr, isp, si,
+        emitted, seg_idx, seg_start, seg_end, n, part, trig, nctx) AS (
+        SELECT session_id, cast(-1 AS BIGINT), cast(0 AS BIGINT),
+               cast(0 AS BIGINT), cast(0 AS BIGINT), false,
+               cast(0 AS BIGINT),
+               false, cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+               cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+               cast(NULL AS BOOLEAN), cast(NULL AS VARCHAR),
+               cast(NULL AS BIGINT)
+        FROM (SELECT DISTINCT session_id FROM c2)
+        UNION ALL
+        SELECT t.session_id, t.i,
+               CASE WHEN NOT t.emit THEN t.bl1
+                    WHEN t.part AND t.bl1 > 240 THEN 240
+                    ELSE 0 END,
+               CASE WHEN NOT t.emit THEN t.bs1
+                    WHEN t.part AND t.bl1 > 240
+                         THEN t.bs1 + ((t.bl1 - 240) * 5) // 8
+                    ELSE t.bs1 + t.bms END,
+               CASE WHEN t.fin OR t.vad THEN 0 ELSE t.sr1 END,
+               CASE WHEN t.fin OR t.vad THEN false ELSE t.isp1 END,
+               CASE WHEN t.emit THEN t.si + 1 ELSE t.si END,
+               t.emit, t.si, t.bs1, t.bs1 + t.bms, t.bl1, t.part,
+               CASE WHEN t.fin THEN 'final'
+                    WHEN t.vad THEN 'vad' ELSE 'size' END,
+               least(t.si, 10)
+        FROM (
+            SELECT s.session_id, c.i, c.fin, s.si,
+                   u.bs1, u.bl1, u.isp1, u.sr1,
+                   (u.isp1 AND u.sr1 >= 300) AS vad,
+                   (u.bl1 * 5) // 8 AS bms,
+                   (c.fin OR (u.isp1 AND u.sr1 >= 300)
+                    OR (u.bl1 * 5) // 8 >= 320) AS emit,
+                   (NOT c.fin) AS part
+            FROM sim s
+            JOIN c2 c ON c.session_id = s.session_id AND c.i = s.i + 1
+            CROSS JOIN LATERAL (
+                SELECT CASE WHEN s.bl = 0 THEN c.o ELSE s.bs END AS bs1,
+                       s.bl + 160 AS bl1,
+                       (s.isp OR c.speech) AS isp1,
+                       CASE WHEN c.speech THEN 0
+                            ELSE s.sr + 100 END AS sr1
+            ) u
+        ) t
+    )
+    SELECT session_id,
+           cast(seg_idx AS INT) AS segment_idx,
+           cast(seg_start AS BIGINT) AS start_offset_ms,
+           cast(seg_end AS BIGINT) AS end_offset_ms,
+           cast(n AS INT) AS n_samples,
+           part AS is_partial,
+           trig AS trigger,
+           'seg-' || seg_idx || '-' ||
+               substr(md5(session_id || ':' || seg_idx || ':' || n), 1, 8)
+               AS transcript,
+           cast(nctx AS INT) AS n_context
+    FROM sim WHERE emitted
+    """
+
+
 @register(
     "sessionize_batch_segments",
-    oracle=None,
+    oracle=_sessionizer_oracle(),
     covers=("T1", "T2", "T3", "T4", "T6", "T7", "F24-mock"),
     doc="Batch form of the custom stateful session operator: per-key "
         "buffer accumulation, 320 ms size trigger, energy-VAD 300 ms "
         "endpoint, 150 ms overlap carry, partial/final emission, mock "
         "transcription — applyInPandas over deterministic chunks "
-        "synthesized from events.",
+        "synthesized from events. The full trigger/overlap/final "
+        "recurrence (incl. md5 mock transcripts and the T9 context "
+        "depth) is replayed bit-for-bit by a DuckDB recursive-CTE "
+        "oracle; mean_energy (float reduction) is the one column left "
+        "to tests/test_sessionizer.py.",
 )
 def sessionize_batch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     chunks = chunks_from_events(ev, DEFAULT_CONFIG)
-    return sessionize_batch(chunks, DEFAULT_CONFIG)
+    return sessionize_batch(chunks, DEFAULT_CONFIG).drop("mean_energy")
 
 
 @register(
     "stream_sessionizer",
-    oracle=None,
+    oracle=_sessionizer_oracle("WHERE user_id < 40"),
     covers=("T1", "T2", "T3", "T4", "T6", "T7", "S7", "§2.11-state"),
     doc="The real streaming form: applyInPandasWithState with state "
         "carried across micro-batches (chunk files replayed one per "
         "trigger), is_final flush dropping state. Converges to the "
-        "batch form — asserted in tests/test_sessionizer.py.",
+        "batch form — asserted in tests/test_sessionizer.py — so the "
+        "same recursive-CTE oracle (restricted to the replayed 40 "
+        "sessions) checks it bit-for-bit.",
 )
 def stream_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
@@ -72,7 +170,7 @@ def stream_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see sessionize_stream docstring)
     segs = sessionize_stream(stream, DEFAULT_CONFIG, timeout="NoTimeout")
     out = run_to_completion(segs, "append")
-    return out
+    return out.drop("mean_energy")
 
 
 @register(

@@ -34,4 +34,7 @@ def test_all_queries_have_nonempty_results(spark):
     for name, spec in QUERIES.items():
         if spec.oracle is None:
             df = spec.builder(spark, SF_DIR)
-            assert df.count() >= 0, name
+            # declared schema must be stable and the query must actually
+            # produce rows — `>= 0` could never fail
+            assert len(df.schema.fields) > 0, name
+            assert df.count() > 0, f"{name}: empty result"

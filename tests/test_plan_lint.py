@@ -129,7 +129,7 @@ def test_top50_is_curated_and_covers_every_operator_id():
 def test_top50_oracle_backed_except_documented_rows_only():
     """Rows-only slots in the top 50 are limited to the documented
     non-SQL-expressible ops (iterative/stateful/float-path)."""
-    rows_only_ok = {"q_media_rowsonly", "sessionize_batch_segments"}
+    rows_only_ok = set()
     names = list(query_map())[:50]
     rows_only = {n for n in names if QUERIES[n].oracle is None}
     assert rows_only <= rows_only_ok, rows_only - rows_only_ok
