@@ -187,22 +187,28 @@ def stream_request_result_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     covers=("W3", "A5", "§2.11-update-mode"),
     doc="Streaming top-k leaderboard, BOUNDED form: update-mode "
-        "aggregation + foreachBatch keyed upsert. Each micro-batch "
-        "emits only the users whose aggregate changed (update mode), "
-        "which foreachBatch appends to a batch-stamped parquet store — "
-        "per-trigger work is O(changed keys), never a global re-sort of "
-        "all users (the complete-mode form re-sorts the whole aggregate "
-        "every trigger; at 100x users that is a full global sort per "
-        "micro-batch). The leaderboard is cut read-side: latest record "
-        "per user, then orderBy+limit, which Catalyst plans as "
-        "TakeOrderedAndProject (top-10 per partition, merge on driver). "
-        "Deterministic: exact fixed-point totals, user_id tie-break. "
-        "Queue-depth leaderboard analog, redis_queue.py:346-362.",
+        "aggregation + foreachBatch keyed upsert with periodic "
+        "compaction (streaming/upsert.py). Each micro-batch emits only "
+        "the users whose aggregate changed (update mode), appended "
+        "batch-stamped to a parquet store — per-trigger work is "
+        "O(changed keys), never a global re-sort of all users — and "
+        "every N batches the store is rewritten latest-per-key, so on "
+        "a long-running stream both the store and the read-side scan "
+        "stay O(distinct keys), not O(triggers) (bounded-store test: "
+        "tests/test_update_mode.py). The leaderboard is cut read-side: "
+        "latest record per user, then orderBy+limit, which Catalyst "
+        "plans as TakeOrderedAndProject (top-10 per partition, merge "
+        "on driver). Deterministic: exact fixed-point totals, user_id "
+        "tie-break. Queue-depth leaderboard analog, "
+        "redis_queue.py:346-362.",
 )
 def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from pyspark.sql.window import Window
+    from streamprocess_spark.streaming.upsert import (
+        compacting_upsert_writer,
+        latest_per_key,
+    )
 
     stream, _ = events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
@@ -211,30 +217,15 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="sptopk_")
     ckpt = tempfile.mkdtemp(prefix="spckpt_")
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # keyed upsert analog (SETEX, redis_queue.py:305-314): the store
-        # keeps every (user, batch) version; read side takes the latest
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(store)
-
     q = (
         agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(compacting_upsert_writer(store, ["user_id"]))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    snap = spark.read.parquet(store)
-    latest = (
-        snap.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn", "batch_id")
+    latest = latest_per_key(spark.read.parquet(store), ["user_id"]).drop(
+        "batch_id"
     )
     return latest.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)

@@ -99,3 +99,90 @@ def test_update_mode_revisions_converge(spark):
         assert latest == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compacting_upsert_store_stays_bounded(spark):
+    """Round-3 finding: the keyed-upsert store grew by O(changed keys)
+    per trigger forever. With compaction every N batches, the store
+    must stay O(distinct keys) over many triggers AND the read-side
+    latest-per-key must still equal the batch answer."""
+    from pyspark.sql.window import Window
+    from streamprocess_spark.io.tables import table_path
+    from streamprocess_spark.streaming.upsert import (
+        compacting_upsert_writer,
+        latest_per_key,
+    )
+
+    n_splits = 12
+    compact_every = 4
+    base = tempfile.mkdtemp(prefix="spcmp_")
+    store = tempfile.mkdtemp(prefix="spcmpstore_")
+    ckpt = tempfile.mkdtemp(prefix="spcmpckpt_")
+    try:
+        ev = spark.read.parquet(table_path(SF_DIR, "events"))
+        tiles = ev.select(
+            F.ntile(n_splits).over(Window.orderBy("ts", "event_id")).alias("tile"),
+            "*",
+        )
+        for t in range(1, n_splits + 1):
+            part = tiles.filter(F.col("tile") == t).drop("tile")
+            pdir = os.path.join(base, f"s{t}")
+            part.coalesce(1).write.parquet(pdir)
+            src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(pdir, src), os.path.join(base, f"part-{t:03d}.parquet")
+            )
+            shutil.rmtree(pdir)
+
+        stream = (
+            spark.readStream.schema(EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+        )
+        agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        emitted: list[int] = []
+
+        upsert = compacting_upsert_writer(store, ["user_id"], compact_every)
+
+        def track(batch_df, batch_id):
+            emitted.append(batch_df.count())
+            upsert(batch_df, batch_id)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(track)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(emitted) >= n_splits
+        n_keys = ev.select("user_id").distinct().count()
+        store_rows = spark.read.parquet(store).count()
+        total_emitted = sum(emitted)
+        # without compaction the store would hold every emitted row
+        assert store_rows < total_emitted
+        # bounded: latest-per-key snapshot + at most compact_every-1
+        # trailing appends of <= n_keys changed rows each
+        assert store_rows <= n_keys * compact_every
+        data_files = [
+            f for f in os.listdir(store) if f.endswith(".parquet")
+        ]
+        assert len(data_files) <= 4 * compact_every
+
+        # correctness preserved through compaction
+        got = {
+            (r.user_id, r.n)
+            for r in latest_per_key(spark.read.parquet(store), ["user_id"])
+            .select("user_id", "n")
+            .collect()
+        }
+        want = {
+            (r.user_id, r.n)
+            for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+    finally:
+        for d in (base, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
