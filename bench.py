@@ -101,6 +101,111 @@ def ensure_deep_dir(sf_dir: str, factor: int = DEEP_FACTOR) -> str:
     return dst
 
 
+N_STREAMS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_STREAMS", "100"))
+
+
+def _bench_flagship(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from streamprocess_spark.io.queue_source import (
+        enqueue_job,
+        register_queue_source,
+    )
+    from streamprocess_spark.io.result_sink import register_result_sink
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.streaming.sessionizer import (
+        DEFAULT_CONFIG,
+        chunks_from_events,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    qdir = tempfile.mkdtemp(prefix="spbenchq_")
+    rdir = tempfile.mkdtemp(prefix="spbenchr_")
+    ckpt = tempfile.mkdtemp(prefix="spbenchck_")
+    ev = load_tables(spark, sf_dir)["events"]
+    chunks = chunks_from_events(ev, DEFAULT_CONFIG, max_users=N_STREAMS)
+    expected_n = sessionize_batch(chunks, DEFAULT_CONFIG).count()
+
+    prios = ("realtime", "high", "normal", "low")
+    n_chunks = 0
+    for row in chunks.orderBy("session_id", "seq").toLocalIterator():
+        n_chunks += 1
+        enqueue_job(
+            qdir,
+            prios[int(row["session_id"]) % 4],
+            {
+                "job_id": f"{row['session_id']}-{row['seq']}",
+                "type": "stt_chunk",
+                "payload": {
+                    "seq": row["seq"],
+                    "offset_ms": row["offset_ms"],
+                    "is_final": row["is_final"],
+                    "samples": [float(x) for x in row["samples"]],
+                },
+            },
+        )
+
+    register_queue_source(spark)
+    register_result_sink(spark)
+    payload_schema = (
+        "seq long, offset_ms long, is_final boolean, samples array<float>"
+    )
+    jobs = spark.readStream.format("priority_queue").option("path", qdir).load()
+    chunk_stream = (
+        jobs.filter(F.col("type") == "stt_chunk")
+        .select(
+            F.split(F.col("job_id"), "-")[0].alias("session_id"),
+            F.from_json("payload", payload_schema).alias("p"),
+        )
+        .select("session_id", "p.seq", "p.offset_ms", "p.is_final", "p.samples")
+    )
+    segments = sessionize_stream(chunk_stream, DEFAULT_CONFIG).select(
+        F.concat_ws("_", "session_id", "start_offset_ms").alias("job_id"),
+        F.to_json(F.struct("segment_idx", "n_samples", "trigger")).alias(
+            "payload"
+        ),
+    )
+    t0 = time.perf_counter()
+    query = (
+        segments.writeStream.format("result_store")
+        .option("path", rdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        delivered = 0
+        while time.time() < deadline:
+            delivered = sum(
+                1 for f in os.listdir(rdir) if f.endswith(".json")
+            )
+            if delivered >= expected_n:
+                break
+            time.sleep(0.2)
+        el = time.perf_counter() - t0
+    finally:
+        query.stop()
+    out = {
+        "streams": N_STREAMS,
+        "input_chunks": int(n_chunks),
+        "segments": int(delivered),
+        "expected_segments": int(expected_n),
+        "value": round(el, 4),
+        "chunks_per_sec": round(n_chunks / el, 1),
+    }
+    print(
+        f"# flagship queue->sessionizer->sink: {el:.3f}s "
+        f"({out['chunks_per_sec']} chunks/s, "
+        f"{delivered}/{expected_n} segments)",
+        file=sys.stderr,
+    )
+    for d in (qdir, rdir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from streamprocess_spark import get_spark
@@ -165,6 +270,15 @@ def main() -> None:
         )
     else:
         result_stream = None
+
+    # flagship stateful path: priority-queue DataSource -> sessionizer
+    # (applyInPandasWithState) -> result-store sink, the reference's
+    # 100-concurrent-streams serving shape (README.md:34). Reported as
+    # end-to-end chunk rows/sec from stream start to full delivery of
+    # every expected segment (expected set = the batch sessionizer on
+    # identical chunks; enqueue is producer-side setup, not measured).
+    if not os.environ.get("SPARK_GRAFT_SKIP_FLAGSHIP"):
+        result["flagship"] = _bench_flagship(spark, sf_dir)
 
     if not os.environ.get("SPARK_GRAFT_SKIP_DEEP"):
         t0 = time.perf_counter()
