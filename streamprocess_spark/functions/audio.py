@@ -168,7 +168,13 @@ def np_decode_audio(
         return np_resample(np_to_mono(x, ch), sr, target_sr)
     raise NotImplementedError(
         f"audio decode for {enc} needs a codec library (soundfile/ffmpeg); "
-        "the reference decodes via soundfile (stt_worker.py:390-394)"
+        "the reference decodes via soundfile (stt_worker.py:390-394). "
+        "For MP3/MP2/MP1 the container layer (sync walk, header fields, "
+        "exact duration, ID3) IS implemented — functions/mpeg_audio.py; "
+        "only PCM reconstruction is out of reach (the subband synthesis "
+        "window is normative tabulated data, ISO 11172-3 Table 3-B.3, "
+        "with no closed form to derive offline). Same for OPUS "
+        "(RFC 6716 codebooks)."
     )
 
 

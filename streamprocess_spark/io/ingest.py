@@ -52,8 +52,15 @@ def sniff_format(raw: bytes) -> tuple[str, str, str]:
     for magic, fmt, jtype, prio in _SNIFFERS:
         if raw[: len(magic)] == magic:
             if fmt == "WAV" and raw[8:12] != b"WAVE":
-                continue  # RIFF but not WAVE (e.g. AVI) → unknown
+                if raw[8:12] == b"AVI ":          # RIFF/AVI container
+                    return "AVI", "video_batch", "low"
+                continue  # RIFF but neither WAVE nor AVI → unknown
             return fmt, jtype, prio
+    # MPEG audio has no fixed magic: ID3v2 tag or a frame sync at 0
+    from streamprocess_spark.functions.mpeg_audio import looks_like_mpeg_audio
+
+    if looks_like_mpeg_audio(raw):
+        return "MP3", "stt_batch", "normal"
     return "UNKNOWN", "unsupported_media", "low"
 
 
@@ -94,6 +101,18 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.video import np_parse_rawv
 
             np_parse_rawv(raw)
+        elif fmt == "MP3":
+            # full frame walk validates every header; PCM decode stays
+            # the documented stub (functions/mpeg_audio.py docstring)
+            from streamprocess_spark.functions.mpeg_audio import (
+                np_probe_mpeg_audio,
+            )
+
+            np_probe_mpeg_audio(raw)
+        elif fmt == "AVI":
+            from streamprocess_spark.functions.video import np_parse_avi_mjpeg
+
+            np_parse_avi_mjpeg(raw)
         return True, ""
     except (ValueError, NotImplementedError) as e:
         return False, str(e)

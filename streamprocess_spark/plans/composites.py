@@ -468,6 +468,16 @@ def _audio_suite_oracle() -> str:
         FROM documents d, range(0, 1920) t(i)
         WHERE t.i < 1600 + (d.doc_id % 3) * 160
         GROUP BY d.doc_id
+    ),
+    mp3 AS (
+        SELECT doc_id,
+               cast(8 + doc_id % 7 AS BIGINT) AS mp3_n_frames,
+               cast((8 + doc_id % 7)
+                    * (CASE WHEN (doc_id % 3) + 1 = 1
+                            THEN 384 ELSE 1152 END) * 1000
+                    // [44100, 48000, 32000][((doc_id // 3) % 3) + 1]
+                    AS BIGINT) AS mp3_duration_ms
+        FROM documents
     )
     SELECT a.doc_id, a.n_samples, a.ssum_fp, a.sabs_fp,
            a.n_samples AS n_wav, a.ssum_fp AS wsum_fp,
@@ -476,9 +486,10 @@ def _audio_suite_oracle() -> str:
            f.n_frames, f.n_speech,
            m.n_mono, m.msum_fp,
            nz.n_pos, nz.norm_sum_fp,
-           fl.n_flac, fl.fsum16
+           fl.n_flac, fl.fsum16,
+           mp3.mp3_n_frames, mp3.mp3_duration_ms
     FROM a JOIN f USING (doc_id) JOIN m USING (doc_id) JOIN nz USING (doc_id)
-         JOIN fl USING (doc_id)
+         JOIN fl USING (doc_id) JOIN mp3 USING (doc_id)
     """
 
 
@@ -500,7 +511,10 @@ def _audio_suite_oracle() -> str:
         "the identical PCM payload. Plus S15 FLAC: real compressed "
         "multi-frame FLAC (functions/flac.py — fixed predictors, Rice "
         "residuals, CRC-8/16) decoded losslessly, checked by exact "
-        "16-bit integer sums against the synthesis formula.",
+        "16-bit integer sums against the synthesis formula. Plus S15 "
+        "MP3: the ISO 11172-3 frame-walk probe (frame count + exact "
+        "duration vs the header formulas; PCM stays the documented "
+        "stub, functions/mpeg_audio.py).",
 )
 def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.audio import (
@@ -543,10 +557,16 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "* 32768.0, 0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
     )
 
+    from streamprocess_spark.plans.multimodal import (
+        _mpeg_probe_udf,
+        _synth_mpeg_udf,
+    )
+
     return (
         docs.withColumn("samples", decode_linear16_udf(_synth_audio_udf("doc_id")))
         .withColumn("wav_samples", wav_decode(_synth_wav_udf("doc_id")))
         .withColumn("flac_samples", flac_decode(_synth_flac_udf("doc_id")))
+        .withColumn("mp3p", _mpeg_probe_udf(_synth_mpeg_udf("doc_id")))
         .withColumn("flags", flags(F.col("samples")))
         .withColumn("resampled", up(F.col("samples")))
         .withColumn("mono", mono(decode_linear16_udf(_synth_stereo_udf("doc_id"))))
@@ -570,6 +590,11 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(nsum).alias("norm_sum_fp"),
             F.size("flac_samples").cast("bigint").alias("n_flac"),
             F.expr(fsum16).alias("fsum16"),
+            # S15 MP3: full frame-walk probe (q130 fixtures) — frame
+            # count + exact duration recomputed by the oracle from the
+            # ISO 11172-3 header formulas
+            F.col("mp3p.n_frames").cast("bigint").alias("mp3_n_frames"),
+            F.col("mp3p.duration_ms").cast("bigint").alias("mp3_duration_ms"),
         )
     )
 
@@ -580,10 +605,11 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_suite_oracle() -> str:
-    from streamprocess_spark.plans.multimodal import _BLOCK_CTE
+    from streamprocess_spark.plans.multimodal import _BLOCK_CTE, _CJPEG_CTE
 
     return f"""
     WITH {_BLOCK_CTE},
+    {_CJPEG_CTE},
     dims AS (
         SELECT doc_id,
                CASE WHEN doc_id % 10 = 1 THEN 60
@@ -646,9 +672,12 @@ def _image_suite_oracle() -> str:
            cast(m.w * m.h * 255 - a.area * 215 AS BIGINT) AS png_px_sum,
            jp.jpeg_px_sum,
            dc.page_px_sum AS tiff_px_sum,
-           dc.page_px_sum AS pdf_px_sum
+           dc.page_px_sum AS pdf_px_sum,
+           cj.y_sum AS cjpeg_y_sum,
+           cj.cb_sum AS cjpeg_cb_sum,
+           cj.cr_sum AS cjpeg_cr_sum
     FROM dims m JOIN agg a USING (doc_id) JOIN jp USING (doc_id)
-         JOIN doccont dc USING (doc_id)
+         JOIN doccont dc USING (doc_id) JOIN cjp cj USING (doc_id)
     """
 
 
@@ -673,7 +702,9 @@ def _image_suite_oracle() -> str:
         "walker — exact pixel-sum checked. Plus S15 TIFF + PDF: the "
         "q115 formula page through the real IFD reader (alternating "
         "byte orders) and PDF image-XObject extraction (alternating "
-        "Flate/DCT filters) — both exact pixel sums.",
+        "Flate/DCT filters) — both exact pixel sums. Plus S15 COLOR "
+        "JPEG: YCbCr 4:2:0/4:4:4 interleaved-MCU decode (q129 "
+        "fixtures) with exact per-channel sums.",
 )
 def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.image import (
@@ -687,9 +718,11 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate_image_udf,
     )
     from streamprocess_spark.plans.multimodal import (
+        _cjpeg_stats_udf as _cjpeg_stats,
         _image_df,
         _jpeg_stats_udf as _jpeg_stats,
         _pdf_stats_udf as _pdf_sum,
+        _synth_color_jpeg_udf as _synth_cjpeg,
         _synth_jpeg_udf as _synth_jpeg,
         _synth_pdf_udf as _synth_pdf,
         _synth_tiff_udf as _synth_tiff,
@@ -732,6 +765,7 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c", crop_dims_udf(F.col("image"), F.col("width"), F.col("height"))
         )
         .withColumn("jp", _jpeg_stats(_synth_jpeg(F.col("doc_id"))))
+        .withColumn("cj", _cjpeg_stats(_synth_cjpeg(F.col("doc_id"))))
         .withColumn("tiff_px_sum", _tiff_sum(_synth_tiff(F.col("doc_id"))))
         .withColumn("pp", _pdf_sum(_synth_pdf(F.col("doc_id"))))
         .select(
@@ -761,6 +795,11 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # S15: TIFF + PDF document containers (q115 fixtures)
             "tiff_px_sum",
             F.col("pp.pdf_px_sum").alias("pdf_px_sum"),
+            # S15: COLOR JPEG (YCbCr 4:2:0/4:4:4, q129 fixtures) —
+            # exact per-channel sums through the interleaved-MCU decoder
+            F.col("cj.y_sum").alias("cjpeg_y_sum"),
+            F.col("cj.cb_sum").alias("cjpeg_cb_sum"),
+            F.col("cj.cr_sum").alias("cjpeg_cr_sum"),
         )
     )
 

@@ -560,6 +560,134 @@ class TestVideo:
         with pytest.raises(NotImplementedError):
             V.np_decode_video(raw, fmt="MP4")
 
+    # -- AVI / MJPEG container -----------------------------------------
+
+    def _mjpeg_frames(self, n=6, h=32, w=48):
+        imgs = []
+        for k in range(n):
+            img = np.zeros((h, w), np.uint8)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    img[by*8:(by+1)*8, bx*8:(bx+1)*8] = \
+                        128 + 2 * ((k * 11 + by * 6 + bx) % 60 - 30)
+            imgs.append(img)
+        return imgs
+
+    def test_avi_mjpeg_roundtrip(self):
+        from streamprocess_spark.functions import video as V
+
+        imgs = self._mjpeg_frames()
+        frames = [J.np_encode_jpeg_gray(i, quality=50) for i in imgs]
+        avi = V.np_build_avi_mjpeg(frames, 48, 32, fps=5)
+        payloads, info = V.np_demux_avi_mjpeg(avi)
+        assert info["codec"] == "MJPG" and info["n_frames"] == 6
+        assert (info["width"], info["height"]) == (48, 32)
+        assert info["us_per_frame"] == 200000
+        # DC-exact fixtures → bit-identical frames through the codec
+        decoded, fps = V.np_parse_avi_mjpeg(avi)
+        assert fps == 5
+        assert np.array_equal(decoded, np.stack(imgs))
+        # the generic sampler accepts the AVI container directly
+        out = V.np_sample_frames(avi, step=2, fmt="AVI")
+        assert [o["frame_idx"] for o in out] == [0, 2, 4]
+
+    def test_avi_color_frames_yield_luma(self):
+        from streamprocess_spark.functions import video as V
+
+        y = np.full((32, 48), 130, np.uint8)
+        cb = np.full((32, 48), 128 + 17, np.uint8)
+        cr = np.full((32, 48), 128 - 17, np.uint8)
+        f = J.np_encode_jpeg_ycbcr(y, cb, cr, quality=50, subsample="420")
+        avi = V.np_build_avi_mjpeg([f, f], 48, 32, fps=10)
+        decoded, _ = V.np_parse_avi_mjpeg(avi)
+        assert np.array_equal(decoded[0], y)
+
+    def test_avi_rejections(self):
+        from streamprocess_spark.functions import video as V
+
+        frames = [J.np_encode_jpeg_gray(i) for i in self._mjpeg_frames(2)]
+        avi = V.np_build_avi_mjpeg(frames, 48, 32)
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            V.np_demux_avi_mjpeg(b"RIFX" + avi[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            V.np_demux_avi_mjpeg(avi[:50])
+        with pytest.raises(ValueError, match="truncated"):
+            V.np_demux_avi_mjpeg(
+                avi[:4] + (10**9).to_bytes(4, "little") + avi[8:]
+            )
+        # non-MJPG vids stream → documented rejection
+        mut = bytearray(avi)
+        at = avi.index(b"vids") + 4
+        mut[at:at + 4] = b"H264"
+        with pytest.raises(NotImplementedError, match="H264"):
+            V.np_demux_avi_mjpeg(bytes(mut))
+
+
+# ----------------------------------------- MPEG audio container (S15)
+
+
+class TestMpegAudio:
+    """ISO 11172-3 frame-walk prober (functions/mpeg_audio.py): header
+    tables, exact frame lengths/durations, ID3 handling, totality.
+    PCM decode is the documented stub (module docstring)."""
+
+    def test_probe_all_layers(self):
+        from streamprocess_spark.functions import mpeg_audio as M
+
+        for layer, kbps, sr, spf in (
+            (3, 128, 44100, 1152), (2, 192, 48000, 1152), (1, 256, 32000, 384),
+        ):
+            raw = M.np_build_mpeg_frames(50, layer, kbps, sr)
+            p = M.np_probe_mpeg_audio(raw)
+            assert p["layer"] == layer and p["n_frames"] == 50
+            assert p["sample_rate"] == sr
+            assert p["duration_ms"] == 50 * spf * 1000 // sr
+            assert abs(p["avg_kbps"] - kbps) <= 1
+
+    def test_id3v2_skip_and_id3v1_trailer(self):
+        from streamprocess_spark.functions import mpeg_audio as M
+
+        raw = M.np_build_mpeg_frames(10, id3_title="hello world")
+        assert raw[:3] == b"ID3"
+        assert M.np_probe_mpeg_audio(raw)["n_frames"] == 10
+        with_tag = M.np_build_mpeg_frames(5) + b"TAG" + b"\x00" * 125
+        assert M.np_probe_mpeg_audio(with_tag)["n_frames"] == 5
+
+    def test_garbage_truncation_inconsistency_rejected(self):
+        from streamprocess_spark.functions import mpeg_audio as M
+
+        with pytest.raises(ValueError, match="sync"):
+            M.np_probe_mpeg_audio(b"\x00" * 100)
+        with pytest.raises(ValueError, match="truncated final"):
+            M.np_probe_mpeg_audio(M.np_build_mpeg_frames(5)[:-7])
+        mixed = (M.np_build_mpeg_frames(3, layer=3, sr=44100)
+                 + M.np_build_mpeg_frames(3, layer=2, sr=48000))
+        with pytest.raises(ValueError, match="inconsistent"):
+            M.np_probe_mpeg_audio(mixed)
+
+    def test_pcm_decode_stays_documented_stub(self):
+        from streamprocess_spark.functions import audio as A2
+
+        with pytest.raises(NotImplementedError, match="mpeg_audio"):
+            A2.np_decode_audio(b"\xff\xfb\x90\x00", "MP3")
+
+    def test_ingest_sniffs_and_routes_mp3_and_avi(self):
+        from streamprocess_spark.functions import mpeg_audio as M
+        from streamprocess_spark.functions import video as V
+        from streamprocess_spark.io.ingest import make_envelope, sniff_format
+
+        mp3 = M.np_build_mpeg_frames(6)
+        assert sniff_format(mp3) == ("MP3", "stt_batch", "normal")
+        assert make_envelope(mp3)["type"] == "stt_batch"
+        # malformed MP3 → dead-letter, not crash
+        assert make_envelope(mp3[:-3])["type"] == "corrupt_media"
+
+        frames = [J.np_encode_jpeg_gray(np.full((16, 16), 100, np.uint8))]
+        avi = V.np_build_avi_mjpeg(frames, 16, 16)
+        assert sniff_format(avi) == ("AVI", "video_batch", "low")
+        assert make_envelope(avi)["type"] == "video_batch"
+        assert make_envelope(avi[:40])["type"] == "corrupt_media"
+
 
 # ------------------------------------------------------- ops listener
 
@@ -805,24 +933,91 @@ class TestJpeg:
         assert len(lo) < len(hi)
         assert np.array_equal(J.quality_qtable(50), J._QTBL_LUM)
 
-    def test_rejects_garbage_truncation_color_progressive(self):
+    def test_rejects_garbage_truncation_cmyk_progressive(self):
         img = self._block_img(h=16, w=16)
         enc = J.np_encode_jpeg_gray(img)
         with pytest.raises(ValueError, match="SOI"):
             J.np_decode_jpeg_gray(b"\x00\x01\x02")
         with pytest.raises(ValueError):
             J.np_decode_jpeg_gray(enc[: len(enc) - 8])  # drop entropy tail
-        # flip SOF0 component count to 3 → documented color rejection
+        # SOF0 claiming 3 comps but sized for 1 → totality ValueError
         sof_at = enc.index(b"\xFF\xC0")
         mut = bytearray(enc)
         mut[sof_at + 9] = 3
-        with pytest.raises(NotImplementedError, match="color"):
+        with pytest.raises(ValueError, match="short SOF0"):
+            J.np_decode_jpeg_gray(bytes(mut))
+        # 4-component (CMYK) → documented rejection
+        cimg = np.full((16, 16, 3), 128, np.uint8)
+        cenc = J.np_encode_jpeg_color(cimg)
+        csof = cenc.index(b"\xFF\xC0")
+        mut = bytearray(cenc)
+        mut[csof + 9] = 4
+        with pytest.raises(NotImplementedError, match="4-component"):
             J.np_decode_jpeg_gray(bytes(mut))
         # flip SOF0 to SOF2 (progressive) → rejected
         mut = bytearray(enc)
         mut[sof_at + 1] = 0xC2
         with pytest.raises(NotImplementedError, match="0xc2"):
             J.np_decode_jpeg_gray(bytes(mut))
+
+    # -- color (YCbCr) paths -------------------------------------------
+
+    def _ycc_planes(self, h=32, w=48):
+        """Per-8x8-constant luma (even offsets: exact at luma q00=16)
+        and per-16x16-constant chroma (multiples of 17: exact at
+        chroma q00=17, and exactly box-downsampled at 4:2:0)."""
+        y = np.zeros((h, w), np.uint8)
+        cb = np.zeros((h, w), np.uint8)
+        cr = np.zeros((h, w), np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                y[by*8:(by+1)*8, bx*8:(bx+1)*8] = \
+                    128 + 2 * ((by * 7 + bx * 3) % 50 - 25)
+        for ty in range(h // 16):
+            for tx in range(w // 16):
+                cb[ty*16:(ty+1)*16, tx*16:(tx+1)*16] = \
+                    128 + 17 * ((ty + tx) % 5 - 2)
+                cr[ty*16:(ty+1)*16, tx*16:(tx+1)*16] = \
+                    128 + 17 * ((ty * 2 + tx) % 5 - 2)
+        return y, cb, cr
+
+    def test_color_constant_blocks_bit_exact_444_and_420(self):
+        y, cb, cr = self._ycc_planes()
+        for sub in ("444", "420"):
+            enc = J.np_encode_jpeg_ycbcr(y, cb, cr, quality=50, subsample=sub)
+            dec = J.np_decode_jpeg(enc, color_space="ycbcr")
+            assert np.array_equal(dec[..., 0], y), sub
+            assert np.array_equal(dec[..., 1], cb), sub
+            assert np.array_equal(dec[..., 2], cr), sub
+            # the gray entry point returns the exact Y plane for color
+            assert np.array_equal(J.np_decode_jpeg_gray(enc), y), sub
+
+    def test_color_natural_image_bounded_loss(self):
+        yy, xx = np.mgrid[0:64, 0:80]
+        rgb = np.stack([
+            (128 + 80 * np.sin(yy / 9) * np.cos(xx / 13)),
+            (128 + 60 * np.cos(yy / 7)),
+            (128 + 50 * np.sin(xx / 11)),
+        ], axis=-1).astype(np.uint8)
+        for sub, tol in (("444", 10), ("420", 24)):
+            enc = J.np_encode_jpeg_color(rgb, quality=90, subsample=sub)
+            dec = J.np_decode_jpeg(enc)
+            assert dec.shape == rgb.shape
+            err = np.abs(dec.astype(int) - rgb.astype(int)).max()
+            assert err <= tol, (sub, err)
+        # odd dims (not MCU multiples) crop correctly
+        rgb2 = rgb[:57, :71]
+        dec = J.np_decode_jpeg(J.np_encode_jpeg_color(rgb2, 85, "420"))
+        assert dec.shape == rgb2.shape
+
+    def test_color_conversion_roundtrip_identities(self):
+        # gray pixels survive RGB→YCbCr→RGB exactly (Cb=Cr=128)
+        g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        rgb = np.stack([g, g, g], axis=-1)
+        ycc = J.rgb_to_ycbcr(rgb)
+        assert np.array_equal(ycc[..., 0], g)
+        assert np.all(ycc[..., 1] == 128) and np.all(ycc[..., 2] == 128)
+        assert np.array_equal(J.ycbcr_to_rgb(ycc), rgb)
 
     def test_short_segments_raise_value_error(self):
         """Truncated/short segment lengths must raise ValueError (the

@@ -49,9 +49,16 @@ def test_sniffers():
     assert sniff_format(I.np_encode_bmp(np.zeros((4, 4), np.uint8)))[0] == "BMP"
     assert sniff_format(V.np_build_rawv(np.zeros((1, 4, 4), np.uint8)))[0] == "RAWV"
     assert sniff_format(b"GIF89a....")[0] == "UNKNOWN"
-    # RIFF that is not WAVE (AVI) must not sniff as WAV
-    avi = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " + b"\x00" * 100
-    assert sniff_format(avi) == ("UNKNOWN", "unsupported_media", "low")
+    # RIFF that is neither WAVE nor AVI must not sniff as WAV
+    webp = b"RIFF" + (100).to_bytes(4, "little") + b"WEBP" + b"\x00" * 100
+    assert sniff_format(webp) == ("UNKNOWN", "unsupported_media", "low")
+    # RIFF/AVI sniffs as the AVI container; a body the demuxer rejects
+    # still dead-letters rather than crashing
+    avi_garbage = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " + b"\x00" * 100
+    assert sniff_format(avi_garbage) == ("AVI", "video_batch", "low")
+    from streamprocess_spark.io.ingest import make_envelope
+
+    assert make_envelope(avi_garbage)["type"] == "corrupt_media"
 
 
 def test_ingest_routes_and_validates(tmp_path):
