@@ -173,8 +173,10 @@ def np_decode_audio(
         "exact duration, ID3) IS implemented — functions/mpeg_audio.py; "
         "only PCM reconstruction is out of reach (the subband synthesis "
         "window is normative tabulated data, ISO 11172-3 Table 3-B.3, "
-        "with no closed form to derive offline). Same for OPUS "
-        "(RFC 6716 codebooks)."
+        "with no closed form to derive offline). Same for OPUS: the "
+        "Ogg container layer (page walk, CRC, OpusHead, TOC duration) "
+        "IS implemented — functions/ogg_opus.py — but SILK/CELT PCM "
+        "needs RFC 6716's tabulated codebooks."
     )
 
 

@@ -4,10 +4,11 @@ Image model: opaque binary column = raw 8-bit grayscale bytes in
 row-major order, with width/height carried as typed metadata columns
 (FIXTURES.md document_jobs). The container has no OpenCV/PIL, so:
   - Container codecs implemented from scratch: PNG (stdlib zlib, all
-    5 scanline filters), BMP, uncompressed TIFF (both byte orders),
-    baseline JPEG (functions/jpeg.py), PDF image extraction
-    (functions/pdf.py). Formats needing codec libs absent here
-    (WEBP, compressed TIFF, …) raise NotImplementedError.
+    5 scanline filters, 8/16-bit, Adam7 interlace), BMP, TIFF (both
+    byte orders, Compression none/LZW/PackBits, multi-strip),
+    baseline JPEG incl. YCbCr color (functions/jpeg.py), PDF image
+    extraction (functions/pdf.py). Formats needing codec libs absent
+    here (WEBP, JPEG-in-TIFF, …) raise NotImplementedError.
   - Geometry/threshold/crop/layout ops are real NumPy implementations
     mirroring src/preprocessing/image_processor.py semantics.
 
@@ -115,16 +116,28 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def np_encode_png(img: np.ndarray) -> bytes:
-    """Minimal PNG writer: 8-bit, non-interlaced, filter 0 per
-    scanline. 2-D array → grayscale (color type 0); HxWx3 → RGB
-    (color type 2). Produces standard PNGs any external reader
-    accepts — the inverse of the reference's cv2.imencode boundary."""
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def np_encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal PNG writer: 8- or 16-bit samples, filter 0 per
+    scanline, optional Adam7 interlace. 2-D array → grayscale (color
+    type 0); HxWx3 → RGB (color type 2). Produces standard PNGs any
+    external reader accepts — the inverse of the reference's
+    cv2.imencode boundary."""
     import struct
     import zlib as _z
 
-    if img.dtype != np.uint8:
-        raise ValueError("np_encode_png expects uint8")
+    if img.dtype == np.uint8:
+        depth = 8
+    elif img.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError("np_encode_png expects uint8/uint16")
     if img.ndim == 2:
         color_type, arr = 0, img[:, :, None]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -132,15 +145,67 @@ def np_encode_png(img: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported shape {img.shape}")
     h, w, _c = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 (None) prepended to each scanline
-    stride = arr.reshape(h, -1)
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), stride], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
+
+    def rows_bytes(a: np.ndarray) -> bytes:
+        # (ph, pw, c) → filter-0 scanlines (16-bit samples big-endian)
+        ph = a.shape[0]
+        if depth == 16:
+            flat = a.astype(">u2").reshape(ph, -1).view(np.uint8)
+        else:
+            flat = a.reshape(ph, -1)
+        return np.concatenate(
+            [np.zeros((ph, 1), dtype=np.uint8), flat], axis=1
+        ).tobytes()
+
+    if not interlace:
+        raw = rows_bytes(arr)
+    else:
+        raw = b"".join(
+            rows_bytes(arr[y0::dy, x0::dx])
+            for (x0, y0, dx, dy) in _ADAM7
+            if arr[y0::dy, x0::dx].size
+        )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def np_encode_png_indexed(idx: np.ndarray, palette: np.ndarray,
+                          depth: int = 8) -> bytes:
+    """Indexed-color PNG writer (color type 3) for fixtures: HxW index
+    array + (N,3) RGB palette, bit depths 1/2/4/8 (MSB-first packed
+    rows, byte-padded per scanline, filter 0)."""
+    import struct
+    import zlib as _z
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("need 2-D indices and (N,3) palette")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    if int(idx.max(initial=0)) >= min(len(palette), 1 << depth):
+        raise ValueError("index exceeds palette/depth range")
+    h, w = idx.shape
+    if depth == 8:
+        rows = idx
+    else:
+        bits = ((idx[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1) \
+            .reshape(h, w * depth).astype(np.uint8)
+        rows = np.packbits(bits, axis=1)       # MSB-first, row-padded
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
         + _png_chunk(b"IDAT", _z.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -179,23 +244,29 @@ def _png_unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
 
 
 def np_decode_png(raw: bytes) -> np.ndarray:
-    """Minimal PNG reader: 8-bit depth, non-interlaced, color types
-    gray/RGB/gray+alpha/RGBA, all five scanline filters. Returns
-    (H, W) for grayscale or (H, W, C) otherwise. Interlaced, paletted,
-    or 16-bit PNGs raise NotImplementedError (rare for scanned-document
-    pipelines; the reference accepts them via cv2 — documented gap)."""
+    """PNG reader: color types gray/RGB/gray+alpha/RGBA at 8/16-bit
+    (plus 1/2/4-bit gray) and paletted (type 3, PLTE, depths 1/2/4/8
+    → expanded to RGB), non-interlaced and Adam7, all five scanline
+    filters (which operate on BYTES with bpp = max(1, bits-per-pixel
+    // 8), PNG spec §9 — so one unfilter path serves every depth).
+    Returns (H, W) for grayscale or (H, W, C) otherwise; uint16 for
+    16-bit samples."""
     import struct
     import zlib as _z
 
     if len(raw) < 8 or raw[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(raw):
         (size,) = struct.unpack(">I", raw[pos : pos + 4])
         tag = raw[pos + 4 : pos + 8]
         body = raw[pos + 8 : pos + 8 + size]
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if size % 3 or size == 0 or size > 768:
+                raise ValueError("PNG PLTE size not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -204,24 +275,83 @@ def np_decode_png(raw: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG (Adam7) not supported")
-    if color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color_type} (palette?)")
-    ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    if color_type == 3:                        # paletted
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad paletted PNG depth {depth}")
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        ch = 1
+    elif color_type in _PNG_CHANNELS:
+        ch = _PNG_CHANNELS[color_type]
+        if not (depth in (8, 16) or (color_type == 0 and depth in (1, 2, 4))):
+            raise NotImplementedError(
+                f"PNG depth {depth} for color type {color_type}"
+            )
+    else:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    bits_pp = ch * depth                       # bits per pixel
+    bpp = max(1, bits_pp // 8)                 # filter unit in BYTES (§9)
     data = np.frombuffer(_z.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(data) != h * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    rows = data.reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        prev = _png_unfilter_row(int(rows[r, 0]), rows[r, 1:], prev, ch)
-        out[r] = prev
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+    def row_bytes(pw: int) -> int:
+        return (pw * bits_pp + 7) // 8
+
+    def unfilter_block(block: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        stride = row_bytes(pw)
+        rows = block.reshape(ph, stride + 1)
+        out = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(ph):
+            prev = _png_unfilter_row(int(rows[r, 0]), rows[r, 1:], prev, bpp)
+            out[r] = prev
+        return out
+
+    def to_pixels(b: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if depth == 16:                        # network byte order
+            return (b.reshape(ph, pw * ch * 2).view(">u2")
+                    .astype(np.uint16).reshape(ph, pw, ch))
+        if depth == 8:
+            return b.reshape(ph, pw, ch)
+        # sub-byte samples: MSB-first bit groups, row-padded to bytes
+        bits = np.unpackbits(b.reshape(ph, row_bytes(pw)), axis=1)
+        grp = bits[:, :pw * depth].reshape(ph, pw, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (grp * weights).sum(axis=2, dtype=np.uint16) \
+            .astype(np.uint8)[:, :, None]
+
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        if len(data) != h * (row_bytes(w) + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        out = to_pixels(unfilter_block(data, h, w), h, w)
+    elif interlace == 1:                       # Adam7: 7 sub-images
+        out = np.zeros((h, w, ch), dtype=dtype)
+        at = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (row_bytes(pw) + 1)
+            if at + need > len(data):
+                raise ValueError("PNG interlaced data truncated")
+            out[y0::dy, x0::dx] = to_pixels(
+                unfilter_block(data[at:at + need], ph, pw), ph, pw
+            )
+            at += need
+        if at != len(data):
+            raise ValueError("PNG pixel data size mismatch")
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if color_type == 3:                        # palette lookup → RGB
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if color_type == 0 and depth < 8:          # scale gray to 8-bit
+        out = (out.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)
+    return out.reshape(h, w) if ch == 1 else out
 
 
 def np_encode_bmp(img: np.ndarray) -> bytes:
@@ -286,9 +416,12 @@ def np_decode_bmp(raw: bytes) -> np.ndarray:
 
 
 def np_png_to_gray(img: np.ndarray) -> np.ndarray:
-    """Collapse a decoded PNG to grayscale: ITU-R 601 luma for RGB(A)
-    (cv2.cvtColor BGR2GRAY uses the same weights, ocr_worker.py
-    preprocessing path), alpha dropped."""
+    """Collapse a decoded PNG to 8-bit grayscale: ITU-R 601 luma for
+    RGB(A) (cv2.cvtColor BGR2GRAY uses the same weights, ocr_worker.py
+    preprocessing path), alpha dropped; 16-bit samples scaled to 8-bit
+    by round(v/257) so 0→0 and 65535→255 exactly."""
+    if img.dtype == np.uint16:
+        img = np.rint(img / 257.0).astype(np.uint8)
     if img.ndim == 2:
         return img
     c = img.shape[2]
@@ -766,20 +899,174 @@ _TIFF_TAGS = {256: "width", 257: "height", 258: "bps", 259: "compression",
               262: "photometric", 273: "strip_offsets", 277: "spp",
               278: "rows_per_strip", 279: "strip_counts"}
 
+# TIFF 6.0 §7 Compression tag values this reader/writer speaks
+_TIFF_NONE, _TIFF_LZW, _TIFF_PACKBITS = 1, 5, 32773
+_LZW_CLEAR, _LZW_EOI = 256, 257
 
-def np_encode_tiff_gray(img: np.ndarray, big_endian: bool = False) -> bytes:
-    """Baseline TIFF 6.0 writer: single uncompressed gray strip."""
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): runs ≥2 → (257-n, byte), literals
+    → (n-1, bytes); both capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:                              # replicate run
+            out.append(256 - (j - i))
+            out.append(data[i])
+            i = j + 1
+        else:                                  # literal run
+            while (j + 1 < n and (j + 2 >= n or data[j + 1] != data[j + 2])
+                   and j - i < 127):
+                j += 1
+            out.append(j - i)
+            out += data[i:j + 1]
+            i = j + 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n == 128:                           # no-op per spec
+            continue
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal overruns input")
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("PackBits run overruns input")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError("PackBits output size mismatch")
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9-bit initial width,
+    256=Clear 257=EOI, 'early change' width bumps, clear at 4094."""
+    out_bits: list[tuple[int, int]] = []
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    out_bits.append((_LZW_CLEAR, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:      # early change (encoder)
+            width += 1
+        if next_code == 4094:                  # table nearly full
+            out_bits.append((_LZW_CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((_LZW_EOI, width))
+    acc = nb = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nb += wd
+        while nb >= 8:
+            nb -= 8
+            out.append((acc >> nb) & 0xFF)
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expect: int) -> bytes:
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < expect:
+        if pos + width > len(bits):
+            raise ValueError("LZW stream truncated")
+        code = 0
+        for b in bits[pos:pos + width].tolist():
+            code = (code << 1) | b
+        pos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):               # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by ONE entry (it appends after reading the code the
+        # encoder emitted after adding), so it widens at 2^w − 2 where
+        # the encoder widens at 2^w − 1 (libtiff convention)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError("LZW output size mismatch")
+    return bytes(out)
+
+
+def np_encode_tiff_gray(img: np.ndarray, big_endian: bool = False,
+                        compression: int = _TIFF_NONE,
+                        rows_per_strip: int | None = None) -> bytes:
+    """TIFF 6.0 writer: 8-bit gray strips, Compression 1 (none),
+    5 (LZW) or 32773 (PackBits), optional multi-strip."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
-    bo = ">" if big_endian else "<"
     e2 = lambda v: int(v).to_bytes(2, "big" if big_endian else "little")
     e4 = lambda v: int(v).to_bytes(4, "big" if big_endian else "little")
-    pix = img.tobytes()
+    rps = h if rows_per_strip is None else rows_per_strip
+    enc = {_TIFF_NONE: bytes, _TIFF_LZW: _lzw_encode,
+           _TIFF_PACKBITS: _packbits_encode}.get(compression)
+    if enc is None:
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    strips = [enc(img[r:r + rps].tobytes()) for r in range(0, h, rps)]
+    offs, at = [], 8
+    for s in strips:
+        offs.append(at)
+        at += len(s)
+    pix = b"".join(strips)
     ifd_off = 8 + len(pix)
+    ns = len(strips)
+    # >1 strip: offset/count arrays live after the IFD entries
+    arr_off = ifd_off + 2 + 9 * 12 + 4
     entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
-        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1),
-        (278, 3, 1, h), (279, 4, 1, len(pix)),
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, compression), (262, 3, 1, 1),
+        (273, 4, ns, offs[0] if ns == 1 else arr_off),
+        (277, 3, 1, 1), (278, 3, 1, rps),
+        (279, 4, ns, len(strips[0]) if ns == 1 else arr_off + 4 * ns),
     ]
     ifd = e2(len(entries))
     for tag, typ, cnt, val in entries:
@@ -787,15 +1074,19 @@ def np_encode_tiff_gray(img: np.ndarray, big_endian: bool = False) -> bytes:
         v = e4(val) if typ == 4 else e2(val) + b"\x00\x00"
         ifd += e2(tag) + e2(typ) + e4(cnt) + v
     ifd += e4(0)
+    if ns > 1:                                 # out-of-line LONG arrays
+        ifd += b"".join(e4(o) for o in offs)
+        ifd += b"".join(e4(len(s)) for s in strips)
     hdr = (b"MM\x00*" if big_endian else b"II*\x00") + e4(ifd_off)
     return hdr + pix + ifd
 
 
 def np_decode_tiff_gray(raw: bytes) -> np.ndarray:
-    """Baseline TIFF reader: uncompressed 8-bit grayscale, II/MM byte
-    orders, multi-strip, Photometric 0 (WhiteIsZero, inverted) or 1.
-    Compressed TIFF (LZW/PackBits/JPEG) raises NotImplementedError —
-    the reference decodes via cv2.imdecode (ocr_worker.py:283-308)."""
+    """TIFF reader: 8-bit grayscale, II/MM byte orders, multi-strip,
+    Compression 1 (none), 5 (LZW, §13 early-change) or 32773
+    (PackBits), Photometric 0 (WhiteIsZero, inverted) or 1. JPEG-in-
+    TIFF and other codecs raise NotImplementedError — the reference
+    decodes via cv2.imdecode (ocr_worker.py:283-308)."""
     if raw[:4] == b"II*\x00":
         end = "little"
     elif raw[:4] == b"MM\x00*":
@@ -832,14 +1123,32 @@ def np_decode_tiff_gray(raw: bytes) -> np.ndarray:
         offs, cnts = tags["strip_offsets"], tags["strip_counts"]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from None
-    if tags.get("compression", [1])[0] != 1:
+    comp = tags.get("compression", [_TIFF_NONE])[0]
+    if comp not in (_TIFF_NONE, _TIFF_LZW, _TIFF_PACKBITS):
         raise NotImplementedError(
-            f"TIFF compression {tags['compression'][0]} needs a codec "
-            "(cv2 path in the reference)"
+            f"TIFF compression {comp} needs a codec "
+            "(cv2 path in the reference; 1/5/32773 supported here)"
         )
     if tags.get("bps", [8])[0] != 8 or tags.get("spp", [1])[0] != 1:
         raise NotImplementedError("only 8-bit single-sample TIFF")
-    data = b"".join(raw[o:o + c] for o, c in zip(offs, cnts))
+    rps = tags.get("rows_per_strip", [h])[0]
+    if rps <= 0 or len(offs) != len(cnts):
+        raise ValueError("TIFF strip layout invalid")
+    parts = []
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        if o + c > len(raw):
+            raise ValueError("TIFF strip overruns file")
+        strip = raw[o:o + c]
+        # rows in THIS strip (last strip may be short)
+        srows = min(rps, h - si * rps)
+        if srows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        if comp == _TIFF_LZW:
+            strip = _lzw_decode(strip, srows * w)
+        elif comp == _TIFF_PACKBITS:
+            strip = _packbits_decode(strip, srows * w)
+        parts.append(strip)
+    data = b"".join(parts)
     if len(data) < w * h:
         raise ValueError("TIFF pixel data truncated")
     img = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)

@@ -189,11 +189,16 @@ def np_parse_avi_mjpeg(raw: bytes) -> tuple[np.ndarray, int]:
 
 
 def np_decode_video(raw: bytes, fmt: str = "RAWV") -> tuple[np.ndarray, int]:
-    """Container dispatch. MP4/WebM are the documented stub."""
+    """Container dispatch. RAWV, AVI/MJPG and MP4/'jpeg' decode for
+    real; WebM (and non-JPEG MP4 codecs) are the documented stub."""
     if fmt == "RAWV":
         return np_parse_rawv(raw)
     if fmt == "AVI":
         return np_parse_avi_mjpeg(raw)
+    if fmt == "MP4":
+        from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
+
+        return np_parse_mp4_jpeg(raw)
     raise NotImplementedError(
         f"video decode for {fmt} needs a codec library (ffmpeg/pyav), "
         "not present in this container"

@@ -43,6 +43,7 @@ _SNIFFERS = (
     (b"%PDF-", "PDF", "ocr_batch", "normal"),
     (b"BM", "BMP", "ocr_single", "normal"),
     (b"RAWV", "RAWV", "video_batch", "low"),
+    (b"OggS", "OPUS", "stt_batch", "normal"),
 )
 
 
@@ -56,6 +57,9 @@ def sniff_format(raw: bytes) -> tuple[str, str, str]:
                     return "AVI", "video_batch", "low"
                 continue  # RIFF but neither WAVE nor AVI → unknown
             return fmt, jtype, prio
+    # MP4/ISO-BMFF: the ftyp magic sits at offset 4, not 0
+    if raw[4:8] == b"ftyp":
+        return "MP4", "video_batch", "low"
     # MPEG audio has no fixed magic: ID3v2 tag or a frame sync at 0
     from streamprocess_spark.functions.mpeg_audio import looks_like_mpeg_audio
 
@@ -113,6 +117,21 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.video import np_parse_avi_mjpeg
 
             np_parse_avi_mjpeg(raw)
+        elif fmt == "MP4":
+            # full box walk + sample-table consistency; 'jpeg' tracks
+            # decode for real, other codecs NotImplementedError →
+            # dead-letter (functions/mp4.py)
+            from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
+
+            np_parse_mp4_jpeg(raw)
+        elif fmt == "OPUS":
+            # page walk + CRC + OpusHead/TOC validate every byte; PCM
+            # stays the documented stub (functions/ogg_opus.py)
+            from streamprocess_spark.functions.ogg_opus import (
+                np_probe_ogg_opus,
+            )
+
+            np_probe_ogg_opus(raw)
         return True, ""
     except (ValueError, NotImplementedError) as e:
         return False, str(e)

@@ -1048,12 +1048,28 @@ PNG_STATS_SCHEMA = T.StructType([
 @pandas_udf(T.BinaryType())
 def _synth_png_udf(doc_id: pd.Series) -> pd.Series:
     """PNG-encode the formula page (np_encode_png) — the S15 container
-    layer over the same deterministic raster _synth_image_udf emits."""
-    from streamprocess_spark.functions.image import np_encode_png
+    layer over the same deterministic raster _synth_image_udf emits.
+    Docs cycle the container variants (d % 5): sequential 8-bit, Adam7
+    8-bit, sequential 16-bit (samples ×257 so the 8-bit collapse is
+    exact), Adam7 16-bit, and paletted (color type 3 with an identity
+    gray palette, so PLTE lookup reproduces the raster) — every
+    decoder path is driver-exercised while the pixel-sum oracle stays
+    encoding-invariant."""
+    from streamprocess_spark.functions.image import (
+        np_encode_png, np_encode_png_indexed,
+    )
+
+    _gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
 
     def enc(d: int) -> bytes:
         raw, w, h = _np_synth_image(int(d))
-        return np_encode_png(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        v = d % 5
+        if v == 4:
+            return np_encode_png_indexed(img, _gray_pal)
+        if v >= 2:
+            img = img.astype(np.uint16) * 257
+        return np_encode_png(img, interlace=bool(v % 2))
 
     return doc_id.apply(enc)
 
@@ -1062,15 +1078,18 @@ def _synth_png_udf(doc_id: pd.Series) -> pd.Series:
 def _png_stats_udf(png: pd.Series) -> pd.DataFrame:
     """Real PNG decode (zlib inflate + scanline unfilter): dims parsed
     from the container's own IHDR, exact pixel sum over the raster."""
-    from streamprocess_spark.functions.image import np_decode_png
+    from streamprocess_spark.functions.image import (
+        np_decode_png, np_png_to_gray,
+    )
 
     rows = []
     for raw in png:
         img = np_decode_png(raw)
+        gray = np_png_to_gray(img)           # 16-bit → exact /257 collapse
         rows.append({
-            "png_w": int(img.shape[1]),
-            "png_h": int(img.shape[0]),
-            "px_sum": int(img.astype(np.int64).sum()),
+            "png_w": int(gray.shape[1]),
+            "png_h": int(gray.shape[0]),
+            "px_sum": int(gray.astype(np.int64).sum()),
         })
     return pd.DataFrame(rows)
 
@@ -1098,11 +1117,13 @@ def _png_stats_udf(png: pd.Series) -> pd.DataFrame:
     doc="PNG container ingest (S15): pages are encoded as real PNGs "
         "(np_encode_png) and decoded by the dependency-free zlib+NumPy "
         "PNG reader (np_decode_png — IHDR parse, inflate, all 5 "
-        "scanline filters); dims come from the parsed header and the "
-        "exact pixel sum proves bit-identical decode against the "
-        "synthesis formula (the reference decodes PNG via cv2.imdecode, "
-        "ocr_worker.py:283-308). Scale: map-only per-row transform, "
-        "zero shuffles.",
+        "scanline filters, 8/16-bit depths, Adam7 interlace, paletted "
+        "color type 3; fixtures cycle all five variants per doc_id%5); "
+        "dims "
+        "come from the parsed header and the exact pixel sum proves "
+        "bit-identical decode against the synthesis formula (the "
+        "reference decodes PNG via cv2.imdecode, ocr_worker.py:"
+        "283-308). Scale: map-only per-row transform, zero shuffles.",
 )
 def q92_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1770,6 +1791,108 @@ def q130_mpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q132: Ogg/Opus container probe (S15) — page-walk + TOC oracle
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_opus_udf(doc_id: pd.Series) -> pd.Series:
+    """Opus-in-Ogg fixtures cycling the TOC space: config walks
+    SILK/Hybrid/CELT rows (1, 14, 19 → 20/10/20 ms frames), mono and
+    stereo alternate, frame-count codes 0 and 3, varying packet
+    counts; every 5th doc uses payloads long enough to force 255-
+    lacing chains."""
+    from streamprocess_spark.functions.ogg_opus import np_build_ogg_opus
+
+    def synth(d: int) -> bytes:
+        return np_build_ogg_opus(
+            n_packets=6 + d % 5,
+            config=[1, 14, 19][d % 3],
+            channels=1 + d % 2,
+            frames_per_packet=1 if d % 4 < 2 else 2,
+            payload_bytes=700 if d % 5 == 0 else 40,
+            seed=d,
+        )
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+_OPUS_PROBE_SCHEMA = T.StructType([
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pre_skip", T.IntegerType()),
+    T.StructField("n_packets", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("toc_duration_ms", T.LongType()),
+    T.StructField("modes", T.StringType()),
+])
+
+
+@pandas_udf(_OPUS_PROBE_SCHEMA)
+def _opus_probe_udf(raw: pd.Series) -> pd.DataFrame:
+    from streamprocess_spark.functions.ogg_opus import np_probe_ogg_opus
+
+    rows = []
+    for b in raw:
+        p = np_probe_ogg_opus(bytes(b))
+        rows.append({
+            "channels": p["channels"], "pre_skip": p["pre_skip"],
+            "n_packets": p["n_packets"], "duration_ms": p["duration_ms"],
+            "toc_duration_ms": p["toc_duration_ms"], "modes": p["modes"],
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q132_opus_probe",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               6 + doc_id % 5 AS np,
+               [20, 10, 20][(doc_id % 3) + 1] AS frame_ms,
+               CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END AS fpp,
+               ['SILK', 'HYBRID', 'CELT'][(doc_id % 3) + 1] AS mode
+        FROM documents
+    )
+    SELECT doc_id,
+           cast(1 + doc_id % 2 AS INT) AS channels,
+           cast(312 AS INT) AS pre_skip,
+           cast(np AS INT) AS n_packets,
+           cast(np * fpp * frame_ms AS BIGINT) AS duration_ms,
+           cast(np * fpp * frame_ms AS BIGINT) AS toc_duration_ms,
+           mode AS modes
+    FROM m
+    """,
+    covers=("S15",),
+    doc="Ogg/Opus container probe (S15 OPUS residue, the documented "
+        "subset): RFC 3533 page walk with per-page Ogg CRC-32 "
+        "verification, lacing reassembly incl. 255-chains, RFC 7845 "
+        "OpusHead parse, and RFC 6716 TOC arithmetic giving TWO "
+        "independent duration clocks (granule position vs per-packet "
+        "TOC sum) that the oracle recomputes from the fixture "
+        "formulas. SILK/CELT PCM stays the documented "
+        "NotImplementedError (normative codebook tables — "
+        "functions/ogg_opus.py docstring; reference decodes via "
+        "soundfile, stt_worker.py:381-394). Scale: map-only parsing.",
+)
+def q132_opus_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("ogg", _synth_opus_udf(F.col("doc_id")))
+        .withColumn("p", _opus_probe_udf(F.col("ogg")))
+        .select(
+            "doc_id",
+            F.col("p.channels").alias("channels"),
+            F.col("p.pre_skip").alias("pre_skip"),
+            F.col("p.n_packets").alias("n_packets"),
+            F.col("p.duration_ms").alias("duration_ms"),
+            F.col("p.toc_duration_ms").alias("toc_duration_ms"),
+            F.col("p.modes").alias("modes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q131: AVI/MJPEG video ingest (S15) — real container, per-frame oracle
 # ---------------------------------------------------------------------------
 
@@ -1845,6 +1968,114 @@ def q131_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NULL-free columns hash identically across engines
             F.coalesce(F.col("f.motion"), F.lit(-1)).cast("long")
             .alias("motion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: MP4 (ISO BMFF) video ingest (S15) — real container, per-frame oracle
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_mp4_udf(doc_id: pd.Series) -> pd.Series:
+    """Real MP4s: the same DC-exact MJPEG frame family q131 uses,
+    wrapped in a spec-valid ISO-BMFF container ('jpeg' sample entry,
+    full stts/stsc/stsz/stco tables) instead of RIFF/AVI — the two
+    container paths share one oracle formula."""
+    from streamprocess_spark.functions.jpeg import np_encode_jpeg_gray
+    from streamprocess_spark.functions.mp4 import np_build_mp4_mjpeg
+
+    def synth(d: int) -> bytes:
+        nf = 3 + d % 4
+        frames = []
+        for k in range(nf):
+            vals = np.empty(24, dtype=np.uint8)       # 6x4 blocks, 48x32
+            for b in range(24):
+                vals[b] = 128 + 2 * ((d * 17 + k * 5 + b) % 57 - 28)
+            img = np.repeat(
+                np.repeat(vals.reshape(4, 6), 8, axis=0), 8, axis=1
+            )
+            frames.append(np_encode_jpeg_gray(img, quality=50))
+        return np_build_mp4_mjpeg(frames, 48, 32, fps=10)
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+_MP4_META_SCHEMA = T.StructType([
+    T.StructField("codec", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+@pandas_udf(_MP4_META_SCHEMA)
+def _mp4_meta_udf(raw: pd.Series) -> pd.DataFrame:
+    from streamprocess_spark.functions.mp4 import np_probe_mp4
+
+    rows = []
+    for b in raw:
+        p = np_probe_mp4(bytes(b))
+        t = p["tracks"][0]
+        rows.append({
+            "codec": t["codec"], "n_samples": t["n_samples"],
+            "duration_ms": t["duration_ms"],
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q133_mp4_frames",
+    oracle="""
+    WITH fr AS (
+        SELECT d.doc_id, t.k AS frame_idx,
+               (SELECT sum(128 + 2 * ((d.doc_id * 17 + t.k * 5 + u.b) % 57
+                                      - 28)) * 64
+                FROM range(0, 24) u(b)) AS luma_sum
+        FROM documents d, range(0, 7) t(k)
+        WHERE t.k < 3 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           'jpeg' AS codec,
+           cast((3 + doc_id % 4) * 100 AS BIGINT) AS duration_ms,
+           cast(frame_idx AS INT) AS frame_idx,
+           cast(luma_sum AS BIGINT) AS luma_sum
+    FROM fr
+    """,
+    covers=("S15",),
+    doc="Real MP4 end-to-end (the round-3 stretch ask, upgraded from "
+        "probe to decode): spec-valid ISO 14496-12 containers walked "
+        "box-by-box (functions/mp4.py — ftyp/moov/mvhd/trak/mdia/"
+        "stbl, full stts/stsc/stsz/stco sample-table resolution with "
+        "bounds cross-checks), the 'jpeg' video track demuxed to its "
+        "sample byte-ranges and every frame decoded by the repo's own "
+        "baseline JPEG codec; probe metadata (codec, exact duration "
+        "from the sample tables) and per-frame luma sums both "
+        "oracle-checked. H.264/VP9/HEVC stay the documented "
+        "NotImplementedError at the sample-decode boundary. "
+        "Scale: per-row demux inside the scan partition — zero "
+        "shuffle.",
+)
+def q133_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.video import sample_frames_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sample = sample_frames_udf(step=1, fmt="MP4")
+    return (
+        docs.select("doc_id")
+        .withColumn("mp4", _synth_mp4_udf(F.col("doc_id")))
+        .withColumn("m", _mp4_meta_udf(F.col("mp4")))
+        .withColumn("fr", sample(F.col("mp4")))
+        .select(
+            "doc_id",
+            F.col("m.codec").alias("codec"),
+            F.col("m.duration_ms").alias("duration_ms"),
+            F.posexplode("fr").alias("i", "f"),
+        )
+        .select(
+            "doc_id", "codec", "duration_ms",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.luma_sum").alias("luma_sum"),
         )
     )
 
@@ -1946,10 +2177,17 @@ def _np_synth_doc_page(d: int) -> np.ndarray:
 def _synth_tiff_udf(doc_id: pd.Series) -> pd.Series:
     from streamprocess_spark.functions.image import np_encode_tiff_gray
 
-    # alternate byte orders so both decoder paths stay exercised
+    # alternate byte orders (d%2) AND Compression none/LZW/PackBits
+    # (d%3), with multi-strip layouts every 5th doc — every TIFF
+    # decoder path stays driver-exercised; the pixel-sum oracle is
+    # encoding-invariant
     return doc_id.apply(
-        lambda d: np_encode_tiff_gray(_np_synth_doc_page(int(d)),
-                                      big_endian=bool(int(d) % 2))
+        lambda d: np_encode_tiff_gray(
+            _np_synth_doc_page(int(d)),
+            big_endian=bool(int(d) % 2),
+            compression=[1, 5, 32773][int(d) % 3],
+            rows_per_strip=16 if int(d) % 5 == 0 else None,
+        )
     )
 
 
@@ -2018,7 +2256,9 @@ def _pdf_stats_udf(raw: pd.Series) -> pd.DataFrame:
     covers=("S15", "S3"),
     doc="Scanned-document container ingest (S15): the same formula "
         "page travels as (a) real TIFF — from-scratch IFD writer/"
-        "reader, alternating little/big byte orders per doc — and "
+        "reader, alternating little/big byte orders, cycling "
+        "Compression 1/5(LZW)/32773(PackBits) and multi-strip "
+        "layouts per doc — and "
         "(b) real single-page PDF with the page as an image XObject "
         "(functions/pdf.py), alternating lossless /FlateDecode with "
         "/DCTDecode routed through the repo's own baseline JPEG "

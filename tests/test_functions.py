@@ -295,20 +295,84 @@ class TestPngCodec:
             struct.pack_into("<I", bad, 14 + 16, 1)  # BI_RLE8
             I.np_decode_bmp(bytes(bad))
 
-    def test_unsupported_pngs_rejected(self):
-        import struct
+    def test_16bit_and_adam7_roundtrip(self):
+        """PNG 16-bit samples and Adam7 interlace — including tiny
+        images where some of the seven passes are empty."""
+        rng = np.random.default_rng(5)
+        for shape, dtype in (((23, 37), np.uint16), ((16, 16, 3), np.uint16),
+                             ((23, 37), np.uint8), ((9, 5, 3), np.uint8),
+                             ((1, 1), np.uint8), ((2, 3), np.uint16),
+                             ((5, 1), np.uint8)):
+            img = rng.integers(0, np.iinfo(dtype).max + 1, shape).astype(dtype)
+            for inter in (False, True):
+                back = I.np_decode_png(I.np_encode_png(img, interlace=inter))
+                assert back.dtype == img.dtype, (shape, dtype, inter)
+                assert np.array_equal(back, img), (shape, dtype, inter)
 
+    def test_16bit_collapses_to_gray8(self):
+        img = np.array([[0, 257, 65535]], dtype=np.uint16)
+        assert np.array_equal(I.np_png_to_gray(img), [[0, 1, 255]])
+        out = I.decode_image(I.np_encode_png(img), 3, 1, fmt="PNG")
+        assert out.dtype == np.uint8 and np.array_equal(out, [[0, 1, 255]])
+
+    def test_paletted_and_subbyte_depths(self):
+        """Color type 3 (PLTE lookup → RGB) at depths 1/2/4/8 with
+        row bit-padding, and 1/2/4-bit grayscale scaled to 8-bit."""
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(4)
+        for depth, w in ((1, 7), (2, 5), (4, 3), (8, 29)):
+            n = 1 << depth
+            pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+            idx = rng.integers(0, n, (5, w)).astype(np.uint8)
+            enc = I.np_encode_png_indexed(idx, pal, depth)
+            assert np.array_equal(I.np_decode_png(enc), pal[idx]), depth
+        # paletted stream with its PLTE stripped → clean rejection
+        raw = bytearray(I.np_encode_png_indexed(
+            np.zeros((2, 2), np.uint8), np.zeros((2, 3), np.uint8)))
+        at = bytes(raw).index(b"PLTE") - 4
+        size = int.from_bytes(raw[at:at + 4], "big")
+        del raw[at:at + 12 + size]
+        with pytest.raises(ValueError, match="PLTE"):
+            I.np_decode_png(bytes(raw))
+        # sub-byte GRAYSCALE (type 0): samples scale to 8-bit exactly
+        for depth in (1, 2, 4):
+            vals = rng.integers(0, 1 << depth, (4, 9)).astype(np.uint8)
+            bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1) \
+                .reshape(4, 9 * depth).astype(np.uint8)
+            rows = np.packbits(bits, axis=1)
+            data = np.concatenate(
+                [np.zeros((4, 1), np.uint8), rows], axis=1).tobytes()
+            png = (I._PNG_SIG
+                   + I._png_chunk(b"IHDR",
+                                  struct.pack(">IIBBBBB", 9, 4, depth, 0, 0, 0, 0))
+                   + I._png_chunk(b"IDAT", zlib.compress(data))
+                   + I._png_chunk(b"IEND", b""))
+            want = vals * (255 // ((1 << depth) - 1))
+            assert np.array_equal(I.np_decode_png(png), want), depth
+
+    def test_unsupported_pngs_rejected(self):
         img = _block_image()
         raw = bytearray(I.np_encode_png(img))
         # IHDR body starts at 8 (sig) + 8 (len+tag); depth byte at +8
         ihdr_off = 16
-        raw16 = raw.copy()
-        raw16[ihdr_off + 8] = 16
+        raw4 = raw.copy()
+        raw4[ihdr_off + 8] = 3           # depth 3: invalid per spec
         with pytest.raises(NotImplementedError, match="depth"):
-            I.np_decode_png(bytes(raw16))
+            I.np_decode_png(bytes(raw4))
+        rawp = raw.copy()
+        rawp[ihdr_off + 9] = 5           # undefined color type
+        with pytest.raises(NotImplementedError, match="color type"):
+            I.np_decode_png(bytes(rawp))
+        raw3 = raw.copy()
+        raw3[ihdr_off + 9] = 3           # paletted but no PLTE chunk
+        with pytest.raises(ValueError, match="PLTE"):
+            I.np_decode_png(bytes(raw3))
+        # lying interlace flag on sequential data → size mismatch
         rawi = raw.copy()
-        rawi[ihdr_off + 12] = 1          # interlace flag
-        with pytest.raises(NotImplementedError, match="interlaced"):
+        rawi[ihdr_off + 12] = 1
+        with pytest.raises(ValueError):
             I.np_decode_png(bytes(rawi))
         with pytest.raises(ValueError, match="signature"):
             I.np_decode_png(b"\x89PNG")
@@ -558,6 +622,10 @@ class TestVideo:
         with pytest.raises(ValueError, match="magic"):
             V.np_parse_rawv(b"XXXX" + raw[4:])
         with pytest.raises(NotImplementedError):
+            V.np_decode_video(raw, fmt="WEBM")
+        # MP4 is real now (functions/mp4.py): a RAWV payload under the
+        # MP4 path is a clean ValueError, not a stub error
+        with pytest.raises(ValueError, match="ftyp"):
             V.np_decode_video(raw, fmt="MP4")
 
     # -- AVI / MJPEG container -----------------------------------------
@@ -687,6 +755,157 @@ class TestMpegAudio:
         assert sniff_format(avi) == ("AVI", "video_batch", "low")
         assert make_envelope(avi)["type"] == "video_batch"
         assert make_envelope(avi[:40])["type"] == "corrupt_media"
+
+
+# ----------------------------------------- Ogg/Opus container (S15)
+
+
+class TestOggOpus:
+    """RFC 3533/7845/6716 container prober (functions/ogg_opus.py):
+    page CRC walk, lacing reassembly, OpusHead, TOC duration clocks,
+    totality. PCM decode is the documented stub (module docstring)."""
+
+    def test_probe_modes_and_durations(self):
+        from streamprocess_spark.functions import ogg_opus as O
+
+        for cfg, mode, us in ((1, "SILK", 20000), (14, "HYBRID", 10000),
+                              (19, "CELT", 20000), (16, "CELT", 2500)):
+            for fpp in (1, 3):
+                raw = O.np_build_ogg_opus(
+                    7, config=cfg, channels=2, frames_per_packet=fpp,
+                    seed=cfg,
+                )
+                p = O.np_probe_ogg_opus(raw)
+                assert p["channels"] == 2 and p["n_packets"] == 7
+                want = 7 * fpp * us // 1000
+                # granule clock and TOC clock agree independently
+                assert p["duration_ms"] == want == p["toc_duration_ms"]
+                assert p["modes"] == mode
+
+    def test_255_lacing_chains(self):
+        from streamprocess_spark.functions import ogg_opus as O
+
+        # 700-byte packets need 255+255+190 lacing; exactly 255 needs
+        # the 0-length terminator segment
+        for payload in (700, 254, 509):
+            raw = O.np_build_ogg_opus(3, payload_bytes=payload, seed=1)
+            assert O.np_probe_ogg_opus(raw)["n_packets"] == 3
+
+    def test_crc_is_ogg_not_zlib(self):
+        import zlib
+
+        from streamprocess_spark.functions import ogg_opus as O
+
+        assert O._ogg_crc(b"OggS") != zlib.crc32(b"OggS")
+        # flipping any byte breaks that page's CRC → ValueError
+        raw = O.np_build_ogg_opus(4, seed=3)
+        for i in range(0, len(raw), 31):
+            bad = bytearray(raw)
+            bad[i] ^= 0xFF
+            with pytest.raises(ValueError):
+                O.np_probe_ogg_opus(bytes(bad))
+
+    def test_structural_rejections(self):
+        from streamprocess_spark.functions import ogg_opus as O
+
+        raw = O.np_build_ogg_opus(4, seed=9)
+        with pytest.raises(ValueError, match="capture pattern"):
+            O.np_probe_ogg_opus(b"Oggs" + raw[4:])
+        for k in range(0, len(raw), 13):
+            with pytest.raises(ValueError):
+                O.np_probe_ogg_opus(raw[:k])
+        # stream whose first packet is not OpusHead
+        head_at = raw.index(b"OpusHead")
+        vorbis = bytearray(raw)
+        vorbis[head_at:head_at + 8] = b"\x01vorbis\x00"
+        with pytest.raises(ValueError):
+            O.np_probe_ogg_opus(bytes(vorbis))
+
+    def test_pcm_decode_stays_documented_stub(self):
+        from streamprocess_spark.functions import audio as A2
+
+        with pytest.raises(NotImplementedError, match="ogg_opus"):
+            A2.np_decode_audio(b"OggS" + b"\x00" * 30, "OPUS")
+
+    def test_ingest_sniffs_and_routes_opus(self):
+        from streamprocess_spark.functions import ogg_opus as O
+        from streamprocess_spark.io.ingest import make_envelope, sniff_format
+
+        ogg = O.np_build_ogg_opus(5, seed=11)
+        assert sniff_format(ogg) == ("OPUS", "stt_batch", "normal")
+        assert make_envelope(ogg)["type"] == "stt_batch"
+        assert make_envelope(ogg[:-9])["type"] == "corrupt_media"
+
+
+# -------------------------------------------------- MP4 container (S15)
+
+
+class TestMp4:
+    """ISO 14496-12 box walk + sample tables (functions/mp4.py), with
+    real decode of 'jpeg' sample entries through the repo's JPEG
+    codec; other codecs stay the documented stub."""
+
+    def _mp4(self, nf=4, w=48, h=32, fps=10):
+        from streamprocess_spark.functions import mp4 as M4
+
+        imgs = [np.full((h, w), 120 + 4 * k, np.uint8) for k in range(nf)]
+        frames = [J.np_encode_jpeg_gray(i, quality=50) for i in imgs]
+        return M4.np_build_mp4_mjpeg(frames, w, h, fps=fps), imgs, frames
+
+    def test_probe_and_sample_tables(self):
+        from streamprocess_spark.functions import mp4 as M4
+
+        raw, _, frames = self._mp4(nf=5, fps=25)
+        p = M4.np_probe_mp4(raw)
+        assert p["brand"] == "isom" and p["n_tracks"] == 1
+        t = p["tracks"][0]
+        assert (t["handler"], t["codec"]) == ("vide", "jpeg")
+        assert t["n_samples"] == 5 and t["duration_ms"] == 5 * 1000 // 25
+        assert t["width"] == 48 and t["height"] == 32
+        assert t["total_bytes"] == sum(len(f) for f in frames)
+
+    def test_demux_decode_bit_exact(self):
+        from streamprocess_spark.functions import mp4 as M4
+
+        raw, imgs, frames = self._mp4()
+        payloads, _ = M4.np_demux_mp4_jpeg(raw)
+        assert payloads == frames            # byte-exact sample ranges
+        decoded, fps = M4.np_parse_mp4_jpeg(raw)
+        assert fps == 10
+        for k, img in enumerate(imgs):       # DC-exact constant frames
+            assert np.array_equal(decoded[k], img), k
+
+    def test_totality_and_consistency(self):
+        from streamprocess_spark.functions import mp4 as M4
+
+        raw, _, _ = self._mp4()
+        for k in range(0, len(raw), 17):
+            with pytest.raises((ValueError, NotImplementedError)):
+                M4.np_parse_mp4_jpeg(raw[:k])
+        # stts/stsz disagreement is caught
+        bad = bytearray(raw)
+        at = raw.index(b"stts") + 4 + 4 + 4  # sample_count field
+        bad[at:at + 4] = (99).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="disagree|duration"):
+            M4.np_probe_mp4(bytes(bad))
+
+    def test_non_jpeg_codec_is_documented_stub(self):
+        from streamprocess_spark.functions import mp4 as M4
+
+        raw, _, _ = self._mp4()
+        mut = bytearray(raw)
+        at = raw.index(b"jpeg")
+        mut[at:at + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            M4.np_demux_mp4_jpeg(bytes(mut))
+
+    def test_ingest_sniffs_and_routes_mp4(self):
+        from streamprocess_spark.io.ingest import make_envelope, sniff_format
+
+        raw, _, _ = self._mp4()
+        assert sniff_format(raw) == ("MP4", "video_batch", "low")
+        assert make_envelope(raw)["type"] == "video_batch"
+        assert make_envelope(raw[:-25])["type"] == "corrupt_media"
 
 
 # ------------------------------------------------------- ops listener
@@ -1083,13 +1302,52 @@ class TestTiffPdf:
         out = I.np_decode_tiff_gray(bytes(raw))
         assert np.array_equal(out, 255 - img)
 
+    def test_tiff_compressed_roundtrips(self):
+        """Compression 5 (LZW) and 32773 (PackBits), both byte orders,
+        single- and multi-strip (incl. short last strip)."""
+        rng = np.random.default_rng(17)
+        # low-entropy page (runs) + high-entropy noise
+        page = np.full((23, 37), 255, dtype=np.uint8)
+        page[4:9, 3:30] = 0
+        noise = rng.integers(0, 256, (23, 37)).astype(np.uint8)
+        for img in (page, noise):
+            for comp in (5, 32773):
+                for be in (False, True):
+                    for rps in (None, 7, 1):
+                        raw = I.np_encode_tiff_gray(
+                            img, big_endian=be, compression=comp,
+                            rows_per_strip=rps,
+                        )
+                        assert np.array_equal(I.np_decode_tiff_gray(raw), img)
+        # compressible input actually shrinks (LZW earns its keep)
+        flat = I.np_encode_tiff_gray(page, compression=5)
+        assert len(flat) < page.size
+
+    def test_lzw_packbits_totality(self):
+        """Truncated/garbage compressed strips dead-letter as
+        ValueError, never IndexError (ingest totality contract)."""
+        data = bytes(np.random.default_rng(3).integers(0, 7, 500, dtype=np.uint8))
+        enc = I._lzw_encode(data)
+        for k in (0, 1, len(enc) // 2):
+            with pytest.raises(ValueError):
+                I._lzw_decode(enc[:k], len(data))
+        with pytest.raises(ValueError):
+            I._packbits_decode(I._packbits_encode(data)[:-2], len(data))
+        raw = I.np_encode_tiff_gray(
+            np.zeros((16, 16), np.uint8), compression=5)
+        for k in range(10, len(raw), 13):
+            try:
+                I.np_decode_tiff_gray(raw[:k])
+            except (ValueError, NotImplementedError):
+                pass                     # only clean rejections allowed
+
     def test_tiff_rejections(self):
         img = self._img(8, 8)
         with pytest.raises(ValueError, match="TIFF"):
             I.np_decode_tiff_gray(b"II+\x00garbage")
         raw = bytearray(I.np_encode_tiff_gray(img))
         at = raw.rfind((259).to_bytes(2, "little"))  # compression tag
-        raw[at + 8] = 5                               # LZW
+        raw[at + 8] = 7                               # JPEG-in-TIFF
         with pytest.raises(NotImplementedError, match="compression"):
             I.np_decode_tiff_gray(bytes(raw))
         with pytest.raises(ValueError):
