@@ -1,28 +1,39 @@
-"""Baseline JPEG codec (SURVEY §2.1 S15), dependency-free NumPy.
+"""JPEG codec (SURVEY §2.1 S15), dependency-free NumPy — baseline
+(SOF0) AND progressive (SOF2).
 
 The reference accepts JPEG scans on the OCR path and decodes via
 cv2.imdecode (src/workers/ocr_worker.py:283-308). No codec library is
-present in this container, so this implements the baseline sequential
-DCT process from scratch (ITU-T T.81):
+present in this container, so this implements the DCT processes from
+scratch (ITU-T T.81):
 
-  decoder — 8-bit baseline, grayscale AND color:
-    - marker walk (APPn/COM skip, DQT multi-table, DHT multi-table,
-      SOF0, SOS, DRI/RSTn restart-interval support, EOI), with
-      short-segment totality (every malformed stream raises ValueError
-      so the ingest dead-letter boundary holds)
+  decoder — 8-bit baseline and progressive, grayscale AND color:
+    - marker walk (APPn/COM skip, fill bytes, DQT/DHT multi-table,
+      SOF0/SOF2, multiple SOS, DRI/RSTn restart-interval support,
+      EOI), with short-segment totality (every malformed stream raises
+      ValueError so the ingest dead-letter boundary holds)
     - canonical Huffman reconstruction from BITS/HUFFVAL
     - entropy decode with 0xFF00 unstuffing, DC prediction,
       receive/extend, dequantize, dezigzag, float IDCT, level shift
     - 3-component YCbCr with any (h,v) sampling in {1,2} — 4:4:4,
-      4:2:0, 4:2:2 — single interleaved scan, per-component DC
-      predictors, chroma upsampling by replication, BT.601 YCbCr→RGB
-    - progressive/extended processes and 4-component (CMYK) streams
-      rejected with documented NotImplementedError
+      4:2:0, 4:2:2 — interleaved and non-interleaved scans,
+      per-component DC predictors, chroma upsampling by replication,
+      BT.601 YCbCr→RGB
+    - the full T.81 Annex G progressive repertoire: multi-scan
+      coefficient accumulation, spectral selection, successive
+      approximation (DC and AC first + refinement passes), EOBRUN
+    - extended-sequential/lossless/arithmetic processes and
+      4-component (CMYK) streams rejected with documented
+      NotImplementedError
 
   encoder — baseline grayscale and color with the T.81 Annex K
     luminance/chrominance quantization tables (libjpeg quality
     scaling) and Annex K standard Huffman tables; 4:4:4 and 4:2:0
-    subsampling (2x2 box chroma downsample). Used by fixtures and the
+    subsampling (2x2 box chroma downsample); plus progressive
+    variants (np_encode_jpeg_gray_progressive / _ycbcr_progressive)
+    emitting a 6+-scan spectral-selection + successive-approximation
+    script with per-scan derived Huffman tables — the same quantized
+    coefficients as baseline, so decode output is bit-identical and
+    fixtures keep their closed-form oracles. Used by fixtures and the
     ingestion edge. The color encoder shares one DHT pair across
     components (spec-legal; the decoder reads whatever tables the
     stream declares, so external JPEGs with separate chroma tables
@@ -448,30 +459,496 @@ def np_encode_jpeg_color(rgb: np.ndarray, quality: int = 50,
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G) — fixtures for the SOF2 decoder
+# ---------------------------------------------------------------------------
+
+
+def _flat_table(symbols: set[int]) -> tuple[list[int], list[int], dict]:
+    """A valid (suboptimal) Huffman table with every symbol at one
+    length L chosen so n < 2^L — the all-ones codeword stays unused,
+    as T.81 requires for padding safety."""
+    vals = sorted(symbols)
+    n = max(1, len(vals))
+    length = 2
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    enc, _dec = _canonical_codes(bits, vals)
+    return bits, vals, enc
+
+
+class _ScanOps:
+    """Token buffer for one scan: Huffman symbols + raw bit runs.
+    Symbols are collected first so the scan's DHT can be derived,
+    then the whole scan serializes through one _StuffWriter."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple[str, int, int]] = []
+        self.symbols: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("sym", s, 0))
+        self.symbols.add(s)
+
+    def bits(self, value: int, n: int) -> None:
+        if n:
+            self.ops.append(("bits", value, n))
+
+    def serialize(self, enc: dict[int, tuple[int, int]]) -> bytes:
+        bw = _StuffWriter()
+        for kind, v, n in self.ops:
+            if kind == "sym":
+                code, ln = enc[v]
+                bw.write(code, ln)
+            else:
+                bw.write(v, n)
+        return bw.flush()
+
+
+def _dc_first_ops(grids: list[np.ndarray], samps: list[tuple[int, int]],
+                  al: int, mcux: int, mcuy: int) -> _ScanOps:
+    """Interleaved DC first pass: diffs of (dc >> al), G.1.2.1."""
+    ops = _ScanOps()
+    preds = [0] * len(grids)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = abs(diff).bit_length()
+                        ops.sym(s)
+                        ops.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return ops
+
+
+def _dc_refine_ops(grids: list[np.ndarray], samps: list[tuple[int, int]],
+                   al: int, mcux: int, mcuy: int) -> _ScanOps:
+    """Interleaved DC refinement: one raw magnitude bit per block."""
+    ops = _ScanOps()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[ci][my * vs + by, mx * hs + bx, 0])
+                        ops.bits((v >> al) & 1, 1)
+    return ops
+
+
+def _ac_first_ops(grid: np.ndarray, ss: int, se: int, al: int) -> _ScanOps:
+    """Single-component AC first pass with EOBRUN (G.1.2.2)."""
+    ops = _ScanOps()
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            ops.sym(rr << 4)
+            ops.bits(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for blk in grid.reshape(-1, 64):
+        band = blk[ss:se + 1]
+        tvals = [int(v) >> al if v >= 0 else -((-int(v)) >> al)
+                 for v in band]
+        nz = [i for i, t in enumerate(tvals) if t != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        prev = -1
+        for i in nz:
+            run = i - prev - 1
+            prev = i
+            while run > 15:
+                ops.sym(0xF0)                          # ZRL
+                run -= 16
+            t = tvals[i]
+            s = abs(t).bit_length()
+            ops.sym((run << 4) | s)
+            ops.bits(t if t > 0 else t + (1 << s) - 1, s)
+        if nz[-1] < se - ss:
+            eobrun = 1                                 # this block's EOB
+    flush()
+    return ops
+
+
+def _ac_refine_ops(grid: np.ndarray, ss: int, se: int, al: int) -> _ScanOps:
+    """Single-component AC refinement (G.1.2.3): newly-significant
+    coefficients as (run,1) symbols, correction bits for the already-
+    significant ones buffered and emitted after the covering symbol."""
+    ops = _ScanOps()
+    ah = al + 1
+    eobrun = 0
+    be: list[int] = []                                 # bits pending w/ EOBn
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            ops.sym(rr << 4)
+            ops.bits(eobrun - (1 << rr), rr)
+            for b in be:
+                ops.bits(b, 1)
+            be.clear()
+            eobrun = 0
+
+    for blk in grid.reshape(-1, 64):
+        band = [int(v) for v in blk[ss:se + 1]]
+        run = 0
+        br: list[int] = []                             # bits pending in-block
+        for v in band:
+            mag = abs(v)
+            t = mag >> al
+            if t == 0:
+                run += 1
+                continue
+            if mag >> ah:                              # already significant
+                br.append(t & 1)
+                continue
+            # newly significant: t must be 1 at this precision
+            flush()
+            while run > 15:
+                ops.sym(0xF0)
+                for b in br:
+                    ops.bits(b, 1)
+                br.clear()
+                run -= 16
+            ops.sym((run << 4) | 1)
+            ops.bits(1 if v > 0 else 0, 1)             # sign
+            for b in br:
+                ops.bits(b, 1)
+            br.clear()
+            run = 0
+        if run > 0 or br:                              # trailing → EOB run
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return ops
+
+
+def _emit_progressive(out: bytearray, grids: list[np.ndarray],
+                      samps: list[tuple[int, int]],
+                      mcux: int, mcuy: int) -> None:
+    """Append the scan script: DC first (Al=1) → DC refine → per
+    component AC 1..5 and 6..63 at Al=1 → their refinements. Every
+    scan carries its own derived DHT."""
+    ncomp = len(grids)
+    ids = list(range(1, ncomp + 1))
+
+    def sos(comp_tabs: list[tuple[int, int, int]],
+            ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_tabs)])
+        for cid, td, ta in comp_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1, interleaved, DC table 0
+    ops = _dc_first_ops(grids, samps, 1, mcux, mcuy)
+    bits, vals, enc = _flat_table(ops.symbols)
+    out += _seg(0xC4, b"\x00" + bytes(bits) + bytes(vals))
+    out += sos([(i, 0, 0) for i in ids], 0, 0, 0, 1)
+    out += ops.serialize(enc)
+    # scan 2: DC refinement to Al=0 (no Huffman symbols)
+    ops = _dc_refine_ops(grids, samps, 0, mcux, mcuy)
+    out += sos([(i, 0, 0) for i in ids], 0, 0, 1, 0)
+    out += ops.serialize({})
+    # AC scans per component, two spectral bands, Al=1 then refine
+    for band in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            for ah in (0, 1):                          # first, then refine
+                fn = _ac_first_ops if ah == 0 else _ac_refine_ops
+                ops = fn(grids[ci], band[0], band[1], 1 - ah)
+                bits, vals, enc = _flat_table(ops.symbols)
+                out += _seg(0xC4, b"\x10" + bytes(bits) + bytes(vals))
+                out += sos([(ids[ci], 0, 0)], band[0], band[1],
+                           ah, 1 - ah)
+                out += ops.serialize(enc)
+
+
+def np_encode_jpeg_gray_progressive(img: np.ndarray,
+                                    quality: int = 50) -> bytes:
+    """Progressive (SOF2) grayscale encoder: same quantized
+    coefficients as np_encode_jpeg_gray, delivered through a 6-scan
+    spectral-selection + successive-approximation script — so decode
+    output is bit-identical to the baseline encoding's."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    qt = quality_qtable(quality)
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + qt.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01" \
+        + b"\x01\x11\x00"
+    out += _seg(0xC2, sof)                             # SOF2
+    grid = _quant_blocks(padded, qt).reshape(ph // 8, pw // 8, 64)
+    _emit_progressive(out, [grid], [(1, 1)], pw // 8, ph // 8)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def np_encode_jpeg_ycbcr_progressive(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+    quality: int = 50, subsample: str = "420",
+) -> bytes:
+    """Progressive (SOF2) color encoder: the np_encode_jpeg_ycbcr
+    pipeline (same quant tables, sampling, padding) with the
+    progressive scan script — decode matches the baseline encoding
+    bit-for-bit."""
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if cb.shape != (h, w) or cr.shape != (h, w):
+        raise ValueError("YCbCr planes must share dimensions")
+    if subsample == "420":
+        hs = vs = 2
+
+        def down(p: np.ndarray) -> np.ndarray:
+            ph2, pw2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pp = np.pad(p, ((0, ph2 - h), (0, pw2 - w)),
+                        mode="edge").astype(np.float64)
+            return np.round(
+                pp.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+            ).astype(np.uint8)
+
+        cbs, crs = down(np.asarray(cb, np.uint8)), down(np.asarray(cr, np.uint8))
+    elif subsample == "444":
+        hs = vs = 1
+        cbs, crs = np.asarray(cb, np.uint8), np.asarray(cr, np.uint8)
+    else:
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    qt_l, qt_c = quality_qtable(quality), quality_qtable_chroma(quality)
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    out += _seg(0xDB, b"\x01" + qt_c.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = (b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+           + bytes([1, (hs << 4) | vs, 0])
+           + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    out += _seg(0xC2, sof)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    yp = np.pad(y, ((0, mcuy * mcu_h - h), (0, mcux * mcu_w - w)), mode="edge")
+    ch_h, ch_w = mcuy * 8, mcux * 8
+    cbp = np.pad(cbs, ((0, ch_h - cbs.shape[0]), (0, ch_w - cbs.shape[1])),
+                 mode="edge")
+    crp = np.pad(crs, ((0, ch_h - crs.shape[0]), (0, ch_w - crs.shape[1])),
+                 mode="edge")
+
+    def qb(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+        return _quant_blocks(plane, qt).reshape(
+            plane.shape[0] // 8, plane.shape[1] // 8, 64
+        )
+
+    grids = [qb(yp, qt_l), qb(cbp, qt_c), qb(crp, qt_c)]
+    _emit_progressive(out, grids, [(hs, vs), (1, 1), (1, 1)], mcux, mcuy)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
 def np_decode_jpeg(raw: bytes, color_space: str = "rgb") -> np.ndarray:
-    """Decode a baseline JPEG: 1-component grayscale → HxW uint8;
-    3-component YCbCr (any sampling in {1,2}, single interleaved scan)
-    → HxWx3 uint8 in `color_space` ("rgb" or "ycbcr")."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG:
+    1-component grayscale → HxW uint8; 3-component YCbCr (any sampling
+    in {1,2}) → HxWx3 uint8 in `color_space` ("rgb" or "ycbcr").
+    Multi-scan streams — non-interleaved baseline, and the full T.81
+    Annex G progressive repertoire (spectral selection + successive
+    approximation, DC/AC first and refinement passes, EOBRUN) — are
+    decoded by accumulating coefficients across scans."""
     if raw[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comps: list[dict] = []        # id, hs, vs, tq per SOF0 component
-    scan_map: dict[int, tuple[int, int]] = {}  # comp id -> (td, ta)
+    comps: list[dict] = []        # id, hs, vs, tq per SOF component
     restart_interval = 0
-    scan_at = None
-    while pos + 4 <= len(raw):
+    progressive = False
+    store: list[np.ndarray] = []
+    hmax = vmax = mcux = mcuy = 0
+    n_scans = 0
+
+    def run_scan(scan_cis: list[int], scan_tabs: list[tuple[int, int]],
+                 ss: int, se: int, ah: int, al: int, at: int) -> int:
+        """Entropy-decode one scan starting at file offset `at`;
+        returns the offset of the marker that ended it."""
+        rd = _StuffReader(raw, at)
+        preds = [0] * len(comps)
+        eobrun = 0
+
+        def read_symbol(table: dict[tuple[int, int], int]) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | rd.read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in JPEG scan")
+
+        def first_pass(ci: int, blk: np.ndarray, si: int) -> None:
+            """DC and/or AC first pass over band [ss..se] (Ah == 0).
+            Baseline is the ss=0, se=63, al=0 special case."""
+            nonlocal eobrun
+            td, ta = scan_tabs[si]
+            k = ss
+            if ss == 0:
+                s = read_symbol(huff[(0, td)])
+                if s > 11:                              # T.81 F.1.2.1.1
+                    raise ValueError(f"DC category {s} out of range")
+                diff = _extend(rd.read(s), s) if s else 0
+                preds[ci] += diff
+                if abs(preds[ci]) > (1 << 15):
+                    raise ValueError("DC coefficient out of range")
+                blk[0] = preds[ci] << al
+                k = 1
+            if se == 0:
+                return
+            if eobrun > 0:                              # block inside EOB run
+                eobrun -= 1
+                return
+            ac_dec = huff[(1, ta)]
+            while k <= se:
+                sym = read_symbol(ac_dec)
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:                       # ZRL
+                        k += 16
+                        continue
+                    # EOBn: run of (1<<run)+bits blocks incl. this one
+                    if run and not progressive:
+                        raise ValueError("EOBn symbol in baseline scan")
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += rd.read(run)
+                    break
+                if size > 10:                           # T.81 F.1.2.2.1
+                    raise ValueError(f"AC size {size} out of range")
+                k += run
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(rd.read(size), size) << al
+                k += 1
+
+        def refine_pass(ci: int, blk: np.ndarray, si: int) -> None:
+            """Successive-approximation refinement (Ah = Al + 1),
+            T.81 G.1.2.1 (DC) / G.1.2.3 (AC)."""
+            nonlocal eobrun
+            p1, m1 = 1 << al, -1 << al
+            if ss == 0:
+                if rd.read_bit():                       # two's-complement OR
+                    blk[0] |= p1
+                return
+            _td, ta = scan_tabs[si]
+            ac_dec = huff[(1, ta)]
+
+            def correct(k: int) -> None:
+                if rd.read_bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = read_symbol(ac_dec)
+                    run, size = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run != 15:                   # EOBn
+                            eobrun = (1 << run)
+                            if run:
+                                eobrun += rd.read(run)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    else:
+                        if size != 1:
+                            raise ValueError(
+                                "AC refinement size must be 1"
+                            )
+                        newval = p1 if rd.read_bit() else m1
+                    while k <= se:                      # advance over run
+                        if blk[k] != 0:
+                            correct(k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:                              # EOB-run correction
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    k += 1
+                eobrun -= 1
+
+        decode = refine_pass if ah else first_pass
+
+        nunit = 0
+
+        def maybe_restart() -> None:
+            nonlocal nunit, eobrun
+            if restart_interval and nunit and nunit % restart_interval == 0:
+                rd.sync_restart()
+                preds[:] = [0] * len(preds)
+                eobrun = 0
+            nunit += 1
+
+        if len(scan_cis) > 1:                           # interleaved: MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for si, ci in enumerate(scan_cis):
+                        c = comps[ci]
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                decode(ci,
+                                       store[ci][my * c["vs"] + by,
+                                                 mx * c["hs"] + bx], si)
+        else:                                           # single component
+            ci = scan_cis[0]
+            c = comps[ci]
+            bw_ = (w * c["hs"] + 8 * hmax - 1) // (8 * hmax)
+            bh_ = (h * c["vs"] + 8 * vmax - 1) // (8 * vmax)
+            for by in range(bh_):
+                for bx in range(bw_):
+                    maybe_restart()
+                    decode(ci, store[ci][by, bx], 0)
+        return rd.end_pos
+
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = raw[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0xFF:                              # fill byte (B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:    # standalone
+            pos += 2
+            continue
+        if pos + 4 > len(raw):
+            raise ValueError("truncated JPEG segment")
         ln = int.from_bytes(raw[pos + 2: pos + 4], "big")
         if ln < 2 or pos + 2 + ln > len(raw):
             raise ValueError("truncated JPEG segment")
@@ -501,9 +978,12 @@ def np_decode_jpeg(raw: bytes, color_space: str = "rgb") -> np.ndarray:
                 _, dec = _canonical_codes(bits, vals)
                 huff[(cls, tid)] = dec
                 i += 17 + n
-        elif marker == 0xC0:                            # SOF0 baseline
+        elif marker in (0xC0, 0xC2):                    # SOF0 / SOF2
+            if h is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("short SOF0 segment")
+                raise ValueError("short SOF segment")
             hgt = int.from_bytes(body[1:3], "big")
             wid = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -512,8 +992,10 @@ def np_decode_jpeg(raw: bytes, color_space: str = "rgb") -> np.ndarray:
                     f"{ncomp}-component JPEG (CMYK/unknown); gray + YCbCr only"
                 )
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("short SOF0 segment")
+                raise ValueError("short SOF segment")
             h, w = hgt, wid
+            if not (1 <= h <= 20000 and 1 <= w <= 20000):
+                raise ValueError(f"JPEG dims {w}x{h} out of sane range")
             comps = []
             for c in range(ncomp):
                 hv = body[7 + 3 * c]
@@ -526,107 +1008,72 @@ def np_decode_jpeg(raw: bytes, color_space: str = "rgb") -> np.ndarray:
                     raise NotImplementedError(
                         f"sampling factors {c['hs']}x{c['vs']} (1-2 only)"
                     )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            store = [
+                np.zeros((mcuy * c["vs"], mcux * c["hs"], 64),
+                         dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process 0x{marker:02x} (only baseline SOF0)"
+                f"JPEG process 0x{marker:02x} (SOF0 baseline and SOF2 "
+                "progressive only)"
             )
         elif marker == 0xDD:                            # DRI
             if len(body) < 2:
                 raise ValueError("short DRI segment")
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:                            # SOS
+            if h is None:
+                raise ValueError("SOS before SOF")
             if len(body) < 4:
                 raise ValueError("short SOS segment")
             ns = body[0]
-            if len(body) < 1 + 2 * ns + 3:
+            if not 1 <= ns <= len(comps) or len(body) < 1 + 2 * ns + 3:
                 raise ValueError("short SOS segment")
+            ids = {c["id"]: i for i, c in enumerate(comps)}
+            scan_cis: list[int] = []
+            scan_tabs: list[tuple[int, int]] = []
             for k in range(ns):
+                cid = body[1 + 2 * k]
+                if cid not in ids:
+                    raise ValueError("SOS references unknown component")
                 tt = body[2 + 2 * k]
-                scan_map[body[1 + 2 * k]] = (tt >> 4, tt & 0x0F)
-            scan_at = pos + 2 + ln
-            break
+                scan_cis.append(ids[cid])
+                scan_tabs.append((tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
+            if progressive:
+                if not (ss <= se <= 63 and (ss == 0) == (se == 0)):
+                    raise ValueError(f"bad progressive band {ss}..{se}")
+                if ss > 0 and ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                if ah and ah != al + 1:
+                    raise ValueError("bad successive approximation Ah/Al")
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad baseline SOS parameters")
+            for si, ci in enumerate(scan_cis):
+                td, ta = scan_tabs[si]
+                if ss == 0 and ah == 0 and (0, td) not in huff:
+                    raise ValueError("JPEG missing DC Huffman table")
+                if se > 0 and (1, ta) not in huff:
+                    raise ValueError("JPEG missing AC Huffman table")
+            pos = run_scan(scan_cis, scan_tabs, ss, se, ah, al,
+                           pos + 2 + ln)
+            n_scans += 1
+            continue
         pos += 2 + ln
-    if h is None or scan_at is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    if not (1 <= h <= 20000 and 1 <= w <= 20000):
-        raise ValueError(f"JPEG dims {w}x{h} out of sane range")
-    if len(scan_map) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved multi-scan baseline JPEG"
-        )
+    if h is None or n_scans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
     for c in comps:
-        if c["id"] not in scan_map:
-            raise ValueError("SOS references unknown component")
         if c["tq"] not in qtables:
             raise ValueError(f"JPEG missing quant table {c['tq']}")
-        td, ta = scan_map[c["id"]]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("JPEG missing Huffman table referenced by SOS")
-
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    rd = _StuffReader(raw, scan_at)
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | rd.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG scan")
-
-    # per-component quantized block store: (rows, cols, 64)
-    store = [
-        np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int64)
-        for c in comps
-    ]
-    preds = [0] * len(comps)
-
-    def decode_block(ci: int, by: int, bx: int) -> None:
-        td, ta = scan_map[comps[ci]["id"]]
-        dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
-        s = read_symbol(dc_dec)
-        if s > 11:                                      # T.81 F.1.2.1.1
-            raise ValueError(f"DC category {s} out of baseline range")
-        diff = _extend(rd.read(s), s) if s else 0
-        preds[ci] += diff
-        if abs(preds[ci]) > (1 << 15):                  # 8-bit baseline bound
-            raise ValueError("DC coefficient out of range")
-        blk = store[ci][by, bx]
-        blk[0] = preds[ci]
-        k = 1
-        while k < 64:
-            sym = read_symbol(ac_dec)
-            if sym == 0x00:                             # EOB
-                break
-            if sym == 0xF0:                             # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            if size > 10:                               # T.81 F.1.2.2.1
-                raise ValueError(f"AC size {size} out of baseline range")
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            blk[k] = _extend(rd.read(size), size)
-            k += 1
-
-    nmcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and nmcu and nmcu % restart_interval == 0:
-                rd.sync_restart()
-                preds[:] = [0] * len(preds)
-            for ci, c in enumerate(comps):
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        decode_block(ci, my * c["vs"] + by, mx * c["hs"] + bx)
-            nmcu += 1
 
     planes = []
     for ci, c in enumerate(comps):

@@ -1450,8 +1450,14 @@ def _np_synth_jpeg(d: int) -> bytes:
     A constant block has only a DC coefficient; with quality 50
     (q00=16) and even (v-128), round(8(v-128)/16) is exact, so the
     lossy codec round-trips these fixtures BIT-EXACTLY and the oracle
-    can recompute the pixel sum in closed form."""
-    from streamprocess_spark.functions.jpeg import np_encode_jpeg_gray
+    can recompute the pixel sum in closed form. Every 3rd doc is
+    encoded PROGRESSIVE (SOF2, 6-scan spectral selection + successive
+    approximation) — same quantized coefficients, so the oracle is
+    encoding-invariant while the Annex G decode path stays
+    driver-exercised."""
+    from streamprocess_spark.functions.jpeg import (
+        np_encode_jpeg_gray, np_encode_jpeg_gray_progressive,
+    )
 
     w = 160 + (d % 3) * 16
     h = 120 + (d % 2) * 8
@@ -1461,7 +1467,8 @@ def _np_synth_jpeg(d: int) -> bytes:
     img = np.repeat(
         np.repeat(vals.reshape(h // 8, nbx), 8, axis=0), 8, axis=1
     )
-    return np_encode_jpeg_gray(img, quality=50)
+    enc = np_encode_jpeg_gray_progressive if d % 3 == 2 else np_encode_jpeg_gray
+    return enc(img, quality=50)
 
 
 @pandas_udf(T.BinaryType())
@@ -1549,8 +1556,12 @@ def _np_synth_color_jpeg(d: int) -> bytes:
     constant per 16x16 tile with offsets in multiples of 17 (exact at
     chroma q00=17, and the 2x2 box downsample + replication upsample
     of a per-tile-constant plane are both exact) — so decode is
-    BIT-EXACT per channel in both subsampling modes."""
-    from streamprocess_spark.functions.jpeg import np_encode_jpeg_ycbcr
+    BIT-EXACT per channel in both subsampling modes. Docs with
+    d % 3 == 2 are encoded PROGRESSIVE (SOF2) with the same quantized
+    coefficients — oracle unchanged, Annex G color path exercised."""
+    from streamprocess_spark.functions.jpeg import (
+        np_encode_jpeg_ycbcr, np_encode_jpeg_ycbcr_progressive,
+    )
 
     jw = 48 + (d % 3) * 16
     jh = 32 + (d % 2) * 16
@@ -1570,7 +1581,9 @@ def _np_synth_color_jpeg(d: int) -> bytes:
     cb = np.repeat(np.repeat(cbv, 16, axis=0), 16, axis=1)
     cr = np.repeat(np.repeat(crv, 16, axis=0), 16, axis=1)
     sub = "420" if d % 2 == 0 else "444"
-    return np_encode_jpeg_ycbcr(y, cb, cr, quality=50, subsample=sub)
+    enc = (np_encode_jpeg_ycbcr_progressive if d % 3 == 2
+           else np_encode_jpeg_ycbcr)
+    return enc(y, cb, cr, quality=50, subsample=sub)
 
 
 @pandas_udf(T.BinaryType())

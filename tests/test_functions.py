@@ -1163,7 +1163,7 @@ class TestJpeg:
         sof_at = enc.index(b"\xFF\xC0")
         mut = bytearray(enc)
         mut[sof_at + 9] = 3
-        with pytest.raises(ValueError, match="short SOF0"):
+        with pytest.raises(ValueError, match="short SOF"):
             J.np_decode_jpeg_gray(bytes(mut))
         # 4-component (CMYK) → documented rejection
         cimg = np.full((16, 16, 3), 128, np.uint8)
@@ -1173,11 +1173,85 @@ class TestJpeg:
         mut[csof + 9] = 4
         with pytest.raises(NotImplementedError, match="4-component"):
             J.np_decode_jpeg_gray(bytes(mut))
-        # flip SOF0 to SOF2 (progressive) → rejected
+        # flip SOF0 to SOF2: the full-band baseline scan is illegal
+        # under a progressive frame (Annex G: DC must be separate) —
+        # clean ValueError, and SOF1 (extended sequential) stays the
+        # documented NotImplementedError
         mut = bytearray(enc)
         mut[sof_at + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="0xc2"):
+        with pytest.raises(ValueError, match="progressive band"):
             J.np_decode_jpeg_gray(bytes(mut))
+        mut[sof_at + 1] = 0xC1
+        with pytest.raises(NotImplementedError, match="0xc1"):
+            J.np_decode_jpeg_gray(bytes(mut))
+
+    # -- progressive (SOF2, Annex G) -----------------------------------
+
+    def test_progressive_equals_baseline_gray(self):
+        """The progressive scan script delivers the same quantized
+        coefficients as baseline, so decode must be bit-identical —
+        this exercises spectral selection, successive approximation
+        (DC and AC first + refinement) and EOBRUN end-to-end."""
+        rng = np.random.default_rng(11)
+        for shape in ((16, 16), (24, 40), (17, 23), (8, 8)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            for q in (50, 90):
+                base = J.np_decode_jpeg_gray(J.np_encode_jpeg_gray(img, q))
+                prog = J.np_decode_jpeg_gray(
+                    J.np_encode_jpeg_gray_progressive(img, q))
+                assert np.array_equal(base, prog), (shape, q)
+
+    def test_progressive_equals_baseline_color(self):
+        rng = np.random.default_rng(13)
+        h, w = 32, 48
+        y, cb, cr = (rng.integers(0, 256, (h, w)).astype(np.uint8)
+                     for _ in range(3))
+        for sub in ("444", "420"):
+            base = J.np_decode_jpeg(
+                J.np_encode_jpeg_ycbcr(y, cb, cr, 50, sub), "ycbcr")
+            prog = J.np_decode_jpeg(
+                J.np_encode_jpeg_ycbcr_progressive(y, cb, cr, 50, sub),
+                "ycbcr")
+            assert np.array_equal(base, prog), sub
+
+    def test_progressive_dc_exact_and_total(self):
+        img = self._block_img(h=16, w=16)
+        enc = J.np_encode_jpeg_gray_progressive(img, 50)
+        assert b"\xFF\xC2" in enc                       # really SOF2
+        assert np.array_equal(J.np_decode_jpeg_gray(enc), img)
+        for k in range(2, len(enc), 11):               # truncation totality
+            with pytest.raises((ValueError, NotImplementedError)):
+                J.np_decode_jpeg_gray(enc[:k])
+
+    def test_nonprogressive_multiscan_baseline(self):
+        """Non-interleaved baseline (one full-band scan per component)
+        decodes identically to the interleaved encoding."""
+        rng = np.random.default_rng(17)
+        h, w = 16, 16
+        y, cb, cr = (rng.integers(0, 256, (h, w)).astype(np.uint8)
+                     for _ in range(3))
+        inter = J.np_encode_jpeg_ycbcr(y, cb, cr, 50, "444")
+        want = J.np_decode_jpeg(inter, "ycbcr")
+        # rebuild as three single-component baseline scans
+        sos_at = inter.index(b"\xFF\xDA")
+        head = inter[:sos_at]
+        from streamprocess_spark.functions.jpeg import (
+            _StuffWriter, _encode_block, _quant_blocks, _seg,
+            quality_qtable, quality_qtable_chroma,
+        )
+        out = bytearray(head)
+        for cid, plane, qt in ((1, y, quality_qtable(50)),
+                               (2, cb, quality_qtable_chroma(50)),
+                               (3, cr, quality_qtable_chroma(50))):
+            out += _seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+            bw = _StuffWriter()
+            prev = 0
+            for zz in _quant_blocks(plane, qt):
+                prev = _encode_block(bw, zz, prev)
+            out += bw.flush()
+        out += b"\xFF\xD9"
+        got = J.np_decode_jpeg(bytes(out), "ycbcr")
+        assert np.array_equal(got, want)
 
     # -- color (YCbCr) paths -------------------------------------------
 
@@ -1245,7 +1319,7 @@ class TestJpeg:
         with pytest.raises(ValueError, match="truncated JPEG segment"):
             J.np_decode_jpeg_gray(b"\xFF\xD8\xFF\xE0\x00\x01")
         # SOF0 with a 3-byte body (needs >= 9)
-        with pytest.raises(ValueError, match="short SOF0"):
+        with pytest.raises(ValueError, match="short SOF"):
             J.np_decode_jpeg_gray(b"\xFF\xD8\xFF\xC0\x00\x05\x08\x00\x10")
         # valid stream with the SOS length shortened under the minimum
         enc = J.np_encode_jpeg_gray(self._block_img(h=16, w=16))
