@@ -189,8 +189,9 @@ def np_parse_avi_mjpeg(raw: bytes) -> tuple[np.ndarray, int]:
 
 
 def np_decode_video(raw: bytes, fmt: str = "RAWV") -> tuple[np.ndarray, int]:
-    """Container dispatch. RAWV, AVI/MJPG and MP4/'jpeg' decode for
-    real; WebM (and non-JPEG MP4 codecs) are the documented stub."""
+    """Container dispatch. RAWV, AVI/MJPG, MP4/'jpeg' and
+    Matroska/WebM V_MJPEG decode for real; non-MJPEG codecs inside
+    those containers are the documented per-codec stub."""
     if fmt == "RAWV":
         return np_parse_rawv(raw)
     if fmt == "AVI":
@@ -199,6 +200,10 @@ def np_decode_video(raw: bytes, fmt: str = "RAWV") -> tuple[np.ndarray, int]:
         from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
 
         return np_parse_mp4_jpeg(raw)
+    if fmt in ("MKV", "WEBM"):
+        from streamprocess_spark.functions.matroska import np_parse_mkv_mjpeg
+
+        return np_parse_mkv_mjpeg(raw)
     raise NotImplementedError(
         f"video decode for {fmt} needs a codec library (ffmpeg/pyav), "
         "not present in this container"

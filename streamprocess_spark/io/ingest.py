@@ -44,6 +44,7 @@ _SNIFFERS = (
     (b"BM", "BMP", "ocr_single", "normal"),
     (b"RAWV", "RAWV", "video_batch", "low"),
     (b"OggS", "OPUS", "stt_batch", "normal"),
+    (b"\x1a\x45\xdf\xa3", "MKV", "video_batch", "low"),
 )
 
 
@@ -124,6 +125,14 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
 
             np_parse_mp4_jpeg(raw)
+        elif fmt == "MKV":
+            # EBML walk + track/block validation; V_MJPEG decodes for
+            # real, VP8/VP9/AV1 NotImplementedError → dead-letter
+            from streamprocess_spark.functions.matroska import (
+                np_parse_mkv_mjpeg,
+            )
+
+            np_parse_mkv_mjpeg(raw)
         elif fmt == "OPUS":
             # page walk + CRC + OpusHead/TOC validate every byte; PCM
             # stays the documented stub (functions/ogg_opus.py)

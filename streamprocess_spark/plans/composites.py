@@ -478,6 +478,15 @@ def _audio_suite_oracle() -> str:
                     // [44100, 48000, 32000][((doc_id // 3) % 3) + 1]
                     AS BIGINT) AS mp3_duration_ms
         FROM documents
+    ),
+    op AS (
+        SELECT doc_id,
+               cast(6 + doc_id % 5 AS BIGINT) AS opus_n_packets,
+               cast((6 + doc_id % 5)
+                    * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)
+                    * [20, 10, 20][(doc_id % 3) + 1]
+                    AS BIGINT) AS opus_duration_ms
+        FROM documents
     )
     SELECT a.doc_id, a.n_samples, a.ssum_fp, a.sabs_fp,
            a.n_samples AS n_wav, a.ssum_fp AS wsum_fp,
@@ -487,9 +496,10 @@ def _audio_suite_oracle() -> str:
            m.n_mono, m.msum_fp,
            nz.n_pos, nz.norm_sum_fp,
            fl.n_flac, fl.fsum16,
-           mp3.mp3_n_frames, mp3.mp3_duration_ms
+           mp3.mp3_n_frames, mp3.mp3_duration_ms,
+           op.opus_n_packets, op.opus_duration_ms
     FROM a JOIN f USING (doc_id) JOIN m USING (doc_id) JOIN nz USING (doc_id)
-         JOIN fl USING (doc_id) JOIN mp3 USING (doc_id)
+         JOIN fl USING (doc_id) JOIN mp3 USING (doc_id) JOIN op USING (doc_id)
     """
 
 
@@ -514,7 +524,10 @@ def _audio_suite_oracle() -> str:
         "16-bit integer sums against the synthesis formula. Plus S15 "
         "MP3: the ISO 11172-3 frame-walk probe (frame count + exact "
         "duration vs the header formulas; PCM stays the documented "
-        "stub, functions/mpeg_audio.py).",
+        "stub, functions/mpeg_audio.py). Plus S15 OPUS: the Ogg page "
+        "walk + CRC + RFC 6716 TOC probe (q132 fixtures; packet count "
+        "+ exact 48 kHz duration; PCM stays the documented stub, "
+        "functions/ogg_opus.py).",
 )
 def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.audio import (
@@ -559,7 +572,9 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streamprocess_spark.plans.multimodal import (
         _mpeg_probe_udf,
+        _opus_probe_udf,
         _synth_mpeg_udf,
+        _synth_opus_udf,
     )
 
     return (
@@ -567,6 +582,7 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wav_samples", wav_decode(_synth_wav_udf("doc_id")))
         .withColumn("flac_samples", flac_decode(_synth_flac_udf("doc_id")))
         .withColumn("mp3p", _mpeg_probe_udf(_synth_mpeg_udf("doc_id")))
+        .withColumn("opp", _opus_probe_udf(_synth_opus_udf("doc_id")))
         .withColumn("flags", flags(F.col("samples")))
         .withColumn("resampled", up(F.col("samples")))
         .withColumn("mono", mono(decode_linear16_udf(_synth_stereo_udf("doc_id"))))
@@ -595,6 +611,11 @@ def q_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ISO 11172-3 header formulas
             F.col("mp3p.n_frames").cast("bigint").alias("mp3_n_frames"),
             F.col("mp3p.duration_ms").cast("bigint").alias("mp3_duration_ms"),
+            # S15 OPUS: Ogg page walk + TOC probe (q132 fixtures) —
+            # packet count + exact 48 kHz duration vs the oracle's
+            # closed-form TOC arithmetic
+            F.col("opp.n_packets").cast("bigint").alias("opus_n_packets"),
+            F.col("opp.duration_ms").cast("bigint").alias("opus_duration_ms"),
         )
     )
 

@@ -2094,6 +2094,117 @@ def q133_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q134: Matroska/WebM video ingest (S15) — EBML walk, per-frame oracle
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_mkv_udf(doc_id: pd.Series) -> pd.Series:
+    """Real Matroska files: the same DC-exact MJPEG frame family
+    q131/q133 use, wrapped in EBML (V_MJPEG track, one Cluster per
+    frame) — all three container paths share one oracle formula.
+    DocType alternates matroska/webm."""
+    from streamprocess_spark.functions.jpeg import np_encode_jpeg_gray
+    from streamprocess_spark.functions.matroska import np_build_mkv_mjpeg
+
+    def synth(d: int) -> bytes:
+        nf = 3 + d % 4
+        frames = []
+        for k in range(nf):
+            vals = np.empty(24, dtype=np.uint8)       # 6x4 blocks, 48x32
+            for b in range(24):
+                vals[b] = 128 + 2 * ((d * 17 + k * 5 + b) % 57 - 28)
+            img = np.repeat(
+                np.repeat(vals.reshape(4, 6), 8, axis=0), 8, axis=1
+            )
+            frames.append(np_encode_jpeg_gray(img, quality=50))
+        return np_build_mkv_mjpeg(
+            frames, 48, 32, fps=10,
+            doctype="matroska" if d % 2 == 0 else "webm",
+        )
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+_MKV_META_SCHEMA = T.StructType([
+    T.StructField("doctype", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+@pandas_udf(_MKV_META_SCHEMA)
+def _mkv_meta_udf(raw: pd.Series) -> pd.DataFrame:
+    from streamprocess_spark.functions.matroska import np_probe_matroska
+
+    rows = []
+    for b in raw:
+        p = np_probe_matroska(bytes(b))
+        rows.append({
+            "doctype": p["doctype"], "codec": p["tracks"][0]["codec"],
+            "n_blocks": p["n_blocks"], "duration_ms": p["duration_ms"],
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q134_mkv_frames",
+    oracle="""
+    WITH fr AS (
+        SELECT d.doc_id, t.k AS frame_idx,
+               (SELECT sum(128 + 2 * ((d.doc_id * 17 + t.k * 5 + u.b) % 57
+                                      - 28)) * 64
+                FROM range(0, 24) u(b)) AS luma_sum
+        FROM documents d, range(0, 7) t(k)
+        WHERE t.k < 3 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END
+               AS doctype,
+           'V_MJPEG' AS codec,
+           cast((3 + doc_id % 4) * 100 AS BIGINT) AS duration_ms,
+           cast(frame_idx AS INT) AS frame_idx,
+           cast(luma_sum AS BIGINT) AS luma_sum
+    FROM fr
+    """,
+    covers=("S15",),
+    doc="Matroska/WebM end-to-end (the last container family): EBML "
+        "VINT walk with parent-bounds totality (functions/matroska.py "
+        "— RFC 8794 + the Matroska element registry), DocType/Info/"
+        "Tracks/Cluster/SimpleBlock parse, V_MJPEG payloads decoded by "
+        "the repo's JPEG codec; probe metadata (doctype, codec, exact "
+        "Duration) and per-frame luma sums oracle-checked. VP8/VP9/AV1 "
+        "stay the documented NotImplementedError at the block "
+        "boundary. Scale: per-row demux inside the scan partition — "
+        "zero shuffle.",
+)
+def q134_mkv_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.video import sample_frames_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sample = sample_frames_udf(step=1, fmt="MKV")
+    return (
+        docs.select("doc_id")
+        .withColumn("mkv", _synth_mkv_udf(F.col("doc_id")))
+        .withColumn("m", _mkv_meta_udf(F.col("mkv")))
+        .withColumn("fr", sample(F.col("mkv")))
+        .select(
+            "doc_id",
+            F.col("m.doctype").alias("doctype"),
+            F.col("m.codec").alias("codec"),
+            F.col("m.duration_ms").alias("duration_ms"),
+            F.posexplode("fr").alias("i", "f"),
+        )
+        .select(
+            "doc_id", "doctype", "codec", "duration_ms",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.luma_sum").alias("luma_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q114: cross-document audio fingerprint dedup (§2.13 multimodal dedup)
 # ---------------------------------------------------------------------------
 

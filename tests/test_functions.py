@@ -622,11 +622,13 @@ class TestVideo:
         with pytest.raises(ValueError, match="magic"):
             V.np_parse_rawv(b"XXXX" + raw[4:])
         with pytest.raises(NotImplementedError):
-            V.np_decode_video(raw, fmt="WEBM")
-        # MP4 is real now (functions/mp4.py): a RAWV payload under the
-        # MP4 path is a clean ValueError, not a stub error
+            V.np_decode_video(raw, fmt="FLV")
+        # MP4 and Matroska are real now: a RAWV payload under those
+        # paths is a clean ValueError, not a stub error
         with pytest.raises(ValueError, match="ftyp"):
             V.np_decode_video(raw, fmt="MP4")
+        with pytest.raises(ValueError, match="EBML"):
+            V.np_decode_video(raw, fmt="WEBM")
 
     # -- AVI / MJPEG container -----------------------------------------
 
@@ -906,6 +908,67 @@ class TestMp4:
         assert sniff_format(raw) == ("MP4", "video_batch", "low")
         assert make_envelope(raw)["type"] == "video_batch"
         assert make_envelope(raw[:-25])["type"] == "corrupt_media"
+
+
+# -------------------------------------------- Matroska container (S15)
+
+
+class TestMatroska:
+    """EBML walk + SimpleBlock demux (functions/matroska.py), with
+    real V_MJPEG decode; VP8/VP9/AV1 stay the documented stub."""
+
+    def _mkv(self, nf=5, doctype="matroska"):
+        from streamprocess_spark.functions import matroska as MK
+
+        imgs = [np.full((32, 48), 110 + 6 * k, np.uint8) for k in range(nf)]
+        frames = [J.np_encode_jpeg_gray(i, 50) for i in imgs]
+        return MK.np_build_mkv_mjpeg(frames, 48, 32, fps=10,
+                                     doctype=doctype), imgs, frames
+
+    def test_probe_and_decode(self):
+        from streamprocess_spark.functions import matroska as MK
+
+        raw, imgs, frames = self._mkv(nf=5)
+        p = MK.np_probe_matroska(raw)
+        assert p["doctype"] == "matroska" and p["n_blocks"] == 5
+        t = p["tracks"][0]
+        assert (t["codec"], t["width"], t["height"]) == ("V_MJPEG", 48, 32)
+        assert p["duration_ms"] == 500
+        pay, _ = MK.np_demux_mkv_mjpeg(raw)
+        assert pay == frames                 # byte-exact block payloads
+        dec, fps = MK.np_parse_mkv_mjpeg(raw)
+        assert fps == 10
+        for k, img in enumerate(imgs):
+            assert np.array_equal(dec[k], img), k
+
+    def test_webm_doctype_and_codec_stub(self):
+        from streamprocess_spark.functions import matroska as MK
+
+        raw, _, _ = self._mkv(doctype="webm")
+        assert MK.np_probe_matroska(raw)["doctype"] == "webm"
+        at = raw.index(b"V_MJPEG")
+        mut = bytearray(raw)
+        mut[at:at + 7] = b"V_VP9XX"
+        with pytest.raises(NotImplementedError, match="V_VP9XX"):
+            MK.np_demux_mkv_mjpeg(bytes(mut))
+
+    def test_totality(self):
+        from streamprocess_spark.functions import matroska as MK
+
+        raw, _, _ = self._mkv()
+        with pytest.raises(ValueError, match="EBML"):
+            MK.np_probe_matroska(b"\x1a\x45\xdf\xa4" + raw[4:])
+        for k in range(0, len(raw), 13):
+            with pytest.raises((ValueError, NotImplementedError)):
+                MK.np_parse_mkv_mjpeg(raw[:k])
+
+    def test_ingest_sniffs_and_routes_mkv(self):
+        from streamprocess_spark.io.ingest import make_envelope, sniff_format
+
+        raw, _, _ = self._mkv()
+        assert sniff_format(raw) == ("MKV", "video_batch", "low")
+        assert make_envelope(raw)["type"] == "video_batch"
+        assert make_envelope(raw[:-19])["type"] == "corrupt_media"
 
 
 # ------------------------------------------------------- ops listener
