@@ -2692,3 +2692,68 @@ def q127_data_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("membership_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q135: content-defined-chunking (FastCDC) byte-level near-dup
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as _T
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+
+@_pandas_udf(_T.BinaryType())
+def _synth_blob_udf(doc_id):
+    """Byte-level dup fixture: group g = d % 40 shares a seeded base
+    stream of 4000 + g*50 bytes; each member appends its own distinct
+    suffix of 16 + (d // 40) * 8 bytes — the re-uploaded-with-appended-
+    metadata situation byte-level dedup exists for."""
+    import numpy as _np
+
+    def synth(d: int) -> bytes:
+        g = d % 40
+        base = _np.random.default_rng(7000 + g).integers(
+            0, 256, 4000 + g * 50, dtype=_np.uint8).tobytes()
+        return base + bytes([d % 251]) * (16 + (d // 40) * 8)
+
+    return doc_id.apply(lambda d: synth(int(d)))
+
+
+@register(
+    "q135_cdc_dedup",
+    oracle="""
+    SELECT doc_id,
+           cast(4000 + (doc_id % 40) * 50 + 16 + (doc_id // 40) * 8
+                AS BIGINT) AS payload_len,
+           cast(doc_id % 40 AS BIGINT) AS dup_group,
+           cast((SELECT count(*) FROM documents d2
+                 WHERE d2.doc_id % 40 = d.doc_id % 40) AS BIGINT)
+               AS group_size
+    FROM documents d
+    """,
+    covers=("§2.13-multimodal", "§2.13-text"),
+    doc="Byte-level near-dup via FastCDC content-defined chunking "
+        "(operators/cdc.py — gear rolling hash, normalized two-mask "
+        "chunking, min/max bounds): payloads chunk at content-defined "
+        "boundaries, docs pair on shared chunk hashes (equi-join, "
+        "frequency-capped — never all-pairs), pairs at Jaccard >= 0.5 "
+        "collapse to min-id groups. The oracle checks THREE semantic "
+        "invariants in closed form: chunk partition covers every byte "
+        "(payload_len = sum of chunk lengths = the fixture formula), "
+        "every doc recovers its true duplication group (d % 40 — "
+        "wrong boundaries would break the >= 50% overlap), and the "
+        "full group size is recovered (the within-group similarity "
+        "graph must be complete). Scale: map-only chunking, one "
+        "bucket-local hash join, one pair rollup — the same 100 TB "
+        "layout as MinHash banding.",
+)
+def q135_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.cdc import (
+        cdc_chunks_udf, cdc_near_dup_groups,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    chunked = docs.select("doc_id").withColumn(
+        "chunks", cdc_chunks_udf()(_synth_blob_udf(F.col("doc_id")))
+    )
+    return cdc_near_dup_groups(chunked)

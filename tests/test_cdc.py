@@ -1,0 +1,99 @@
+"""FastCDC content-defined chunking dedup (operators/cdc.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from streamprocess_spark.operators.cdc import (
+    cdc_chunks_udf,
+    cdc_near_dup_groups,
+    np_cdc_chunks,
+    np_chunk_hash,
+)
+
+
+def _hashes(data: bytes, **kw) -> set[int]:
+    return {np_chunk_hash(data[o:o + ln])
+            for o, ln in np_cdc_chunks(data, **kw)}
+
+
+class TestChunking:
+    def test_partition_covers_and_bounds(self):
+        rng = np.random.default_rng(5)
+        for n in (1, 100, 5000, 20000):
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            ch = np_cdc_chunks(data)
+            assert sum(ln for _, ln in ch) == n
+            offs = [o for o, _ in ch]
+            assert offs == sorted(offs) and offs[0] == 0
+            # every chunk except the tail respects [min, max]
+            for o, ln in ch[:-1]:
+                assert 128 <= ln <= 2048
+            assert ch == np_cdc_chunks(data)       # deterministic
+
+    def test_average_size_is_normalized(self):
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+        lens = [ln for _, ln in np_cdc_chunks(data)]
+        avg = sum(lens) / len(lens)
+        # FastCDC's two-mask normalization keeps the mean near target
+        assert 256 <= avg <= 1024, avg
+
+    def test_insertion_shift_robust(self):
+        """The CDC property fixed-size blocks lack: a local insertion
+        leaves the chunk hashes after the edit intact."""
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+        edited = data[:3000] + bytes(17) + data[3000:]
+        h1, h2 = _hashes(data), _hashes(edited)
+        assert len(h1 & h2) / len(h1 | h2) > 0.5
+
+    def test_bad_params_rejected(self):
+        with pytest.raises(ValueError, match="min_size"):
+            np_cdc_chunks(b"xx", min_size=0)
+        with pytest.raises(ValueError, match="min_size"):
+            np_cdc_chunks(b"xx", min_size=100, avg_size=50)
+
+
+class TestSparkOp:
+    def test_groups_recovered(self, spark):
+        """Docs sharing a byte prefix land in one min-id group;
+        unrelated docs stay singletons."""
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, 4000, dtype=np.uint8).tobytes()
+        other = rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+        rows = [
+            (0, base + b"\x01" * 20),
+            (1, base + b"\x02" * 40),
+            (2, base + b"\x03" * 60),
+            (3, other),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        chunked = df.select(
+            "doc_id", cdc_chunks_udf()(F.col("payload")).alias("chunks")
+        )
+        out = {r.doc_id: r for r in cdc_near_dup_groups(chunked).collect()}
+        assert [out[i].dup_group for i in range(4)] == [0, 0, 0, 3]
+        assert [out[i].group_size for i in range(4)] == [3, 3, 3, 1]
+        for i, payload in rows:
+            assert out[i].payload_len == len(payload)
+
+    def test_frequency_cap_drops_boilerplate(self, spark):
+        """A chunk present in more docs than max_chunk_freq must not
+        create pairs — the LSH-style cap that keeps buckets bounded."""
+        rng = np.random.default_rng(11)
+        boiler = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+        rows = [
+            (i, boiler + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes())
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        chunked = df.select(
+            "doc_id", cdc_chunks_udf()(F.col("payload")).alias("chunks")
+        )
+        out = cdc_near_dup_groups(chunked, max_chunk_freq=2).collect()
+        # shared-prefix chunks appear in 5 > 2 docs → dropped → no
+        # doc can reach jaccard 0.5 on its distinct majority
+        assert all(r.dup_group == r.doc_id for r in out)
