@@ -68,15 +68,17 @@ def np_build_wav(pcm16: bytes, sr: int = 16000, channels: int = 1) -> bytes:
 
 def np_parse_wav(raw: bytes) -> tuple[np.ndarray, int, int]:
     """S15 WAV decode, dependency-free: walk the RIFF chunk list, read
-    `fmt ` + `data`, decode PCM16 (the reference decodes WAV via
-    soundfile, stt_worker.py:381-394; accepted encodings
+    `fmt ` + `data`, decode PCM16 (fmt 1) or the G.711 telephony
+    encodings A-law (fmt 6) / µ-law (fmt 7) through the existing
+    expanders (the reference decodes WAV via soundfile,
+    stt_worker.py:381-394; accepted encodings
     protos/stream_process.proto:75-81). Returns (float32 samples,
     sample_rate, channels); samples stay interleaved — compose with
     np_to_mono for the mono path."""
     if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos = 12
-    sr = channels = None
+    sr = channels = fmt_tag = None
     data = None
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
@@ -87,15 +89,23 @@ def np_parse_wav(raw: bytes) -> tuple[np.ndarray, int, int]:
             channels = int.from_bytes(body[2:4], "little")
             sr = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_tag != 1 or bits != 16:
+            if fmt_tag == 1 and bits != 16:
+                raise ValueError(f"only 16-bit PCM WAV (bits={bits})")
+            if fmt_tag in (6, 7) and bits not in (0, 8):
+                raise ValueError(f"G.711 WAV must be 8-bit (bits={bits})")
+            if fmt_tag not in (1, 6, 7):
                 raise ValueError(
-                    f"only PCM16 WAV is supported (fmt={fmt_tag}, bits={bits})"
+                    f"WAV fmt {fmt_tag} unsupported (PCM16/A-law/mu-law)"
                 )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag == 6:                               # G.711 A-law
+        return np_decode_alaw(data), sr, channels or 1
+    if fmt_tag == 7:                               # G.711 µ-law
+        return np_decode_mulaw(data), sr, channels or 1
     x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     return x.astype(np.float32) / 32768.0, sr, channels or 1
 

@@ -978,12 +978,18 @@ def np_decode_jpeg(raw: bytes, color_space: str = "rgb") -> np.ndarray:
                 _, dec = _canonical_codes(bits, vals)
                 huff[(cls, tid)] = dec
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):                    # SOF0 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0 / SOF1(8-bit) / SOF2
             if h is not None:
                 raise ValueError("multiple SOF markers")
             progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("short SOF segment")
+            if body[0] != 8:
+                # SOF1 permits 12-bit precision; only 8-bit decodes
+                # here (12-bit needs 16-bit DQT + wider ranges)
+                raise NotImplementedError(
+                    f"JPEG sample precision {body[0]} (8-bit only)"
+                )
             hgt = int.from_bytes(body[1:3], "big")
             wid = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -1017,11 +1023,11 @@ def np_decode_jpeg(raw: bytes, color_space: str = "rgb") -> np.ndarray:
                          dtype=np.int64)
                 for c in comps
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process 0x{marker:02x} (SOF0 baseline and SOF2 "
-                "progressive only)"
+                f"JPEG process 0x{marker:02x} (SOF0 baseline, SOF1 "
+                "8-bit extended, SOF2 progressive only)"
             )
         elif marker == 0xDD:                            # DRI
             if len(body) < 2:

@@ -492,6 +492,19 @@ class TestWavParse:
         with pytest.raises(ValueError, match="PCM16"):
             A.np_parse_wav(bytes(raw))
 
+    def test_g711_wav_containers(self):
+        """fmt 6 (A-law) / fmt 7 (µ-law) WAVs route through the
+        existing G.711 expanders — the telephony WAV flavors the
+        reference's soundfile path accepts."""
+        codes = bytes(range(256))
+        for tag, dec in ((6, A.np_decode_alaw), (7, A.np_decode_mulaw)):
+            raw = bytearray(A.np_build_wav(codes, sr=8000))
+            raw[20:22] = tag.to_bytes(2, "little")
+            raw[34:36] = (8).to_bytes(2, "little")     # bits per sample
+            y, sr, ch = A.np_parse_wav(bytes(raw))
+            assert sr == 8000 and ch == 1
+            assert np.array_equal(y, dec(codes)), tag
+
     def test_stereo_interleaved(self):
         left = _tone(440, dur=0.05)
         right = _tone(880, dur=0.05)
@@ -1244,9 +1257,21 @@ class TestJpeg:
         mut[sof_at + 1] = 0xC2
         with pytest.raises(ValueError, match="progressive band"):
             J.np_decode_jpeg_gray(bytes(mut))
+        # SOF1 at 8-bit now decodes identically to SOF0
         mut[sof_at + 1] = 0xC1
-        with pytest.raises(NotImplementedError, match="0xc1"):
-            J.np_decode_jpeg_gray(bytes(mut))
+        assert np.array_equal(J.np_decode_jpeg_gray(bytes(mut)),
+                              J.np_decode_jpeg_gray(enc))
+        # 12-bit precision stays the documented rejection
+        mut12 = bytearray(enc)
+        mut12[sof_at + 1] = 0xC1
+        mut12[sof_at + 4] = 12
+        with pytest.raises(NotImplementedError, match="precision"):
+            J.np_decode_jpeg_gray(bytes(mut12))
+        # lossless process stays rejected
+        mut3 = bytearray(enc)
+        mut3[sof_at + 1] = 0xC3
+        with pytest.raises(NotImplementedError, match="0xc3"):
+            J.np_decode_jpeg_gray(bytes(mut3))
 
     # -- progressive (SOF2, Annex G) -----------------------------------
 
