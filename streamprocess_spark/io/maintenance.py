@@ -17,10 +17,12 @@ spans) are verified on disk, not just predicted:
     input_file_name() — the skip-index statistics a scan prunes on —
     and the candidate-file count for a 2D predicate.
 
-No transaction log (Delta/Iceberg absent from the container): the
-rewrite targets a fresh directory and the swap is left to the caller,
-which is exactly what OPTIMIZE does under the hood minus the commit.
-Every step is a constant number of shuffles regardless of table size —
+The transactional swap lives in io/txlog.py (the minimal Delta-shaped
+commit log): a maintenance rewrite publishes {adds + removes} as ONE
+atomic version, so readers see entirely-before or entirely-after —
+see tests/test_txlog.py::test_zorder_rewrite_through_log_prunes for
+the q109 strategy executed end-to-end through the log. Every step is
+a constant number of shuffles regardless of table size —
 partition-parallel at 100 TB.
 """
 
