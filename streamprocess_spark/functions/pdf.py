@@ -8,10 +8,18 @@ wrapping ONE full-page image XObject — without a PDF library:
   extractor — find `/Subtype /Image` stream objects, parse /Width,
     /Height, /BitsPerComponent, /ColorSpace, /Filter from the stream
     dict, and decode the payload:
-      /FlateDecode  → stdlib zlib (lossless — exact-pixel oracles)
-      /DCTDecode    → the repo's own baseline JPEG decoder
-      (no filter)   → raw gray raster
-    Multi-image PDFs return every image in object order.
+      /FlateDecode      → stdlib zlib (lossless — exact-pixel oracles)
+      /DCTDecode        → the repo's own JPEG decoder (baseline AND
+                          progressive, functions/jpeg.py)
+      /LZWDecode        → the repo's TIFF §13 LZW codec (PDF's default
+                          EarlyChange=1 IS the TIFF variant)
+      /RunLengthDecode  → PackBits-style RLE with the 128 EOD marker
+      /ASCIIHexDecode / /ASCII85Decode → transport armors (PDF 32000
+                          §7.4.2-3), incl. the `z` zero-group shorthand
+      (no filter)       → raw gray raster
+    /Filter arrays apply as a chain in order, e.g.
+    [/ASCII85Decode /FlateDecode]. Multi-image PDFs return every
+    image in object order.
 
   emitter — writes a structurally valid single-page PDF (catalog,
     page tree, image XObject, content stream, xref, trailer) around a
@@ -29,8 +37,69 @@ import zlib
 import numpy as np
 
 
+def _rle_encode(data: bytes) -> bytes:
+    """PDF RunLengthDecode inverse (PackBits-style + 128 EOD)."""
+    from streamprocess_spark.functions.image import _packbits_encode
+
+    return _packbits_encode(data) + b"\x80"
+
+
+def _rle_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:                                   # EOD
+            break
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("RunLengthDecode literal overruns stream")
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("RunLengthDecode run overruns stream")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("RunLengthDecode output shorter than expected")
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    end = data.find(b"~>")
+    body = data[:end] if end >= 0 else data
+    body = bytes(b for b in body if not chr(b).isspace())
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise ValueError(f"bad ASCII85 stream: {e}") from None
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    body = data[:end] if end >= 0 else data
+    hexs = bytes(b for b in body if not chr(b).isspace())
+    if len(hexs) % 2:                                  # §7.4.2: pad with 0
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise ValueError(f"bad ASCIIHex stream: {e}") from None
+
+
 def np_build_pdf_image(img: np.ndarray, filter_: str = "FlateDecode") -> bytes:
-    """One-page PDF embedding `img` as a full-page DeviceGray XObject."""
+    """One-page PDF embedding `img` as a full-page DeviceGray XObject.
+    `filter_` may also be "ASCII85+Flate" for a two-stage chain."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     if filter_ == "FlateDecode":
@@ -41,6 +110,20 @@ def np_build_pdf_image(img: np.ndarray, filter_: str = "FlateDecode") -> bytes:
 
         payload = np_encode_jpeg_gray(img, quality=50)
         filt = "/Filter /DCTDecode"
+    elif filter_ == "LZWDecode":
+        from streamprocess_spark.functions.image import _lzw_encode
+
+        payload = _lzw_encode(img.tobytes())
+        filt = "/Filter /LZWDecode"
+    elif filter_ == "RunLengthDecode":
+        payload = _rle_encode(img.tobytes())
+        filt = "/Filter /RunLengthDecode"
+    elif filter_ == "ASCIIHexDecode":
+        payload = img.tobytes().hex().encode() + b">"
+        filt = "/Filter /ASCIIHexDecode"
+    elif filter_ == "ASCII85+Flate":
+        payload = _a85_encode(zlib.compress(img.tobytes(), 6))
+        filt = "/Filter [/ASCII85Decode /FlateDecode]"
     elif filter_ is None:
         payload = img.tobytes()
         filt = ""
@@ -115,31 +198,52 @@ def np_extract_pdf_images(raw: bytes) -> list[np.ndarray]:
         payload = raw[start:start + length]
         if len(payload) < length:
             raise ValueError("PDF stream truncated")
-        fm = re.search(rb"/Filter\s*/(\w+)", d)
-        filt = fm.group(1).decode() if fm else None
-        if filt == "FlateDecode":
-            try:
-                pix = zlib.decompress(payload)
-            except zlib.error as e:
-                raise ValueError(f"bad FlateDecode stream: {e}") from None
-            if len(pix) < w * h:
-                raise ValueError("PDF image data shorter than Width*Height")
-            img = np.frombuffer(pix[: w * h], dtype=np.uint8).reshape(h, w)
-        elif filt == "DCTDecode":
-            from streamprocess_spark.functions.jpeg import np_decode_jpeg_gray
-
-            img = np_decode_jpeg_gray(payload)
-            if img.shape != (h, w):
-                raise ValueError("DCTDecode dims disagree with XObject dict")
-        elif filt is None:
-            if length < w * h:
-                raise ValueError("PDF raw image data truncated")
-            img = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
+        # /Filter: single name or an array chain, applied in order
+        fa = re.search(rb"/Filter\s*\[([^\]]*)\]", d)
+        if fa:
+            chain = [f.decode() for f in re.findall(rb"/(\w+)", fa.group(1))]
         else:
-            raise NotImplementedError(
-                f"PDF image filter {filt} (CCITT/JBIG2 need codec libs; "
-                "reference rasterizes via its cv2/pdf stack)"
-            )
+            fm = re.search(rb"/Filter\s*/(\w+)", d)
+            chain = [fm.group(1).decode()] if fm else []
+        img = None
+        for fi, filt in enumerate(chain):
+            last = fi == len(chain) - 1
+            if filt == "FlateDecode":
+                try:
+                    payload = zlib.decompress(payload)
+                except zlib.error as e:
+                    raise ValueError(f"bad FlateDecode stream: {e}") from None
+            elif filt == "LZWDecode":
+                from streamprocess_spark.functions.image import _lzw_decode
+
+                payload = _lzw_decode(payload, w * h)
+            elif filt == "RunLengthDecode":
+                payload = _rle_decode(payload, w * h if last else 0)
+            elif filt == "ASCII85Decode":
+                payload = _a85_decode(payload)
+            elif filt == "ASCIIHexDecode":
+                payload = _ahx_decode(payload)
+            elif filt == "DCTDecode":
+                from streamprocess_spark.functions.jpeg import (
+                    np_decode_jpeg_gray,
+                )
+
+                img = np_decode_jpeg_gray(payload)
+                if img.shape != (h, w):
+                    raise ValueError(
+                        "DCTDecode dims disagree with XObject dict"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"PDF image filter {filt} (CCITT/JBIG2 need codec "
+                    "libs; reference rasterizes via its cv2/pdf stack)"
+                )
+        if img is None:                        # raster path (or no filter)
+            if len(payload) < w * h:
+                raise ValueError("PDF image data shorter than Width*Height")
+            img = np.frombuffer(
+                bytes(payload[: w * h]), dtype=np.uint8
+            ).reshape(h, w)
         out.append(img)
     if not out:
         raise ValueError("PDF contains no image XObjects")

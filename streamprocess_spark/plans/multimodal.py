@@ -2319,11 +2319,14 @@ def _synth_tiff_udf(doc_id: pd.Series) -> pd.Series:
 def _synth_pdf_udf(doc_id: pd.Series) -> pd.Series:
     from streamprocess_spark.functions.pdf import np_build_pdf_image
 
-    # alternate lossless Flate and lossy-but-DC-exact DCT embeddings
+    # cycle every supported stream filter (d % 6): lossless Flate /
+    # LZW / RunLength / ASCIIHex / the [ASCII85, Flate] chain, plus
+    # lossy-but-DC-exact DCT — the pixel-sum oracle is filter-invariant
+    _FILTERS = ("FlateDecode", "DCTDecode", "LZWDecode",
+                "RunLengthDecode", "ASCIIHexDecode", "ASCII85+Flate")
     return doc_id.apply(
         lambda d: np_build_pdf_image(
-            _np_synth_doc_page(int(d)),
-            "FlateDecode" if int(d) % 2 == 0 else "DCTDecode",
+            _np_synth_doc_page(int(d)), _FILTERS[int(d) % 6],
         )
     )
 
@@ -2384,9 +2387,12 @@ def _pdf_stats_udf(raw: pd.Series) -> pd.DataFrame:
         "Compression 1/5(LZW)/32773(PackBits) and multi-strip "
         "layouts per doc — and "
         "(b) real single-page PDF with the page as an image XObject "
-        "(functions/pdf.py), alternating lossless /FlateDecode with "
-        "/DCTDecode routed through the repo's own baseline JPEG "
-        "decoder (DC-exact constant blocks). Equal pixel sums across "
+        "(functions/pdf.py), cycling every supported stream filter — "
+        "lossless /FlateDecode, /LZWDecode (the TIFF §13 codec), "
+        "/RunLengthDecode, /ASCIIHexDecode, the [/ASCII85Decode "
+        "/FlateDecode] chain, and /DCTDecode routed through the "
+        "repo's own JPEG decoder (DC-exact constant blocks). Equal "
+        "pixel sums across "
         "both containers and the closed-form oracle prove bit-exact "
         "decode end-to-end (reference accepts TIFF/PDF on the OCR "
         "upload path, server.py:354). Map-only, zero shuffles.",

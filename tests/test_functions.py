@@ -1515,6 +1515,26 @@ class TestTiffPdf:
         with pytest.raises(ValueError):
             I.np_decode_tiff_gray(I.np_encode_tiff_gray(img)[:20])
 
+    def test_pdf_all_filters_roundtrip(self):
+        """Every supported /Filter — incl. the LZW reuse of the TIFF
+        codec, RLE with its 128 EOD, both ASCII armors, and a
+        two-stage chain — reproduces the raster exactly."""
+        from streamprocess_spark.functions import pdf as P
+
+        img = self._img(48, 64, seed=21)
+        for f in ("FlateDecode", "LZWDecode", "RunLengthDecode",
+                  "ASCIIHexDecode", "ASCII85+Flate", None):
+            got = P.np_extract_pdf_images(P.np_build_pdf_image(img, f))
+            assert len(got) == 1 and np.array_equal(got[0], img), f
+        raw = P.np_build_pdf_image(img, "ASCII85+Flate")
+        assert b"[/ASCII85Decode /FlateDecode]" in raw
+        # totality: any cut before the image stream ends must raise
+        # cleanly (cuts after it leave a valid extractable image)
+        stream_end = raw.index(b"endstream")
+        for k in range(0, stream_end, 37):
+            with pytest.raises((ValueError, NotImplementedError)):
+                P.np_extract_pdf_images(raw[:k])
+
     def test_pdf_flate_lossless_and_dct_exact(self):
         from streamprocess_spark.functions import pdf as P
 
