@@ -84,6 +84,16 @@ def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.
                 f"TIFF dims {img.shape[::-1]} != metadata {width}x{height}"
             )
         return img
+    if fmt == "GIF":
+        from streamprocess_spark.functions.gif import np_decode_gif
+
+        frames, _screen = np_decode_gif(raw)
+        img = np_png_to_gray(frames[0])        # first frame, 601 luma
+        if img.shape != (height, width):
+            raise ValueError(
+                f"GIF dims {img.shape[::-1]} != metadata {width}x{height}"
+            )
+        return img
     if fmt != "GRAY8":
         raise NotImplementedError(
             f"decode for {fmt} needs an image codec (PIL/OpenCV); the "

@@ -45,6 +45,8 @@ _SNIFFERS = (
     (b"RAWV", "RAWV", "video_batch", "low"),
     (b"OggS", "OPUS", "stt_batch", "normal"),
     (b"\x1a\x45\xdf\xa3", "MKV", "video_batch", "low"),
+    (b"GIF87a", "GIF", "ocr_single", "normal"),
+    (b"GIF89a", "GIF", "ocr_single", "normal"),
 )
 
 
@@ -125,6 +127,10 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
 
             np_parse_mp4_jpeg(raw)
+        elif fmt == "GIF":
+            from streamprocess_spark.functions.gif import np_decode_gif
+
+            np_decode_gif(raw)
         elif fmt == "MKV":
             # EBML walk + track/block validation; V_MJPEG decodes for
             # real, VP8/VP9/AV1 NotImplementedError → dead-letter

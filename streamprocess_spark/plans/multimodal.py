@@ -1141,6 +1141,128 @@ def q92_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q136: GIF container ingest (S15) — real LZW codec, exact-pixel oracle
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _synth_gif_udf(doc_id: pd.Series) -> pd.Series:
+    """The q92 formula page as a real GIF: identity gray palette (so
+    palette lookup reproduces the raster and luma == index), interlace
+    by d%2, and every 5th doc carries a SECOND frame (the inverted
+    page) to exercise multi-frame walks — pixel sums stay closed-form."""
+    from streamprocess_spark.functions.gif import (
+        _lzw_gif_encode, np_encode_gif,
+    )
+    import struct as _struct
+
+    _gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+
+    def enc(d: int) -> bytes:
+        raw, w, h = _np_synth_image(int(d))
+        idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        gif = np_encode_gif(idx, _gray, interlace=bool(d % 2))
+        if d % 5 == 0:                          # append inverted frame
+            inv = (255 - idx).astype(np.uint8)
+            body = b"," + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00\x08"
+            lzw = _lzw_gif_encode(inv.tobytes(), 8)
+            for i in range(0, len(lzw), 255):
+                blk = lzw[i:i + 255]
+                body += bytes([len(blk)]) + blk
+            body += b"\x00"
+            gif = gif[:-1] + body + b";"        # splice before trailer
+        return gif
+
+    return doc_id.apply(enc)
+
+
+_GIF_STATS_SCHEMA = T.StructType([
+    T.StructField("gif_w", T.IntegerType()),
+    T.StructField("gif_h", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_sum_all", T.LongType()),
+])
+
+
+@pandas_udf(_GIF_STATS_SCHEMA)
+def _gif_stats_udf(gif: pd.Series) -> pd.DataFrame:
+    from streamprocess_spark.functions.gif import np_decode_gif
+    from streamprocess_spark.functions.image import np_png_to_gray
+
+    rows = []
+    for raw in gif:
+        frames, (w, h) = np_decode_gif(bytes(raw))
+        lumas = [np_png_to_gray(f).astype(np.int64) for f in frames]
+        rows.append({
+            "gif_w": int(w), "gif_h": int(h),
+            "n_frames": len(frames),
+            "px_sum": int(lumas[0].sum()),
+            "px_sum_all": int(sum(p.sum() for p in lumas)),
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q136_gif_ingest",
+    oracle=f"""
+    WITH {_BLOCK_CTE},
+    dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN 60
+                    ELSE 160 + (doc_id % 3) * 80 END AS w,
+               120 + (doc_id % 2) * 60 AS h
+        FROM documents
+    ),
+    base AS (
+        SELECT m.doc_id, m.w, m.h,
+               cast(m.w * m.h * 255
+                    - coalesce(sum(b.bw * 20), 0) * 215 AS BIGINT) AS px
+        FROM dims m LEFT JOIN blk b USING (doc_id)
+        GROUP BY m.doc_id, m.w, m.h
+    )
+    SELECT doc_id,
+           cast(w AS INT) AS gif_w,
+           cast(h AS INT) AS gif_h,
+           cast(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_frames,
+           px AS px_sum,
+           cast(CASE WHEN doc_id % 5 = 0
+                     THEN px + (cast(w AS BIGINT) * h * 255 - px)
+                     ELSE px END AS BIGINT) AS px_sum_all
+    FROM base
+    """,
+    covers=("S15",),
+    doc="GIF container ingest (S15, the web-scrape image format): "
+        "pages as real GIF89a files through the from-scratch decoder "
+        "(functions/gif.py — LSB-first variable-width LZW with "
+        "mid-stream Clears, sub-block framing, global/local color "
+        "tables, 4-pass interlace, multi-frame walks; fixtures cycle "
+        "interlaced/sequential and every 5th doc is two-frame). "
+        "Identity gray palette makes luma == index, so the exact "
+        "pixel sums (first frame AND all frames — inverted second "
+        "frame sums to w*h*255 - px) come from the same closed "
+        "formula as q92. Reference accepts GIFs via cv2.imdecode "
+        "(ocr_worker.py:283-308). Scale: map-only, zero shuffles.",
+)
+def q136_gif_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id")
+        .withColumn("gif", _synth_gif_udf(F.col("doc_id")))
+        .withColumn("s", _gif_stats_udf(F.col("gif")))
+        .select(
+            "doc_id",
+            F.col("s.gif_w").alias("gif_w"),
+            F.col("s.gif_h").alias("gif_h"),
+            F.col("s.n_frames").alias("n_frames"),
+            F.col("s.px_sum").alias("px_sum"),
+            F.col("s.px_sum_all").alias("px_sum_all"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # video path (SURVEY §2.13 multimodal: frame sampling over a video column)
 # ---------------------------------------------------------------------------
 

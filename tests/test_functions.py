@@ -923,6 +923,72 @@ class TestMp4:
         assert make_envelope(raw[:-25])["type"] == "corrupt_media"
 
 
+# ------------------------------------------------- GIF container (S15)
+
+
+class TestGif:
+    """GIF87a/89a codec (functions/gif.py): LSB-first variable-width
+    LZW, interlace, color tables, multi-frame walks, totality."""
+
+    def test_roundtrip_palettes_and_interlace(self):
+        from streamprocess_spark.functions import gif as G
+
+        rng = np.random.default_rng(7)
+        for n_colors in (4, 16, 256):
+            pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+            idx = rng.integers(0, n_colors, (23, 37)).astype(np.uint8)
+            for inter in (False, True):
+                frames, (w, h) = G.np_decode_gif(
+                    G.np_encode_gif(idx, pal, interlace=inter))
+                assert (w, h) == (37, 23)
+                assert np.array_equal(frames[0], pal[idx]), (n_colors, inter)
+
+    def test_width_growth_and_clear_codes(self):
+        """A large 256-color image walks the LZW width 9→12 and takes
+        the 4096-entry Clear reset path."""
+        from streamprocess_spark.functions import gif as G
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        idx = rng.integers(0, 256, (80, 120)).astype(np.uint8)
+        raw = G.np_encode_gif(idx, pal)
+        assert np.array_equal(G.np_decode_gif(raw)[0][0], pal[idx])
+        # compressible content actually shrinks
+        flat = np.zeros((80, 120), np.uint8)
+        assert len(G.np_encode_gif(flat, pal)) < flat.size // 4
+
+    def test_extensions_skipped_and_totality(self):
+        from streamprocess_spark.functions import gif as G
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+        idx = rng.integers(0, 8, (9, 11)).astype(np.uint8)
+        raw = G.np_encode_gif(idx, pal)
+        # splice a Graphic Control Extension before the image block
+        at = raw.index(b",")
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        spliced = raw[:at] + gce + raw[at:]
+        assert np.array_equal(G.np_decode_gif(spliced)[0][0], pal[idx])
+        with pytest.raises(ValueError, match="signature"):
+            G.np_decode_gif(b"GIF90a" + raw[6:])
+        for k in range(0, len(raw), 7):
+            with pytest.raises(ValueError):
+                G.np_decode_gif(raw[:k])
+
+    def test_decode_image_and_ingest_route(self):
+        from streamprocess_spark.functions import gif as G
+        from streamprocess_spark.io.ingest import make_envelope, sniff_format
+
+        gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        img = _block_image()
+        raw = G.np_encode_gif(img, gray)
+        out = I.decode_image(raw, 200, 150, fmt="GIF")
+        assert np.array_equal(out, img)        # identity palette → luma
+        assert sniff_format(raw) == ("GIF", "ocr_single", "normal")
+        assert make_envelope(raw)["type"] == "ocr_single"
+        assert make_envelope(raw[:-9])["type"] == "corrupt_media"
+
+
 # -------------------------------------------- Matroska container (S15)
 
 

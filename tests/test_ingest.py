@@ -48,7 +48,8 @@ def test_sniffers():
     assert sniff_format(_jpeg())[0] == "JPEG"
     assert sniff_format(I.np_encode_bmp(np.zeros((4, 4), np.uint8)))[0] == "BMP"
     assert sniff_format(V.np_build_rawv(np.zeros((1, 4, 4), np.uint8)))[0] == "RAWV"
-    assert sniff_format(b"GIF89a....")[0] == "UNKNOWN"
+    assert sniff_format(b"GIF89a....")[0] == "GIF"   # real codec now
+    assert sniff_format(b"FORM1234")[0] == "UNKNOWN"
     # RIFF that is neither WAVE nor AVI must not sniff as WAV
     webp = b"RIFF" + (100).to_bytes(4, "little") + b"WEBP" + b"\x00" * 100
     assert sniff_format(webp) == ("UNKNOWN", "unsupported_media", "low")
@@ -78,11 +79,14 @@ def test_ingest_routes_and_validates(tmp_path):
     torn_flac[-1] ^= 0xFF
     badf = ingest_bytes(qdir, bytes(torn_flac), name="t.flac", enqueued_at=3.5)
     assert badf["type"] == "corrupt_media"
-    unk = ingest_bytes(qdir, b"GIF89a" + b"\x00" * 10, enqueued_at=4.0)
+    # garbage behind a real GIF magic → codec rejection → dead-letter
+    badg = ingest_bytes(qdir, b"GIF89a" + b"\x00" * 10, enqueued_at=3.8)
+    assert badg["type"] == "corrupt_media"
+    unk = ingest_bytes(qdir, b"FORM" + b"\x00" * 10, enqueued_at=4.0)
     assert unk["type"] == "unsupported_media"
     # corrupt/unknown jobs land on the low queue, valid media on normal
     lines = open(f"{qdir}/low.jsonl").read().splitlines()
-    assert len(lines) == 3
+    assert len(lines) == 4
     assert len(open(f"{qdir}/normal.jsonl").read().splitlines()) == 4
 
 
@@ -129,7 +133,7 @@ def test_streaming_ingest_edge(spark, tmp_path):
     (land / "a.wav").write_bytes(_wav())
     (land / "b.flac").write_bytes(_flac())
     (land / "c.jpg").write_bytes(_jpeg())
-    (land / "d.bin").write_bytes(b"GIF89a" + b"\x00" * 20)   # unknown
+    (land / "d.bin").write_bytes(b"FORM" + b"\x00" * 20)     # unknown
     (land / "e.wav").write_bytes(_wav()[:16])                # corrupt
 
     stream = envelope_stream(spark, str(land))
