@@ -84,6 +84,13 @@ def decode_image(raw: bytes, width: int, height: int, fmt: str = "GRAY8") -> np.
                 f"TIFF dims {img.shape[::-1]} != metadata {width}x{height}"
             )
         return img
+    if fmt == "PNM":
+        img = np_png_to_gray(np_decode_pnm(raw))
+        if img.shape != (height, width):
+            raise ValueError(
+                f"PNM dims {img.shape[::-1]} != metadata {width}x{height}"
+            )
+        return img
     if fmt == "GIF":
         from streamprocess_spark.functions.gif import np_decode_gif
 
@@ -362,6 +369,79 @@ def np_decode_png(raw: bytes) -> np.ndarray:
         out = (out.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
             .astype(np.uint8)
     return out.reshape(h, w) if ch == 1 else out
+
+
+def np_encode_pnm(img: np.ndarray) -> bytes:
+    """Binary netpbm writer: 2-D uint8 → P5 graymap, HxWx3 → P6
+    pixmap (the interchange format OCR toolchains consume)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def np_decode_pnm(raw: bytes) -> np.ndarray:
+    """Netpbm reader: P5/P6 binary and P2/P3 ASCII, '#' comments,
+    maxval up to 65535 (binary 16-bit samples are big-endian per
+    spec; >255 maxvals scale to 8-bit by round(v*255/maxval)).
+    Returns (H, W) gray or (H, W, 3) RGB uint8."""
+    if len(raw) < 2 or raw[0:1] != b"P" or raw[1:2] not in b"2356":
+        raise ValueError("not a PGM/PPM (bad magic)")
+    kind = raw[1:2]
+    pos = 2
+    fields: list[int] = []
+
+    def next_token() -> int:
+        nonlocal pos
+        while pos < len(raw):
+            c = raw[pos:pos + 1]
+            if c == b"#":                      # comment to end of line
+                while pos < len(raw) and raw[pos:pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        tok = raw[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PNM header token {tok!r}")
+        return int(tok)
+
+    w, h, maxval = next_token(), next_token(), next_token()
+    if not (1 <= w <= 20000 and 1 <= h <= 20000 and 1 <= maxval <= 65535):
+        raise ValueError(f"PNM header out of range: {w}x{h} max {maxval}")
+    ch = 3 if kind in (b"3", b"6") else 1
+    n = w * h * ch
+    if kind in (b"5", b"6"):                   # binary: ONE whitespace byte
+        pos += 1
+        if maxval > 255:
+            need = 2 * n
+            if len(raw) - pos < need:
+                raise ValueError("PNM binary data truncated")
+            vals = np.frombuffer(raw, dtype=">u2", count=n, offset=pos)
+        else:
+            if len(raw) - pos < n:
+                raise ValueError("PNM binary data truncated")
+            vals = np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos)
+    else:                                      # ASCII samples
+        vals = np.empty(n, dtype=np.uint32)
+        for i in range(n):
+            vals[i] = next_token()
+    if int(vals.max(initial=0)) > maxval:
+        raise ValueError("PNM sample exceeds declared maxval")
+    if maxval != 255:
+        vals = np.rint(vals.astype(np.float64) * (255.0 / maxval))
+    out = vals.astype(np.uint8)
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
 def np_encode_bmp(img: np.ndarray) -> bytes:

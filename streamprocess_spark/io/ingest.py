@@ -47,6 +47,10 @@ _SNIFFERS = (
     (b"\x1a\x45\xdf\xa3", "MKV", "video_batch", "low"),
     (b"GIF87a", "GIF", "ocr_single", "normal"),
     (b"GIF89a", "GIF", "ocr_single", "normal"),
+    (b"P5", "PNM", "ocr_single", "normal"),   # + whitespace check below
+    (b"P6", "PNM", "ocr_single", "normal"),
+    (b"P2", "PNM", "ocr_single", "normal"),
+    (b"P3", "PNM", "ocr_single", "normal"),
 )
 
 
@@ -55,6 +59,8 @@ def sniff_format(raw: bytes) -> tuple[str, str, str]:
     degrade to ('UNKNOWN', 'unsupported_media', 'low')."""
     for magic, fmt, jtype, prio in _SNIFFERS:
         if raw[: len(magic)] == magic:
+            if fmt == "PNM" and not raw[2:3].isspace():
+                continue  # "P5..." without whitespace is not netpbm
             if fmt == "WAV" and raw[8:12] != b"WAVE":
                 if raw[8:12] == b"AVI ":          # RIFF/AVI container
                     return "AVI", "video_batch", "low"
@@ -127,6 +133,10 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
 
             np_parse_mp4_jpeg(raw)
+        elif fmt == "PNM":
+            from streamprocess_spark.functions.image import np_decode_pnm
+
+            np_decode_pnm(raw)
         elif fmt == "GIF":
             from streamprocess_spark.functions.gif import np_decode_gif
 

@@ -923,6 +923,44 @@ class TestMp4:
         assert make_envelope(raw[:-25])["type"] == "corrupt_media"
 
 
+# ----------------------------------------------- netpbm container (S15)
+
+
+class TestPnm:
+    """PGM/PPM (P2/P3/P5/P6) reader + binary writer — the interchange
+    format OCR toolchains consume."""
+
+    def test_roundtrip_gray_rgb_ascii_16bit(self):
+        rng = np.random.default_rng(2)
+        g = rng.integers(0, 256, (13, 29)).astype(np.uint8)
+        c = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+        assert np.array_equal(I.np_decode_pnm(I.np_encode_pnm(g)), g)
+        assert np.array_equal(I.np_decode_pnm(I.np_encode_pnm(c)), c)
+        body = "P2\n# comment\n4 2\n255\n" + " ".join(map(str, range(8)))
+        assert np.array_equal(
+            I.np_decode_pnm(body.encode()),
+            np.arange(8, dtype=np.uint8).reshape(2, 4))
+        raw16 = b"P5\n29 13\n65535\n" \
+            + (g.astype(np.uint16) * 257).astype(">u2").tobytes()
+        assert np.array_equal(I.np_decode_pnm(raw16), g)
+
+    def test_totality_and_ingest(self):
+        from streamprocess_spark.io.ingest import make_envelope, sniff_format
+
+        g = np.zeros((8, 8), np.uint8)
+        enc = I.np_encode_pnm(g)
+        for k in range(0, len(enc), 11):
+            with pytest.raises(ValueError):
+                I.np_decode_pnm(enc[:k])
+        with pytest.raises(ValueError, match="maxval"):
+            I.np_decode_pnm(b"P2\n1 1\n10\n200\n")
+        assert sniff_format(enc) == ("PNM", "ocr_single", "normal")
+        assert make_envelope(enc)["type"] == "ocr_single"
+        assert make_envelope(enc[:-9])["type"] == "corrupt_media"
+        assert sniff_format(b"P5X" + b"\x00" * 8)[0] == "UNKNOWN"
+        assert np.array_equal(I.decode_image(enc, 8, 8, fmt="PNM"), g)
+
+
 # ------------------------------------------------- GIF container (S15)
 
 
