@@ -207,7 +207,7 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streamprocess_spark.streaming.upsert import (
         compacting_upsert_writer,
-        latest_per_key,
+        read_latest,
     )
 
     stream, _ = events_stream(spark, sf_dir)
@@ -225,7 +225,7 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    latest = latest_per_key(spark.read.parquet(store), ["user_id"]).drop(
-        "batch_id"
-    )
+    # snapshot-isolated read through the commit log: a compaction
+    # landing mid-read can never surface an empty/partial store
+    latest = read_latest(spark, store, ["user_id"]).drop("batch_id")
     return latest.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)

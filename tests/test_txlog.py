@@ -125,3 +125,77 @@ def test_zorder_rewrite_through_log_prunes(spark, tmp_path):
     # corner predicate than the original hash-scattered layout
     assert before_hit == before_total          # scattered: no pruning
     assert after_hit < after_total             # clustered: real pruning
+
+
+def test_concurrent_writers_linearize(spark, tmp_path):
+    """Round-4 verdict #6: two appenders with SEPARATE TxTable
+    instances race the log concurrently; every commit must land, the
+    version chain must be gap-free, and no rows may be lost. The
+    barrier variant below additionally pins both writers to the SAME
+    expected version so the put-if-absent conflict path is observed
+    deterministically."""
+    import threading
+
+    path = str(tmp_path / "t")
+    TxTable.create(spark, path, _df(spark, 0, 10))
+
+    n_writers, n_appends = 2, 4
+    errors: list[Exception] = []
+
+    def writer(w):
+        t = TxTable(path)  # separate instance per writer
+        for i in range(n_appends):
+            lo = 1000 * (w + 1) + 100 * i
+            try:
+                t.append(_df(spark, lo, lo + 50))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors[0]
+
+    t = TxTable(path)
+    # gap-free linearized version chain: create + every append
+    assert t.versions() == list(range(n_writers * n_appends + 1))
+    assert t.read(spark).count() == 10 + n_writers * n_appends * 50
+
+
+def test_concurrent_commit_same_version_conflicts(spark, tmp_path):
+    """Both writers plan against the SAME snapshot version, then race
+    the commit through a barrier: exactly one must win the version
+    file, the loser must raise TxConflict without publishing."""
+    import threading
+
+    path = str(tmp_path / "t")
+    TxTable.create(spark, path, _df(spark, 0, 10))
+
+    barrier = threading.Barrier(2)
+    outcomes: list[str] = []
+
+    def racer(tag):
+        t = TxTable(path)
+        v = t.latest_version()
+        barrier.wait(timeout=60)
+        try:
+            t.commit([{"add": {"path": f"{tag}.parquet", "rows": 1}}], v)
+            outcomes.append(f"win:{tag}")
+        except TxConflict:
+            outcomes.append(f"lose:{tag}")
+
+    threads = [
+        threading.Thread(target=racer, args=(tag,)) for tag in ("a", "b")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert sorted(o.split(":")[0] for o in outcomes) == ["lose", "win"]
+    # exactly one commit published
+    t = TxTable(path)
+    assert t.latest_version() == 1
