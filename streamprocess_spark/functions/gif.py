@@ -173,13 +173,26 @@ def np_encode_gif(idx: np.ndarray, palette: np.ndarray,
 
 
 def np_decode_gif(raw: bytes) -> tuple[list[np.ndarray], tuple[int, int]]:
-    """All frames as (H, W, 3) uint8 RGB + the logical screen size."""
+    """All frames COMPOSITED onto the (H, W, 3) uint8 RGB logical
+    screen, + the logical screen size.
+
+    Round-4 advice: real-world animated GIFs encode later frames as
+    partial sub-rectangles at (left, top); returning them un-composited
+    gave multi-frame stats semantically wrong per-frame values. This
+    decoder now follows the GIF89a disposal model (spec §23, Graphic
+    Control Extension): each frame is painted onto the screen canvas at
+    its offset (transparent-index pixels leave the canvas untouched),
+    and after emission disposal 2 restores the frame rect to the
+    background color while disposal 3 restores the pre-frame canvas.
+    Full-screen frames (offsets 0, frame dims == screen dims, the
+    in-repo fixture shape) compose to exactly their own raster."""
     if not looks_like_gif(raw):
         raise ValueError("not a GIF (bad signature)")
     if len(raw) < 13:
         raise ValueError("GIF header truncated")
     w, h = struct.unpack_from("<HH", raw, 6)
     packed = raw[10]
+    bg_index = raw[11]
     gct = None
     pos = 13
     if packed & 0x80:
@@ -189,24 +202,41 @@ def np_decode_gif(raw: bytes) -> tuple[list[np.ndarray], tuple[int, int]]:
             raise ValueError("GIF global color table truncated")
         gct = tbl.reshape(size, 3)
         pos += 3 * size
+    bg_color = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = bg_color
+    gce: tuple[int, int | None] | None = None      # (disposal, t_index)
     frames: list[np.ndarray] = []
     while pos < len(raw):
         b = raw[pos]
         if b == 0x3B:                              # trailer
             break
         if b == 0x21:                              # extension block
+            if pos + 2 > len(raw):
+                raise ValueError("GIF extension truncated")
+            label = raw[pos + 1]
             pos += 2
+            ext = bytearray()
             while pos < len(raw) and raw[pos] != 0:
+                ext += raw[pos + 1:pos + 1 + raw[pos]]
                 pos += 1 + raw[pos]
             if pos >= len(raw):
                 raise ValueError("GIF extension truncated")
             pos += 1
+            if label == 0xF9 and len(ext) >= 4:    # Graphic Control
+                p = ext[0]
+                gce = ((p >> 2) & 7, ext[3] if (p & 1) else None)
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         if pos + 10 > len(raw):
             raise ValueError("GIF image descriptor truncated")
-        _ix, _iy, iw, ih = struct.unpack_from("<HHHH", raw, pos + 1)
+        ix, iy, iw, ih = struct.unpack_from("<HHHH", raw, pos + 1)
+        if ix + iw > w or iy + ih > h:
+            raise ValueError("GIF frame rect exceeds logical screen")
         if iw == 0 or ih == 0:
             raise ValueError("GIF frame has zero dimension")
         flags = raw[pos + 9]
@@ -250,7 +280,21 @@ def np_decode_gif(raw: bytes) -> tuple[list[np.ndarray], tuple[int, int]]:
                 out[s::st] = idx[at:at + nrows]
                 at += nrows
             idx = out
-        frames.append(lct[idx])
+        disposal, t_index = gce if gce is not None else (0, None)
+        gce = None
+        prev = canvas.copy() if disposal == 3 else None
+        rgb = lct[idx]
+        region = canvas[iy:iy + ih, ix:ix + iw]
+        if t_index is not None:
+            mask = idx != t_index
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:                          # restore to background
+            canvas[iy:iy + ih, ix:ix + iw] = bg_color
+        elif disposal == 3 and prev is not None:   # restore to previous
+            canvas = prev
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames, (w, h)

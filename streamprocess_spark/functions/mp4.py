@@ -226,8 +226,18 @@ def np_probe_mp4(raw: bytes) -> dict:
         if stts_samples != len(stbl["sizes"]):
             raise ValueError("MP4 stts/stsz sample counts disagree")
         stts_dur = sum(c * d for c, d in stbl["stts"])
-        if stts_dur != mdur:
-            raise ValueError("MP4 stts duration != mdhd duration")
+        # real-world muxers legitimately disagree here (edit lists,
+        # last-sample rounding): tolerate up to one sample's duration,
+        # and surface larger gaps as a warning field rather than
+        # dead-lettering a valid file (round-4 advice). Structural
+        # corruption is still caught by the stts/stsz count check.
+        max_sample_dur = max((d for _c, d in stbl["stts"]), default=0)
+        delta = int(mdur) - int(stts_dur)
+        duration_warning = (
+            f"stts/mdhd duration mismatch: {stts_dur} vs {mdur}"
+            if abs(delta) > max_sample_dur
+            else None
+        )
         tracks.append({
             "handler": handler,
             "codec": stbl["codec"],
@@ -236,6 +246,7 @@ def np_probe_mp4(raw: bytes) -> dict:
             "height": int(stbl.get("height", 0)),
             "duration_ms": int(mdur * 1000 // mts),
             "total_bytes": int(sum(e - s for s, e in ranges)),
+            "duration_warning": duration_warning,
         })
     if not tracks:
         raise ValueError("MP4 has no tracks")

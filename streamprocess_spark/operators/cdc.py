@@ -141,7 +141,13 @@ def cdc_near_dup_groups(
     ex = (
         chunked.select(
             F.col(id_col),
-            F.size("chunks").cast("long").alias("n_chunks"),
+            # DISTINCT-hash count, not raw chunk count: `shared` below
+            # counts distinct hashes, so both sides of the Jaccard
+            # ratio must use set semantics — duplicate-counted chunks
+            # (zero padding, repeated headers) would otherwise deflate
+            # the ratio and miss true duplicates (round-4 advice)
+            F.size(F.array_distinct(F.col("chunks.chunk_hash")))
+            .cast("long").alias("n_chunks"),
             F.aggregate(
                 "chunks", F.lit(0).cast("long"),
                 lambda a, c: a + c["chunk_len"].cast("long"),

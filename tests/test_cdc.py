@@ -97,3 +97,24 @@ class TestSparkOp:
         # shared-prefix chunks appear in 5 > 2 docs → dropped → no
         # doc can reach jaccard 0.5 on its distinct majority
         assert all(r.dup_group == r.doc_id for r in out)
+
+    def test_repeated_chunks_use_set_semantics(self, spark):
+        """Round-4 advice: payloads dominated by REPEATED identical
+        chunks (zero padding — a long zero run chunks into identical
+        max_size pieces) must still group. With duplicate-counted
+        n_chunks the Jaccard denominator inflates (na=5, nb=9 here,
+        ratio ~0.17) and the pair is missed; with distinct-hash
+        counts both docs reduce to {zero-chunk, tail-chunk} and the
+        ratio is 1.0."""
+        tail = bytes(range(256)) * 2                  # shared 512B tail
+        rows = [
+            (0, b"\x00" * (2048 * 4) + tail),
+            (1, b"\x00" * (2048 * 8) + tail),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        chunked = df.select(
+            "doc_id", cdc_chunks_udf()(F.col("payload")).alias("chunks")
+        )
+        out = {r.doc_id: r for r in cdc_near_dup_groups(chunked).collect()}
+        assert out[0].dup_group == 0 and out[1].dup_group == 0
+        assert out[0].group_size == 2 and out[1].group_size == 2

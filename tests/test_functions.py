@@ -914,6 +914,29 @@ class TestMp4:
         with pytest.raises(NotImplementedError, match="avc1"):
             M4.np_demux_mp4_jpeg(bytes(mut))
 
+    def test_mdhd_stts_mismatch_tolerated(self):
+        """Round-4 advice: muxers legitimately leave mdhd != stts-sum
+        (edit lists, last-sample rounding). Within one sample delta the
+        probe is silent; beyond that it WARNS instead of dead-lettering
+        a structurally valid file."""
+        from streamprocess_spark.functions import mp4 as M4
+
+        raw, _, _ = self._mp4(nf=5, fps=25)
+        dur_at = raw.index(b"mdhd") + 4 + 4 + 12  # v0 duration field
+        base_dur = int.from_bytes(raw[dur_at:dur_at + 4], "big")
+
+        # one-sample rounding delta (sample dur = timescale/fps): quiet
+        one = bytearray(raw)
+        one[dur_at:dur_at + 4] = (base_dur + 3).to_bytes(4, "big")
+        t = M4.np_probe_mp4(bytes(one))["tracks"][0]
+        assert t["duration_warning"] is None
+
+        # large edit-list-style gap: surfaced as a warning, not a raise
+        big = bytearray(raw)
+        big[dur_at:dur_at + 4] = (base_dur * 3).to_bytes(4, "big")
+        t = M4.np_probe_mp4(bytes(big))["tracks"][0]
+        assert t["duration_warning"] and "mismatch" in t["duration_warning"]
+
     def test_ingest_sniffs_and_routes_mp4(self):
         from streamprocess_spark.io.ingest import make_envelope, sniff_format
 
@@ -1012,6 +1035,61 @@ class TestGif:
         for k in range(0, len(raw), 7):
             with pytest.raises(ValueError):
                 G.np_decode_gif(raw[:k])
+
+    def test_partial_frames_composited_on_screen(self):
+        """Round-4 advice: animated GIFs with partial sub-rectangle
+        frames must composite onto the logical screen at (left, top)
+        per the GIF89a disposal model, not decode standalone."""
+        import struct
+
+        from streamprocess_spark.functions import gif as G
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        full = np.ones((8, 8), np.uint8)             # all red
+        raw = bytearray(G.np_encode_gif(full, pal))
+        assert raw[-1:] == b";"
+        del raw[-1:]                                 # reopen the stream
+
+        def image_block(idx, ix, iy, gce_packed=None, t_index=0):
+            blk = bytearray()
+            if gce_packed is not None:
+                blk += bytes([0x21, 0xF9, 4, gce_packed, 0, 0, t_index, 0])
+            ih_, iw_ = idx.shape
+            blk += b"," + struct.pack("<HHHH", ix, iy, iw_, ih_) + b"\x00"
+            blk += bytes([2])                        # min code size
+            lzw = G._lzw_gif_encode(idx.tobytes(), 2)
+            for i in range(0, len(lzw), 255):
+                blk += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+            blk += b"\x00"
+            return bytes(blk)
+
+        # frame 2: 2x2 green patch at (3, 2), disposal 2 (restore bg)
+        raw += image_block(
+            np.full((2, 2), 2, np.uint8), 3, 2, gce_packed=(2 << 2)
+        )
+        # frame 3: 2x1 blue+transparent at (0, 0)
+        raw += image_block(
+            np.array([[3, 0]], np.uint8), 0, 0,
+            gce_packed=(0 << 2) | 1, t_index=0,
+        )
+        raw += b";"
+
+        frames, (w, h) = G.np_decode_gif(bytes(raw))
+        assert (w, h) == (8, 8) and len(frames) == 3
+        assert np.array_equal(frames[0], pal[full])
+        # frame 2 = red screen with the green patch composited in
+        want2 = pal[full].copy()
+        want2[2:4, 3:5] = [0, 255, 0]
+        assert np.array_equal(frames[1], want2)
+        # disposal 2 restored the patch rect to background (index 0 =
+        # black is the header background); transparent pixel at (0,1)
+        # leaves the red canvas; blue lands at (0,0)
+        want3 = pal[full].copy()
+        want3[2:4, 3:5] = pal[0]
+        want3[0, 0] = [0, 0, 255]
+        assert np.array_equal(frames[2], want3)
 
     def test_decode_image_and_ingest_route(self):
         from streamprocess_spark.functions import gif as G
