@@ -342,12 +342,19 @@ def _doc_signatures_oracle() -> str:
         SELECT content_hash, min(doc_id) AS canonical_id,
                count(*) AS cluster_size
         FROM base GROUP BY content_hash
+    ), cdc AS (
+        SELECT doc_id,
+               cast(doc_id % 40 AS BIGINT) AS cdc_group,
+               cast(count(*) OVER (PARTITION BY doc_id % 40) AS BIGINT)
+                   AS cdc_group_size
+        FROM documents
     )
     SELECT b.doc_id, b.content_hash, c.canonical_id, c.cluster_size,
-           b.fp, s.simhash
+           b.fp, s.simhash, d.cdc_group, d.cdc_group_size
     FROM base b
     JOIN clus c USING (content_hash)
     JOIN simf s USING (doc_id)
+    JOIN cdc d USING (doc_id)
     """
 
 
@@ -360,11 +367,20 @@ def _doc_signatures_oracle() -> str:
         "dropDuplicates-with-audit form), canonical-form fingerprint "
         "(order-insensitive token-set md5), and 48-bit SimHash. One "
         "shuffle on content_hash (window agg) + one doc_id-keyed join "
-        "for the simhash — both bucketable at 100 TB.",
+        "for the simhash — both bucketable at 100 TB. Plus the "
+        "BYTE-level leg (q135 fixtures): FastCDC content-defined "
+        "chunking → frequency-capped chunk-hash equi-join → Jaccard "
+        ">= 0.5 min-id groups; the oracle recovers each doc's true "
+        "dup group and full group size in closed form.",
 )
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.operators import dedup as D
     from streamprocess_spark.operators import text as X
+    from streamprocess_spark.operators.cdc import (
+        cdc_chunks_udf,
+        cdc_near_dup_groups,
+    )
+    from streamprocess_spark.plans.llm_pipeline import _synth_blob_udf
 
     docs = load_tables(spark, sf_dir)["documents"]
     base = docs.select(
@@ -381,7 +397,15 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
     )
     sim = D.simhash(docs, "doc_id", "text")
-    return clustered.join(sim, "doc_id")
+    chunked = docs.select("doc_id").withColumn(
+        "chunks", cdc_chunks_udf()(_synth_blob_udf(F.col("doc_id")))
+    )
+    cdc = cdc_near_dup_groups(chunked).select(
+        "doc_id",
+        F.col("dup_group").cast("bigint").alias("cdc_group"),
+        F.col("group_size").cast("bigint").alias("cdc_group_size"),
+    )
+    return clustered.join(sim, "doc_id").join(cdc, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +695,14 @@ def _image_suite_oracle() -> str:
                     * 64 AS BIGINT) AS page_px_sum
         FROM documents d, range(0, 48) t(b)
         GROUP BY d.doc_id
+    ),
+    vid AS (
+        SELECT d.doc_id,
+               cast(sum((128 + 2 * ((d.doc_id * 17 + t.k * 5 + u.b) % 57
+                                    - 28)) * 64) AS BIGINT) AS luma_total
+        FROM documents d, range(0, 7) t(k), range(0, 24) u(b)
+        WHERE t.k < 3 + d.doc_id % 4
+        GROUP BY d.doc_id
     )
     SELECT m.doc_id,
            CASE WHEN m.doc_id % 10 = 1 THEN 'too_small'
@@ -696,9 +728,22 @@ def _image_suite_oracle() -> str:
            dc.page_px_sum AS pdf_px_sum,
            cj.y_sum AS cjpeg_y_sum,
            cj.cb_sum AS cjpeg_cb_sum,
-           cj.cr_sum AS cjpeg_cr_sum
+           cj.cr_sum AS cjpeg_cr_sum,
+           cast(CASE WHEN m.doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS gif_n_frames,
+           cast(CASE WHEN m.doc_id % 5 = 0
+                     THEN cast(m.w AS BIGINT) * m.h * 255
+                     ELSE cast(m.w AS BIGINT) * m.h * 255 - a.area * 215
+                END AS BIGINT) AS gif_px_all,
+           vd.luma_total AS avi_luma_total,
+           cast((3 + m.doc_id % 4) * 100 AS BIGINT) AS mp4_duration_ms,
+           vd.luma_total AS mp4_luma_total,
+           CASE WHEN m.doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END
+               AS mkv_doctype,
+           vd.luma_total AS mkv_luma_total
     FROM dims m JOIN agg a USING (doc_id) JOIN jp USING (doc_id)
          JOIN doccont dc USING (doc_id) JOIN cjp cj USING (doc_id)
+         JOIN vid vd USING (doc_id)
     """
 
 
@@ -725,7 +770,12 @@ def _image_suite_oracle() -> str:
         "byte orders) and PDF image-XObject extraction (alternating "
         "Flate/DCT filters) — both exact pixel sums. Plus S15 COLOR "
         "JPEG: YCbCr 4:2:0/4:4:4 interleaved-MCU decode (q129 "
-        "fixtures) with exact per-channel sums.",
+        "fixtures) with exact per-channel sums. Plus S15 GIF (q136 "
+        "fixtures: real LZW + interlace + multi-frame, exact "
+        "all-frames pixel sum) and the three VIDEO container paths "
+        "(q131 AVI/RIFF, q133 MP4/ISO-BMFF, q134 MKV/EBML — shared "
+        "DC-exact MJPEG frame family, per-container exact luma "
+        "totals + MP4 sample-table duration + MKV doctype).",
 )
 def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.functions.image import (
@@ -738,13 +788,21 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_binarize_count_udf,
         validate_image_udf,
     )
+    from streamprocess_spark.functions.video import sample_frames_udf
     from streamprocess_spark.plans.multimodal import (
         _cjpeg_stats_udf as _cjpeg_stats,
+        _gif_stats_udf as _gif_stats,
         _image_df,
         _jpeg_stats_udf as _jpeg_stats,
+        _mkv_meta_udf as _mkv_meta,
+        _mp4_meta_udf as _mp4_meta,
         _pdf_stats_udf as _pdf_sum,
+        _synth_avi_udf as _synth_avi,
         _synth_color_jpeg_udf as _synth_cjpeg,
+        _synth_gif_udf as _synth_gif,
         _synth_jpeg_udf as _synth_jpeg,
+        _synth_mkv_udf as _synth_mkv,
+        _synth_mp4_udf as _synth_mp4,
         _synth_pdf_udf as _synth_pdf,
         _synth_tiff_udf as _synth_tiff,
         _tiff_sum_udf as _tiff_sum,
@@ -752,6 +810,16 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     img = _image_df(spark, sf_dir)
     cnt2x = resize_binarize_count_udf(2.0)
+    # the three video-container paths (RIFF/AVI, ISO-BMFF/MP4, EBML/MKV)
+    # wrap the SAME DC-exact MJPEG frame family, so one closed-form
+    # luma-total oracle column checks each demux+decode independently
+    _luma_total = (
+        "aggregate(transform({c}, x -> x.luma_sum), "
+        "cast(0 as bigint), (a, x) -> a + x)"
+    )
+    avi_frames = sample_frames_udf(step=1, fmt="AVI")
+    mp4_frames = sample_frames_udf(step=1, fmt="MP4")
+    mkv_frames = sample_frames_udf(step=1, fmt="MKV")
 
     # F23: block-0 corner quad (x,y),(x+bw,y+e),(x+bw-e,y+20),(x,y+20-e2)
     # → bbox via native array_min/array_max (no UDF), NULL for pages
@@ -789,6 +857,14 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cj", _cjpeg_stats(_synth_cjpeg(F.col("doc_id"))))
         .withColumn("tiff_px_sum", _tiff_sum(_synth_tiff(F.col("doc_id"))))
         .withColumn("pp", _pdf_sum(_synth_pdf(F.col("doc_id"))))
+        .withColumn("gs", _gif_stats(_synth_gif(F.col("doc_id"))))
+        .withColumn("avi_fr", avi_frames(_synth_avi(F.col("doc_id"))))
+        .withColumn("mp4b", _synth_mp4(F.col("doc_id")))
+        .withColumn("m4", _mp4_meta(F.col("mp4b")))
+        .withColumn("mp4_fr", mp4_frames(F.col("mp4b")))
+        .withColumn("mkvb", _synth_mkv(F.col("doc_id")))
+        .withColumn("mk", _mkv_meta(F.col("mkvb")))
+        .withColumn("mkv_fr", mkv_frames(F.col("mkvb")))
         .select(
             "doc_id",
             F.col("v.reason").alias("reason"),
@@ -821,6 +897,18 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cj.y_sum").alias("cjpeg_y_sum"),
             F.col("cj.cb_sum").alias("cjpeg_cb_sum"),
             F.col("cj.cr_sum").alias("cjpeg_cr_sum"),
+            # S15 GIF: real GIF89a decode (q136 fixtures — LZW,
+            # interlace, multi-frame) — frame count + all-frames sum
+            F.col("gs.n_frames").cast("bigint").alias("gif_n_frames"),
+            F.col("gs.px_sum_all").alias("gif_px_all"),
+            # S15 video containers (q131/q133/q134 fixtures): each
+            # container's demux feeds the repo's JPEG codec; the luma
+            # totals are exact and independent per path
+            F.expr(_luma_total.format(c="avi_fr")).alias("avi_luma_total"),
+            F.col("m4.duration_ms").alias("mp4_duration_ms"),
+            F.expr(_luma_total.format(c="mp4_fr")).alias("mp4_luma_total"),
+            F.col("mk.doctype").alias("mkv_doctype"),
+            F.expr(_luma_total.format(c="mkv_fr")).alias("mkv_luma_total"),
         )
     )
 
