@@ -187,6 +187,98 @@ def make_envelope(raw: bytes, *, name: str = "", enqueued_at: float = 0.0) -> di
     }
 
 
+# ---------------------------------------------------------------------------
+# DocumentRequest oneof (protos/stream_process.proto:199-206): jobs
+# carry EITHER inline bytes (image_content, b64 — ocr_worker.py:287-293)
+# OR a document_url (S3/HTTP — left UNIMPLEMENTED by the reference,
+# ocr_worker.py:296-300 "URL loading not yet implemented"). This
+# completes the oneof behind the same pluggable mock-first boundary as
+# functions/inference.py: fetchers are registered per URL scheme, the
+# container ships a real file:// fetcher (any executor-visible mount),
+# and http/s3 stay pluggable (no network in this container; on a
+# cluster, register boto3/requests-backed callables). Fetch failures
+# dead-letter as `fetch_failed`, never crash the edge.
+# ---------------------------------------------------------------------------
+
+
+def _fetch_file(url: str) -> bytes:
+    path = url[len("file://"):]
+    with open(path, "rb") as f:
+        return f.read()
+
+
+_FETCHERS: dict = {"file": _fetch_file}
+
+
+def register_fetcher(scheme: str, fn) -> None:
+    """Plug a URL fetcher for `scheme` ('http', 's3', ...): a callable
+    (url: str) -> bytes. Mirrors the inference module's engine map —
+    deterministic mocks in tests, real clients on a cluster."""
+    _FETCHERS[scheme.lower()] = fn
+
+
+def fetch_document(url: str) -> bytes:
+    scheme = url.split("://", 1)[0].lower() if "://" in url else ""
+    fn = _FETCHERS.get(scheme)
+    if fn is None:
+        raise ValueError(f"no fetcher registered for scheme {scheme!r}")
+    return fn(url)
+
+
+def resolve_document_job(
+    job: dict, *, enqueued_at: float = 0.0
+) -> dict:
+    """DocumentRequest oneof → validated job envelope. `job` carries
+    exactly one of `image_content` (bytes, or b64 str — the proto wire
+    shape) or `document_url`. Resolution failures produce a
+    `fetch_failed` dead-letter envelope carrying the error, preserving
+    the reference's nack-don't-crash contract (stt_worker.py:115-137)."""
+    has_inline = "image_content" in job
+    has_url = "document_url" in job
+    if has_inline == has_url:  # neither, or both: malformed oneof
+        return {
+            "job_id": "",
+            "type": "malformed_job",
+            "priority": "low",
+            "enqueued_at": float(enqueued_at),
+            "payload": {"error": "DocumentRequest oneof violated: need "
+                                 "exactly one of image_content / "
+                                 "document_url"},
+        }
+    if has_inline:
+        raw = job["image_content"]
+        if isinstance(raw, str):
+            raw = base64.b64decode(raw)
+        return make_envelope(bytes(raw), name=str(job.get("name", "")),
+                             enqueued_at=enqueued_at)
+    url = str(job["document_url"])
+    try:
+        raw = fetch_document(url)
+    except Exception as e:  # noqa: BLE001 — edge must not crash
+        return {
+            "job_id": hashlib.md5(url.encode()).hexdigest()[:16],
+            "type": "fetch_failed",
+            "priority": "low",
+            "enqueued_at": float(enqueued_at),
+            "payload": {"document_url": url, "error": str(e)},
+        }
+    env = make_envelope(raw, name=url.rsplit("/", 1)[-1],
+                        enqueued_at=enqueued_at)
+    env["payload"]["document_url"] = url
+    return env
+
+
+def ingest_document_job(
+    qdir: str, job: dict, *, enqueued_at: float = 0.0
+) -> dict:
+    """Resolve the oneof and enqueue — fetch → sniff → validate →
+    queue, the full round-trip the reference's URL branch never got."""
+    env = resolve_document_job(job, enqueued_at=enqueued_at)
+    enqueue_job(qdir, env["priority"],
+                {k: v for k, v in env.items() if k != "priority"})
+    return env
+
+
 def ingest_bytes(
     qdir: str,
     raw: bytes,

@@ -162,3 +162,227 @@ def test_streaming_ingest_edge(spark, tmp_path):
     dead = spark.read.parquet(str(out / "dead_letter"))
     dead_types = sorted(r["type"] for r in dead.collect())
     assert dead_types == ["corrupt_media", "unsupported_media"]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 verdict #4: one e2e case per _SNIFFERS entry (valid AND a
+# corrupt variant) so every codec's validation path is proven on the
+# landing edge, not just in unit tests.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+def _img24x32() -> "np.ndarray":
+    return np.full((24, 32), 130, dtype=np.uint8)
+
+
+def _mjpeg_frames() -> list:
+    from streamprocess_spark.functions import jpeg as J
+
+    return [J.np_encode_jpeg_gray(_img24x32(), quality=50)]
+
+
+def _gray_pal() -> "np.ndarray":
+    return np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+
+
+def _fix_flac_flip() -> bytes:
+    raw = bytearray(_flac())
+    raw[-1] ^= 0xFF                               # frame CRC broken
+    return bytes(raw)
+
+
+def _tiff(be: bool) -> bytes:
+    return I.np_encode_tiff_gray(_img24x32(), big_endian=be)
+
+
+def _pdf() -> bytes:
+    from streamprocess_spark.functions import pdf as P
+
+    return P.np_build_pdf_image(_img24x32())
+
+
+def _bmp() -> bytes:
+    return I.np_encode_bmp(_img24x32())
+
+
+def _rawv() -> bytes:
+    return V.np_build_rawv(np.zeros((2, 8, 8), np.uint8))
+
+
+def _opus() -> bytes:
+    from streamprocess_spark.functions import ogg_opus as OO
+
+    return OO.np_build_ogg_opus(6)
+
+
+def _mkv() -> bytes:
+    from streamprocess_spark.functions import matroska as MK
+
+    return MK.np_build_mkv_mjpeg(_mjpeg_frames(), 32, 24, fps=10)
+
+
+def _gif(version: bytes) -> bytes:
+    from streamprocess_spark.functions import gif as G
+
+    return G.np_encode_gif(_img24x32(), _gray_pal(), version=version)
+
+
+def _avi() -> bytes:
+    return V.np_build_avi_mjpeg(_mjpeg_frames(), 32, 24, fps=10)
+
+
+def _mp4() -> bytes:
+    from streamprocess_spark.functions import mp4 as M4
+
+    return M4.np_build_mp4_mjpeg(_mjpeg_frames(), 32, 24, fps=10)
+
+
+def _mp3(id3: bool = False) -> bytes:
+    from streamprocess_spark.functions import mpeg_audio as MA
+
+    return MA.np_build_mpeg_frames(6, id3_title="x" if id3 else None)
+
+
+# (case_id, valid_builder, expected_fmt, expected_type, expected_prio,
+#  corrupt_builder) — corrupt keeps the magic so the SNIFF succeeds and
+# the CODEC must reject (truncation / garbage body / broken CRC)
+_EDGE_CASES = [
+    ("wav", _wav, "WAV", "stt_batch", "normal",
+     lambda: _wav()[:12] + b"\x00" * 64),
+    ("flac", _flac, "FLAC", "stt_batch", "normal", _fix_flac_flip),
+    ("png", _png, "PNG", "ocr_single", "normal",
+     lambda: _png()[:12] + b"\x00" * 64),
+    ("jpeg", _jpeg, "JPEG", "ocr_single", "normal",
+     lambda: _jpeg()[:12] + b"\x00" * 64),
+    ("tiff_le", lambda: _tiff(False), "TIFF", "ocr_single", "normal",
+     lambda: _tiff(False)[:4] + b"\xff" * 64),
+    ("tiff_be", lambda: _tiff(True), "TIFF", "ocr_single", "normal",
+     lambda: _tiff(True)[:4] + b"\xff" * 64),
+    ("pdf", _pdf, "PDF", "ocr_batch", "normal",
+     lambda: _pdf()[:12] + b"\x00" * 64),
+    ("bmp", _bmp, "BMP", "ocr_single", "normal",
+     lambda: _bmp()[:12] + b"\x00" * 64),
+    ("rawv", _rawv, "RAWV", "video_batch", "low",
+     lambda: _rawv()[:-5]),                       # torn frame payload
+    ("opus", _opus, "OPUS", "stt_batch", "normal",
+     lambda: _opus()[:12] + b"\x00" * 64),        # page CRC broken
+    ("mkv", _mkv, "MKV", "video_batch", "low",
+     lambda: _mkv()[:12] + b"\x00" * 64),         # EBML VINT garbage
+    ("gif87", lambda: _gif(b"GIF87a"), "GIF", "ocr_single", "normal",
+     lambda: _gif(b"GIF87a")[:12] + b"\x00" * 64),
+    ("gif89", lambda: _gif(b"GIF89a"), "GIF", "ocr_single", "normal",
+     lambda: _gif(b"GIF89a")[:12] + b"\x00" * 64),
+    ("pnm_p5", lambda: I.np_encode_pnm(_img24x32()), "PNM", "ocr_single",
+     "normal", lambda: b"P5\n" + b"\x00" * 64),
+    ("pnm_p6", lambda: I.np_encode_pnm(np.zeros((4, 4, 3), np.uint8)),
+     "PNM", "ocr_single", "normal", lambda: b"P6\n" + b"\x00" * 64),
+    ("pnm_p2", lambda: b"P2\n3 2\n255\n10 20 30\n40 50 60\n", "PNM",
+     "ocr_single", "normal", lambda: b"P2\n" + b"\x00" * 64),
+    ("pnm_p3", lambda: b"P3\n2 1\n255\n1 2 3 4 5 6\n", "PNM",
+     "ocr_single", "normal", lambda: b"P3\n" + b"\x00" * 64),
+    ("avi", _avi, "AVI", "video_batch", "low",
+     lambda: _avi()[:12] + b"\x00" * 64),
+    ("mp4", _mp4, "MP4", "video_batch", "low",
+     lambda: _mp4()[:12] + b"\x00" * 64),
+    ("mp3", _mp3, "MP3", "stt_batch", "normal",
+     lambda: _mp3()[:-10]),                       # torn last frame
+    ("mp3_id3", lambda: _mp3(id3=True), "MP3", "stt_batch", "normal",
+     lambda: _mp3(id3=True)[:-10]),
+]
+
+
+
+
+
+@pytest.mark.parametrize(
+    "case_id,valid,fmt,jtype,prio,corrupt",
+    _EDGE_CASES,
+    ids=[c[0] for c in _EDGE_CASES],
+)
+def test_every_sniffer_edge_to_edge(tmp_path, case_id, valid, fmt, jtype,
+                                    prio, corrupt):
+    """Every sniffable format lands end-to-end: the valid fixture
+    enqueues with the right (format, type, priority) and its payload
+    survives the b64 round-trip; the corrupt variant (magic intact,
+    body the codec must reject) dead-letters as corrupt_media on the
+    low queue instead of crashing the edge."""
+    from streamprocess_spark.io.ingest import make_envelope
+
+    qdir = str(tmp_path / f"q_{case_id}")
+    raw = valid()
+    job = ingest_bytes(qdir, raw, name=f"f.{case_id}", enqueued_at=1.0)
+    assert job["payload"]["format"] == fmt
+    assert (job["type"], job["priority"]) == (jtype, prio)
+    got = json.loads(
+        open(f"{qdir}/{prio}.jsonl").read().splitlines()[-1]
+    )
+    assert base64.b64decode(got["payload"]["content_b64"]) == raw
+
+    bad = make_envelope(corrupt())
+    assert bad["payload"]["format"] == fmt, case_id
+    assert bad["type"] == "corrupt_media", case_id
+    assert bad["priority"] == "low" and bad["payload"]["error"], case_id
+
+
+def test_document_url_oneof_round_trip(tmp_path, spark):
+    """Round-4 verdict #7: the DocumentRequest oneof
+    (image_content | document_url) completed behind a pluggable fetch
+    boundary — mocked fetch → sniff → validate → queue round-trip, and
+    every failure branch dead-letters instead of crashing."""
+    from streamprocess_spark.io.ingest import (
+        ingest_document_job,
+        register_fetcher,
+        resolve_document_job,
+    )
+    from streamprocess_spark.io.queue_source import register_queue_source
+
+    qdir = str(tmp_path / "q")
+    png = _png()
+
+    # inline bytes leg (ocr_worker.py:287-293, incl. the b64 wire shape)
+    env = resolve_document_job({"image_content": png})
+    assert (env["type"], env["payload"]["format"]) == ("ocr_single", "PNG")
+    env_b64 = resolve_document_job(
+        {"image_content": base64.b64encode(png).decode()}
+    )
+    assert env_b64["payload"]["content_b64"] == env["payload"]["content_b64"]
+
+    # file:// fetcher is real; the envelope carries the source URL
+    p = tmp_path / "doc.png"
+    p.write_bytes(png)
+    env = ingest_document_job(
+        qdir, {"document_url": f"file://{p}"}, enqueued_at=1.0
+    )
+    assert (env["type"], env["payload"]["format"]) == ("ocr_single", "PNG")
+    assert env["payload"]["document_url"].endswith("doc.png")
+    assert base64.b64decode(env["payload"]["content_b64"]) == png
+
+    # mock-first pluggable scheme (the inference-module pattern)
+    register_fetcher("mock", lambda url: _wav())
+    env = ingest_document_job(
+        qdir, {"document_url": "mock://bucket/a.wav"}, enqueued_at=2.0
+    )
+    assert (env["type"], env["payload"]["format"]) == ("stt_batch", "WAV")
+
+    # failure branches: unknown scheme / missing file / malformed oneof
+    bad = ingest_document_job(
+        qdir, {"document_url": "s3://nope/x.png"}, enqueued_at=3.0
+    )
+    assert bad["type"] == "fetch_failed" and "s3" in bad["payload"]["error"]
+    bad = resolve_document_job({"document_url": f"file://{tmp_path}/gone"})
+    assert bad["type"] == "fetch_failed"
+    assert resolve_document_job({})["type"] == "malformed_job"
+    assert resolve_document_job(
+        {"image_content": png, "document_url": "file:///x"}
+    )["type"] == "malformed_job"
+
+    # fetched jobs flow through the same priority_queue source
+    register_queue_source(spark)
+    rows = (
+        spark.read.format("priority_queue").option("path", qdir).load()
+        .collect()
+    )
+    types = sorted(r["type"] for r in rows)
+    assert types == ["fetch_failed", "ocr_single", "stt_batch"]
