@@ -26,6 +26,19 @@ The restricted-subset route the FLAC playbook used (from-scratch
 encoder for fixtures) dead-ends for the same reason: a conforming
 ENCODER needs the same tables.
 
+Round-5 coefficient-sourcing attempt (closing the round-4 ask): the
+retrieved public-content channel (PAPERS.md / SNIPPETS.md) was
+searched for Table 3-B.3 / the Table 3-C.1 analysis prototype — zero
+hits (no 11172/MPEG/polyphase material was retrieved at all). The
+remaining Layer I/II pieces ARE formula-defined and would be
+implementable the moment the 512 window values arrive: bit-allocation
+table walk, scalefactor decode (six-bit indices into 2^(-i/3)
+geometric grid), dequantization (ISO §2.4.3.3's closed-form
+(s'''+D)*C grid for each quantizer), and the 32x64 matrixing
+N(i,k) = cos((16+i)(2k+1)pi/64). The window alone gates PCM, so the
+boundary stands as final for this container; the probe/duration layer
+below remains the full extent of offline-derivable MP3 support.
+
 Scale: pure per-row byte parsing behind Arrow pandas UDFs — map-only.
 """
 
