@@ -729,12 +729,18 @@ def _image_suite_oracle() -> str:
            cj.y_sum AS cjpeg_y_sum,
            cj.cb_sum AS cjpeg_cb_sum,
            cj.cr_sum AS cjpeg_cr_sum,
-           cast(CASE WHEN m.doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
-               AS gif_n_frames,
-           cast(CASE WHEN m.doc_id % 5 = 0
-                     THEN cast(m.w AS BIGINT) * m.h * 255
-                     ELSE cast(m.w AS BIGINT) * m.h * 255 - a.area * 215
-                END AS BIGINT) AS gif_px_all,
+           cast(1 + CASE WHEN m.doc_id % 5 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN m.doc_id % 7 = 3 THEN 1 ELSE 0 END
+                AS BIGINT) AS gif_n_frames,
+           cast((cast(m.w AS BIGINT) * m.h * 255 - a.area * 215)
+                + CASE WHEN m.doc_id % 5 = 0
+                       THEN a.area * 215 ELSE 0 END
+                + CASE WHEN m.doc_id % 7 = 3 THEN
+                       CASE WHEN m.doc_id % 5 = 0
+                            THEN a.area * 215 + 2464
+                            ELSE cast(m.w AS BIGINT) * m.h * 255
+                                 - a.area * 215 - 5696 END
+                  ELSE 0 END AS BIGINT) AS gif_px_all,
            vd.luma_total AS avi_luma_total,
            cast((3 + m.doc_id % 4) * 100 AS BIGINT) AS mp4_duration_ms,
            vd.luma_total AS mp4_luma_total,

@@ -1149,8 +1149,15 @@ def q92_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synth_gif_udf(doc_id: pd.Series) -> pd.Series:
     """The q92 formula page as a real GIF: identity gray palette (so
     palette lookup reproduces the raster and luma == index), interlace
-    by d%2, and every 5th doc carries a SECOND frame (the inverted
-    page) to exercise multi-frame walks — pixel sums stay closed-form."""
+    by d%2, every 5th doc carries a SECOND frame (the inverted page)
+    to exercise multi-frame walks, and every doc with d%7==3 appends a
+    PARTIAL frame — an 8x8 sub-rectangle at (0,0) whose odd rows are
+    the transparent index 255 — exercising the GIF89a compositing/
+    disposal model (offsets + GCE transparency) in the oracle-hashed
+    path. The page's top 10 rows are always background (blocks start
+    at y=10), so the composited sums stay closed-form:
+      frame3_sum = prev_total - 32*prev_bg + 32*77
+    with prev_bg = 255 on the page, 0 on the inverted page."""
     from streamprocess_spark.functions.gif import (
         _lzw_gif_encode, np_encode_gif,
     )
@@ -1158,19 +1165,32 @@ def _synth_gif_udf(doc_id: pd.Series) -> pd.Series:
 
     _gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
 
+    def _frame_block(idx: np.ndarray, ix: int, iy: int,
+                     gce: bytes = b"") -> bytes:
+        ih, iw = idx.shape
+        body = gce
+        body += b"," + _struct.pack("<HHHH", ix, iy, iw, ih) + b"\x00\x08"
+        lzw = _lzw_gif_encode(idx.tobytes(), 8)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i:i + 255]
+            body += bytes([len(blk)]) + blk
+        return body + b"\x00"
+
     def enc(d: int) -> bytes:
         raw, w, h = _np_synth_image(int(d))
         idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
         gif = np_encode_gif(idx, _gray, interlace=bool(d % 2))
-        if d % 5 == 0:                          # append inverted frame
-            inv = (255 - idx).astype(np.uint8)
-            body = b"," + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00\x08"
-            lzw = _lzw_gif_encode(inv.tobytes(), 8)
-            for i in range(0, len(lzw), 255):
-                blk = lzw[i:i + 255]
-                body += bytes([len(blk)]) + blk
-            body += b"\x00"
-            gif = gif[:-1] + body + b";"        # splice before trailer
+        tail = b""
+        if d % 5 == 0:                          # inverted full frame
+            tail += _frame_block((255 - idx).astype(np.uint8), 0, 0)
+        if d % 7 == 3:                          # composited sub-rect
+            patch = np.full((8, 8), 77, np.uint8)
+            patch[1::2, :] = 255                # transparent rows
+            # GCE: disposal 0, transparency flag, t_index 255
+            gce = b"\x21\xf9\x04\x01\x00\x00\xff\x00"
+            tail += _frame_block(patch, 0, 0, gce=gce)
+        if tail:
+            gif = gif[:-1] + tail + b";"        # splice before trailer
         return gif
 
     return doc_id.apply(enc)
@@ -1224,12 +1244,23 @@ def _gif_stats_udf(gif: pd.Series) -> pd.DataFrame:
     SELECT doc_id,
            cast(w AS INT) AS gif_w,
            cast(h AS INT) AS gif_h,
-           cast(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT)
+           cast(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS INT)
                AS n_frames,
            px AS px_sum,
-           cast(CASE WHEN doc_id % 5 = 0
-                     THEN px + (cast(w AS BIGINT) * h * 255 - px)
-                     ELSE px END AS BIGINT) AS px_sum_all
+           -- frame 2 (d%5=0) = inverted page; frame 3 (d%7=3) = the
+           -- previous canvas with an 8x8 patch at (0,0), odd rows
+           -- transparent: prev_total - 32*prev_bg + 32*77, where the
+           -- patch region is pure background on both canvases
+           cast(px
+                + CASE WHEN doc_id % 5 = 0
+                       THEN cast(w AS BIGINT) * h * 255 - px
+                       ELSE 0 END
+                + CASE WHEN doc_id % 7 = 3 THEN
+                       CASE WHEN doc_id % 5 = 0
+                            THEN cast(w AS BIGINT) * h * 255 - px + 2464
+                            ELSE px - 5696 END
+                  ELSE 0 END AS BIGINT) AS px_sum_all
     FROM base
     """,
     covers=("S15",),
@@ -1237,13 +1268,16 @@ def _gif_stats_udf(gif: pd.Series) -> pd.DataFrame:
         "pages as real GIF89a files through the from-scratch decoder "
         "(functions/gif.py — LSB-first variable-width LZW with "
         "mid-stream Clears, sub-block framing, global/local color "
-        "tables, 4-pass interlace, multi-frame walks; fixtures cycle "
-        "interlaced/sequential and every 5th doc is two-frame). "
-        "Identity gray palette makes luma == index, so the exact "
-        "pixel sums (first frame AND all frames — inverted second "
-        "frame sums to w*h*255 - px) come from the same closed "
-        "formula as q92. Reference accepts GIFs via cv2.imdecode "
-        "(ocr_worker.py:283-308). Scale: map-only, zero shuffles.",
+        "tables, 4-pass interlace, multi-frame walks, AND the GIF89a "
+        "compositing model: fixtures cycle interlaced/sequential, "
+        "every 5th doc adds an inverted full frame, and every d%7==3 "
+        "doc adds a PARTIAL 8x8 frame with GCE transparency that must "
+        "composite onto the running canvas — wrong offset handling or "
+        "transparency breaks px_sum_all). Identity gray palette makes "
+        "luma == index, so every frame sum is closed-form (q92 "
+        "formula; patch region is guaranteed background). Reference "
+        "accepts GIFs via cv2.imdecode (ocr_worker.py:283-308). "
+        "Scale: map-only, zero shuffles.",
 )
 def q136_gif_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
