@@ -9,8 +9,10 @@ Reference semantics reproduced (src/queue/redis_queue.py):
     final files directly; a retried task rewrites identical content —
     the same at-least-once-made-harmless contract the reference has.
     `commit()` then records a `_commits/{batchId}` marker so the
-    micro-batch boundary stays observable; `abort()` leaves partial
-    upserts in place exactly as a crashed worker would.
+    micro-batch boundary stays observable; `abort()` keeps completed
+    upserts (idempotent keyed overwrites, exactly what a crashed
+    reference worker leaves) and sweeps orphaned tmp spool files, so
+    every file that survives an abort is a well-formed result.
   - `wait_for_result`: poll every 100 ms until hit or timeout
     (`redis_queue.py:329-344`) → :func:`wait_for_result`.
   - TTL expiry / stream trimming (`redis_queue.py:49-51,382-397`) →
@@ -79,9 +81,19 @@ class ResultStoreStreamWriter(DataSourceStreamWriter):
             json.dump({"batch_id": batchId, "n_written": total}, f)
 
     def abort(self, messages, batchId: int) -> None:
-        # partial upserts are harmless (keyed overwrite) — same
-        # posture as a reference worker dying mid-store
-        pass
+        # completed upserts are harmless (keyed overwrite == SETEX;
+        # same posture as a reference worker dying mid-store) and are
+        # kept; only orphaned tmp spool files from tasks killed
+        # mid-write are swept, so an aborted micro-batch leaves no
+        # garbage — every surviving file is a well-formed result
+        if not os.path.isdir(self.path):
+            return
+        for fn in os.listdir(self.path):
+            if ".tmp." in fn:
+                try:
+                    os.remove(os.path.join(self.path, fn))
+                except OSError:
+                    pass
 
 
 class ResultStoreDataSource(DataSource):

@@ -75,3 +75,35 @@ def test_queue_to_result_store_roundtrip(spark, tmp_path):
     n = vacuum(rdir, now=time.time() + 7200)
     assert n == 5
     assert read_result(rdir, "job-0") is None
+
+
+def test_abort_sweeps_tmp_keeps_results(tmp_path):
+    """An aborted micro-batch must leave only well-formed results:
+    completed keyed upserts survive (SETEX posture), orphaned tmp
+    spool files from tasks killed mid-write are swept."""
+    import json
+    import os
+
+    from streamprocess_spark.io.result_sink import (
+        ResultStoreStreamWriter,
+        read_result,
+    )
+
+    store = str(tmp_path / "r")
+    os.makedirs(store)
+    with open(os.path.join(store, "result-a.json"), "w") as f:
+        json.dump({"job_id": "a", "payload": {}, "expires_at": 1e18}, f)
+    # orphan from a task killed between open() and os.replace()
+    with open(os.path.join(store, "result-b.json.tmp.12345"), "w") as f:
+        f.write('{"half')
+
+    w = ResultStoreStreamWriter({"path": store})
+    w.abort([], batchId=7)
+
+    assert read_result(store, "a") is not None
+    leftovers = [fn for fn in os.listdir(store) if ".tmp." in fn]
+    assert leftovers == []
+    # every surviving result-* file parses
+    for fn in os.listdir(store):
+        if fn.startswith("result-"):
+            json.load(open(os.path.join(store, fn)))
