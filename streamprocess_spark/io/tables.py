@@ -73,13 +73,34 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:
+    # Session-level scan catalog, stored ON the session object so its
+    # lifetime is exactly the session's. `spark.read.parquet` costs a
+    # JVM round-trip + footer/schema read per table (~80 ms x 10
+    # tables), which dominated every query's plan-build time when paid
+    # per call. Tables are immutable inputs and a scan DataFrame is a
+    # reusable logical plan (each query derives its own children from
+    # it), so register once per session like any catalog would —
+    # keyed by resolved directory; never invalidated mid-session
+    # because a given sf dir's data never mutates in place.
+    catalog = getattr(spark, "_spark_graft_catalog", None)
+    if catalog is None:
+        catalog = {}
+        spark._spark_graft_catalog = catalog
+    cached = catalog.get(os.path.abspath(sf_dir))
+    if cached is not None:
+        return dict(cached)
     # pandas-UDF closures downstream reference this package; make sure
     # executors can import it regardless of the driver's cwd/deployment
     # (idempotent per session, no-op cost after the first call)
     from streamprocess_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in TABLE_NAMES}
+    dfs = {
+        name: spark.read.parquet(table_path(sf_dir, name))
+        for name in TABLE_NAMES
+    }
+    catalog[os.path.abspath(sf_dir)] = dfs
+    return dict(dfs)
 
 
 def register_views(
