@@ -286,9 +286,16 @@ def main() -> None:
         n_events = duckdb.sql(
             f"SELECT count(*) FROM '{os.path.join(sf_dir, 'events.parquet')}'"
         ).fetchone()[0]
-        t0 = time.perf_counter()
-        out_rows = QUERIES["stream_tumbling_window"].builder(spark, sf_dir).count()
-        el = time.perf_counter() - t0
+        # min of 2, same policy as the headline loop: each run is a
+        # fresh availableNow stream + checkpoint, so a one-off fs/GC
+        # stall otherwise lands directly in the round-over-round delta
+        el, out_rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out_rows = (
+                QUERIES["stream_tumbling_window"].builder(spark, sf_dir).count()
+            )
+            el = min(el, time.perf_counter() - t0)
         result_stream = {
             "input_rows": int(n_events),
             "output_rows": int(out_rows),

@@ -3,15 +3,24 @@ pandas UDFs over array<float> / binary columns.
 
 Reference semantics from src/preprocessing/audio_processor.py; all
 implementations are pure NumPy (librosa/scipy/webrtcvad are not in
-this container), with deviations documented per function:
-  F1  resample            (:70-82)   linear-interp (vs librosa kaiser)
+this container). The scipy/librosa kernels are re-derived from the
+public math in functions/dsp.py; remaining deviations noted inline:
+  F1  resample            (:70-82)   Kaiser-sinc (librosa family,
+                                      dsp.np_resample_kaiser) in the
+                                      preprocess chain; linear-interp
+                                      np_resample retained for the
+                                      closed-form-oracled decode legs
   F2  to_mono             (:84-91)   channel mean
   F3  normalize_audio     (:93-114)  RMS→dBFS gain, clipped
   F4  denoise             (:116-157) spectral subtraction α=2 β=0.01
-  F5  high_pass_filter    (:159-180) 1st-order IIR fwd+bwd (vs scipy
-                                      4th-order butter filtfilt)
+                                      at the real STFT geometry
+                                      (hann 2048/512, noise gate)
+  F5  high_pass_filter    (:159-180) true 4th-order Butterworth
+                                      filtfilt (dsp.py design)
   F6  apply_agc           (:182-215) attack/release gain smoothing
-  F7  apply_vad           (:217-278) frame-energy VAD (vs webrtcvad)
+  F7  apply_vad           (:217-278) frame-energy VAD (vs webrtcvad —
+                                      its GMM tables aren't derivable
+                                      offline; documented analog)
   F8  extract_features    (:384-420) RMS/ZCR/centroid/bandwidth/rolloff
   F9  decode LINEAR16     (stt_worker.py:381-394) int16/32768
   F10 preprocess pipeline (:20-68)
@@ -217,49 +226,35 @@ def np_normalize(x: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
     return np.clip(x * gain, -1.0, 1.0).astype(np.float32)
 
 
-def np_denoise(x: np.ndarray, frame: int = 256, alpha: float = 2.0,
+def np_denoise(x: np.ndarray, sr: int = 16000, alpha: float = 2.0,
                beta: float = 0.01) -> np.ndarray:
-    """F4: spectral subtraction (audio_processor.py:116-157): noise
-    spectrum from the first ~5 frames, subtract α·noise, floor β."""
-    if len(x) < frame * 2:
-        return x.astype(np.float32)
-    n_frames = len(x) // frame
-    frames = x[: n_frames * frame].astype(np.float64).reshape(n_frames, frame)
-    spec = np.fft.rfft(frames, axis=1)
-    mag, phase = np.abs(spec), np.angle(spec)
-    noise = mag[: min(5, n_frames)].mean(axis=0)
-    clean = np.maximum(mag - alpha * noise, beta * mag)
-    out = np.fft.irfft(clean * np.exp(1j * phase), n=frame, axis=1).reshape(-1)
-    tail = x[n_frames * frame:]
-    return np.concatenate([out, tail.astype(np.float64)]).astype(np.float32)
+    """F4: spectral subtraction at the reference's real STFT geometry
+    (audio_processor.py:116-157): hann STFT win=2048 hop=512, noise
+    spectrum from the first min(0.5 s, len/4) samples (skipped below
+    1024 samples — the reference's gate), subtract α·noise, floor
+    β·magnitude, overlap-add resynthesis with the original phase,
+    np.resize back to the input length. STFT/iSTFT re-derived in
+    functions/dsp.py (librosa construction)."""
+    from streamprocess_spark.functions.dsp import np_spectral_subtract
+
+    return np_spectral_subtract(x, sr=sr, alpha=alpha, beta=beta)
 
 
 def np_high_pass(x: np.ndarray, cutoff: float = 80.0,
                  sr: int = 16000) -> np.ndarray:
-    """F5: first-order IIR high-pass applied forward then backward
-    (zero-phase, filtfilt-like; audio_processor.py:159-180 uses a
-    4th-order Butterworth — documented deviation)."""
+    """F5: 4th-order digital Butterworth high-pass applied zero-phase
+    via filtfilt — the reference kernel (audio_processor.py:159-180,
+    scipy.signal.butter + filtfilt), re-derived from the public math
+    in functions/dsp.py (design checked against the analytic bilinear
+    Butterworth response; application by cached truncated impulse
+    response + FFT convolution, vectorized)."""
     if len(x) == 0:
         return x.astype(np.float32)
-    rc = 1.0 / (2.0 * np.pi * cutoff)
-    dt = 1.0 / sr
-    a = rc / (rc + dt)
+    from streamprocess_spark.functions.dsp import np_butter_highpass_filtfilt
 
-    def one_pass(sig: np.ndarray) -> np.ndarray:
-        y = np.empty_like(sig)
-        y[0] = sig[0]
-        # y[i] = a*(y[i-1] + x[i] - x[i-1]) — recursive; use the
-        # closed-form via lfilter-style scan
-        prev_y, prev_x = sig[0], sig[0]
-        for i in range(1, len(sig)):
-            prev_y = a * (prev_y + sig[i] - prev_x)
-            prev_x = sig[i]
-            y[i] = prev_y
-        return y
-
-    fwd = one_pass(x.astype(np.float64))
-    bwd = one_pass(fwd[::-1])[::-1]
-    return bwd.astype(np.float32)
+    return np_butter_highpass_filtfilt(
+        np.asarray(x, dtype=np.float64), cutoff=cutoff, sr=sr, order=4
+    )
 
 
 def np_agc(x: np.ndarray, target: float = 0.1, attack: float = 0.1,
@@ -318,9 +313,14 @@ def np_features(x: np.ndarray, sr: int = 16000) -> dict[str, float]:
 def np_preprocess(x: np.ndarray, orig_sr: int, channels: int = 1,
                   target_sr: int = 16000, denoise: bool = False) -> np.ndarray:
     """F10: resample→mono→normalize→(denoise)→HPF→AGC composition
-    (audio_processor.py:20-68)."""
+    (audio_processor.py:20-68). The resample leg uses the Kaiser-sinc
+    parity kernel (librosa.resample family, functions/dsp.py); the
+    ingest/decode paths keep linear interp where the oracle replays
+    it in closed form (q52/q_audio_suite)."""
+    from streamprocess_spark.functions.dsp import np_resample_kaiser
+
     y = np_to_mono(x, channels)
-    y = np_resample(y, orig_sr, target_sr)
+    y = np_resample_kaiser(y, orig_sr, target_sr)
     y = np_normalize(y)
     if denoise:
         y = np_denoise(y)

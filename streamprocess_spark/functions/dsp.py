@@ -1,0 +1,403 @@
+"""Reference-parity DSP kernels (pure NumPy, no scipy/librosa).
+
+The reference preprocesses audio with scipy/librosa kernels
+(src/preprocessing/audio_processor.py): a 4th-order digital
+Butterworth high-pass applied zero-phase via filtfilt (:159-180), a
+Kaiser-windowed-sinc resampler (librosa.resample, :70-82), and an
+STFT spectral-subtraction denoiser at win=2048/hop=512 (:116-157).
+Those libraries are not in this container, so this module re-derives
+each kernel from the public math:
+
+* Butterworth design — analog prototype poles on the unit circle
+  (Butterworth 1930), lowpass→highpass transform, bilinear z-transform
+  with frequency prewarp. Produces the same (b, a) coefficients as
+  ``scipy.signal.butter(order, wn, 'high')`` (same construction;
+  verified against the analytic bilinear-Butterworth magnitude
+  response in tests/test_dsp.py).
+* filtfilt — odd-extension padding of 3*max(len(a), len(b)) samples
+  and steady-state initial conditions (Gustafsson 1996; the scipy
+  default behavior), forward+backward pass.
+* IIR application — instead of a per-sample Python loop, the filter's
+  impulse response is truncated at float64 decay (exact to machine
+  precision) and applied by FFT convolution; the initial-state
+  contribution is a cached zero-input response.  O(n log n),
+  vectorized, numerically identical to the recursion.
+* Kaiser-windowed sinc resampling — band-limited interpolation
+  (J.O. Smith, "Digital Audio Resampling"), with resampy's public
+  ``kaiser_best`` parameters (64 zero-crossings, beta=14.7697,
+  rolloff=0.9476).  I0 is evaluated by its power series.
+* STFT/iSTFT — hann analysis window, overlap-add synthesis with
+  squared-window COLA normalization (the librosa construction).
+
+Everything is driver-checkable: tests/test_dsp.py checks the
+closed-form invariants (analytic stopband gain, passband flatness,
+tone preservation through resampling), and plans/composites.py folds
+the same invariants into the oracle-hashed q_dsp_parity slot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# resampy's public kaiser_best parameters (resampy/filters.py)
+KAISER_BEST_ZEROS = 64
+KAISER_BEST_BETA = 14.769656459379492
+KAISER_BEST_ROLLOFF = 0.9475937167399596
+
+
+# ---------------------------------------------------------------------------
+# Butterworth design (zpk construction + bilinear transform)
+# ---------------------------------------------------------------------------
+
+def butter_highpass_ba(order: int, cutoff: float, sr: float):
+    """Digital Butterworth high-pass (b, a), the scipy.signal.butter
+    construction: prototype poles -> prewarp -> lp2hp -> bilinear."""
+    if not 0.0 < cutoff < sr / 2.0:
+        raise ValueError(f"cutoff {cutoff} outside (0, {sr / 2})")
+    k = np.arange(1, order + 1)
+    # analog lowpass prototype: poles at exp(j*pi*(2k+n-1)/(2n)),
+    # all strictly in the left half-plane, unit gain
+    p = np.exp(1j * np.pi * (2 * k + order - 1) / (2.0 * order))
+    gain = 1.0
+
+    # prewarp the digital cutoff onto the analog axis (fs=2 convention)
+    warped = 4.0 * np.tan(np.pi * cutoff / sr)
+
+    # lowpass -> highpass: p -> wo/p, n zeros appear at s=0
+    p_hp = warped / p
+    z_hp = np.zeros(order)
+    gain_hp = gain * np.real(1.0 / np.prod(-p))
+
+    # bilinear transform with fs2 = 4 (matches the fs=2 prewarp)
+    fs2 = 4.0
+    z_b = (fs2 + z_hp) / (fs2 - z_hp)
+    p_b = (fs2 + p_hp) / (fs2 - p_hp)
+    gain_b = gain_hp * np.real(np.prod(fs2 - z_hp) / np.prod(fs2 - p_hp))
+
+    b = np.real(gain_b * np.poly(z_b))
+    a = np.real(np.poly(p_b))
+    return b, a
+
+
+def butter_highpass_gain_sq(order: int, cutoff: float, sr: float,
+                            freq: float) -> float:
+    """Closed-form |H(e^jw)|^2 of the bilinear-transformed Butterworth
+    high-pass — the independent check the design is tested against
+    (and the formula the DuckDB oracle evaluates):
+    with T = tan(pi f / sr) / tan(pi fc / sr),
+    |H|^2 = T^(2n) / (1 + T^(2n))."""
+    t = np.tan(np.pi * freq / sr) / np.tan(np.pi * cutoff / sr)
+    t2n = float(t) ** (2 * order)
+    return t2n / (1.0 + t2n)
+
+
+def lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Steady-state state vector of the direct-form-II-transposed
+    filter for a unit step input (Gustafsson 1996, eq. as in the
+    scipy docs): solve (I - A^T) zi = B with A the companion matrix
+    of a and B = b[1:] - a[1:] * b[0]."""
+    a = np.asarray(a, dtype=np.float64) / a[0]
+    b = np.asarray(b, dtype=np.float64) / a[0]
+    n = max(len(a), len(b))
+    a = np.concatenate([a, np.zeros(n - len(a))])
+    b = np.concatenate([b, np.zeros(n - len(b))])
+    companion = np.zeros((n - 1, n - 1))
+    companion[0, :] = -a[1:]
+    companion[1:, :-1] = np.eye(n - 2)
+    i_minus_at = np.eye(n - 1) - companion.T
+    rhs = b[1:] - a[1:] * b[0]
+    return np.linalg.solve(i_minus_at, rhs)
+
+
+# cache: (b, a) bytes -> (impulse_response, zi_response, zi)
+_FILTER_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _filter_responses(b: np.ndarray, a: np.ndarray):
+    """Truncated impulse response and zero-input response from the
+    canonical zi state, both to float64 decay — computed once per
+    coefficient set by the direct recursion, then reused for every
+    FFT-convolution application."""
+    key = np.asarray(b).tobytes() + b"|" + np.asarray(a).tobytes()
+    hit = _FILTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    n = max(len(a), len(b))
+    bb = np.concatenate([b, np.zeros(n - len(b))]) / a[0]
+    aa = np.concatenate([a, np.zeros(n - len(a))]) / a[0]
+    zi = lfilter_zi(bb, aa)
+
+    # grow until both responses decay below 1e-18 of their peak
+    length = 1024
+    while True:
+        h_imp = _df2t_run(bb, aa, _unit_impulse(length), np.zeros(n - 1))
+        h_zi = _df2t_run(bb, aa, np.zeros(length), zi.copy())
+        tail = max(np.max(np.abs(h_imp[-64:])), np.max(np.abs(h_zi[-64:])))
+        peak = max(np.max(np.abs(h_imp)), np.max(np.abs(h_zi)), 1e-300)
+        if tail <= peak * 1e-18 or length >= (1 << 20):
+            break
+        length *= 2
+    out = (h_imp, h_zi, zi)
+    _FILTER_CACHE[key] = out
+    return out
+
+
+def _unit_impulse(n: int) -> np.ndarray:
+    x = np.zeros(n)
+    x[0] = 1.0
+    return x
+
+
+def _df2t_run(b: np.ndarray, a: np.ndarray, x: np.ndarray,
+              state: np.ndarray) -> np.ndarray:
+    """Direct-form II transposed recursion — only ever run on short
+    cached-response builds, never per data sample."""
+    y = np.empty_like(x)
+    z = state
+    for i in range(len(x)):
+        xi = x[i]
+        yi = b[0] * xi + z[0]
+        z[:-1] = z[1:]
+        z[-1] = 0.0
+        z += b[1:] * xi - a[1:] * yi
+        y[i] = yi
+    return y
+
+
+def np_lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray,
+               zi_scale: float = 0.0) -> np.ndarray:
+    """lfilter(b, a, x, zi=lfilter_zi(b,a)*zi_scale) via cached
+    truncated responses + FFT convolution (exact to float64 decay)."""
+    h_imp, h_zi, _ = _filter_responses(b, a)
+    n = len(x)
+    m = min(len(h_imp), n)
+    full = np.fft.irfft(
+        np.fft.rfft(x, n + m) * np.fft.rfft(h_imp[:m], n + m), n + m
+    )
+    y = full[:n]
+    if zi_scale != 0.0:
+        m_zi = min(len(h_zi), n)  # past the cache length h_zi ~ 0
+        y[:m_zi] = y[:m_zi] + zi_scale * h_zi[:m_zi]
+    return y
+
+
+def np_filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Zero-phase filtering, the scipy.signal.filtfilt default recipe:
+    odd-extend by padlen = 3*max(len(a), len(b)), filter forward with
+    zi*x[0] initial state, reverse, filter again, reverse, trim."""
+    x = np.asarray(x, dtype=np.float64)
+    padlen = 3 * max(len(a), len(b))
+    if len(x) <= padlen:
+        raise ValueError(
+            f"input length {len(x)} must exceed padlen {padlen}"
+        )
+    ext = np.concatenate([
+        2.0 * x[0] - x[padlen:0:-1],
+        x,
+        2.0 * x[-1] - x[-2:-padlen - 2:-1],
+    ])
+    y = np_lfilter(b, a, ext, zi_scale=ext[0])
+    y = y[::-1]
+    y = np_lfilter(b, a, y, zi_scale=y[0])
+    y = y[::-1]
+    return y[padlen:-padlen]
+
+
+def np_butter_highpass_filtfilt(x: np.ndarray, cutoff: float = 80.0,
+                                sr: float = 16000.0,
+                                order: int = 4) -> np.ndarray:
+    """F5 parity kernel: scipy.signal.butter(4, wn, 'high') +
+    filtfilt (audio_processor.py:159-180). Inputs too short for the
+    filtfilt padding return unchanged — the reference wraps the call
+    in try/except and falls back to the input on error."""
+    if len(x) <= 3 * (order + 1):
+        return np.asarray(x, dtype=np.float32)
+    b, a = butter_highpass_ba(order, cutoff, sr)
+    return np_filtfilt(b, a, x).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kaiser-windowed sinc resampling
+# ---------------------------------------------------------------------------
+
+def np_i0(x: np.ndarray) -> np.ndarray:
+    """Modified Bessel I0 by its power series sum_k ((x/2)^2k / k!^2);
+    converges to float64 precision in <60 terms for |x| <= 20 (the
+    Kaiser betas used here are ~15)."""
+    x = np.asarray(x, dtype=np.float64)
+    q = (x / 2.0) ** 2
+    term = np.ones_like(q)
+    acc = np.ones_like(q)
+    for k in range(1, 64):
+        term = term * q / (k * k)
+        acc = acc + term
+        if np.max(term) < 1e-18 * np.max(acc):
+            break
+    return acc
+
+
+def np_kaiser_window(t: np.ndarray, beta: float) -> np.ndarray:
+    """Kaiser window on support t in [-1, 1] (0 outside)."""
+    inside = np.abs(t) <= 1.0
+    w = np.zeros_like(t, dtype=np.float64)
+    w[inside] = np_i0(beta * np.sqrt(1.0 - t[inside] ** 2)) / np_i0(
+        np.array([beta])
+    )[0]
+    return w
+
+
+# cache: (num_zeros, beta, rolloff, density) -> half-filter table
+_SINC_TABLE_CACHE: dict[tuple, np.ndarray] = {}
+_SINC_DENSITY = 512  # table samples per zero crossing (resampy-style)
+
+
+def _sinc_table(num_zeros: int, beta: float, rolloff: float) -> np.ndarray:
+    """Right half of the Kaiser-windowed sinc, sampled at _SINC_DENSITY
+    points per zero crossing; taps are linearly interpolated from it
+    (the resampy construction — interp error O(density^-2) ~ 4e-6)."""
+    key = (num_zeros, beta, rolloff, _SINC_DENSITY)
+    hit = _SINC_TABLE_CACHE.get(key)
+    if hit is None:
+        # u = rolloff * delta_scaled sampled on [0, num_zeros]
+        d = np.arange(num_zeros * _SINC_DENSITY + 2, dtype=np.float64) / (
+            _SINC_DENSITY
+        )
+        hit = (
+            np_kaiser_window(d / num_zeros, beta)
+            * np.sinc(rolloff * d)
+            * rolloff
+        )
+        hit[-1] = 0.0  # guard entry past the window edge
+        _SINC_TABLE_CACHE[key] = hit
+    return hit
+
+
+def np_resample_kaiser(x: np.ndarray, orig_sr: int, target_sr: int,
+                       num_zeros: int = KAISER_BEST_ZEROS,
+                       beta: float = KAISER_BEST_BETA,
+                       rolloff: float = KAISER_BEST_ROLLOFF) -> np.ndarray:
+    """F1 parity kernel: band-limited sinc interpolation with a Kaiser
+    window — the librosa/resampy kaiser_best algorithm family
+    (audio_processor.py:70-82 calls librosa.resample). Output length
+    follows the librosa convention ceil(n * target / orig). Taps come
+    from a dense precomputed table with linear interpolation (the
+    resampy construction). Fully vectorized; memory is bounded by
+    blocking over output samples."""
+    x = np.asarray(x, dtype=np.float64)
+    if orig_sr == target_sr or len(x) == 0:
+        return x.astype(np.float32)
+    from math import gcd
+
+    g = gcd(int(target_sr), int(orig_sr))
+    p, q = int(target_sr) // g, int(orig_sr) // g  # ratio = p/q reduced
+    ratio = p / q
+    n_out = int(np.ceil(len(x) * ratio))
+    scale = min(1.0, ratio)  # shrink the filter when downsampling
+    table = _sinc_table(num_zeros, beta, rolloff)
+    half = int(np.ceil(num_zeros / scale)) + 1
+    offs = np.arange(-half, half + 1, dtype=np.float64)
+
+    def taps_for(frac: float) -> np.ndarray:
+        """Windowed-sinc taps at fractional input offset `frac`,
+        linearly interpolated from the dense table."""
+        pos = np.abs(offs - frac) * scale * _SINC_DENSITY
+        i0 = pos.astype(np.int64)
+        oob = i0 >= len(table) - 1
+        i0[oob] = len(table) - 2
+        fr = pos - i0
+        t = (table[i0] * (1.0 - fr) + table[i0 + 1] * fr) * scale
+        t[oob] = 0.0
+        return t
+
+    # polyphase: output i = k*p + ph sits at input time k*q + ph*q/p,
+    # so each of the p phases has ONE tap vector; its application is a
+    # BLAS matvec over a zero-copy strided view of the padded input.
+    xp = np.concatenate([
+        np.zeros(half), x, np.zeros(half + q + 1)
+    ])
+    out = np.empty(n_out, dtype=np.float64)
+    for ph in range(p):
+        num = ph * q
+        base, frac = divmod(num, p)
+        c = taps_for(frac / p)
+        n_k = (n_out - ph + p - 1) // p
+        if n_k <= 0:
+            continue
+        view = np.lib.stride_tricks.as_strided(
+            xp[base:],  # window start: base - half + half(pad) = base
+            shape=(n_k, len(c)),
+            strides=(q * xp.strides[0], xp.strides[0]),
+        )
+        out[ph::p] = view @ c
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# STFT / iSTFT (hann, COLA overlap-add) for spectral subtraction
+# ---------------------------------------------------------------------------
+
+def _hann(n: int) -> np.ndarray:
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def np_stft(x: np.ndarray, n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """Centered STFT (librosa layout: zero pad n_fft//2 both sides,
+    hann window, frames in columns)."""
+    x = np.asarray(x, dtype=np.float64)
+    pad = n_fft // 2
+    xp = np.concatenate([np.zeros(pad), x, np.zeros(pad)])
+    n_frames = 1 + (len(xp) - n_fft) // hop
+    strides = (xp.strides[0], hop * xp.strides[0])
+    frames = np.lib.stride_tricks.as_strided(
+        xp, shape=(n_fft, n_frames), strides=strides
+    )
+    return np.fft.rfft(frames * _hann(n_fft)[:, None], axis=0)
+
+
+def np_istft(spec: np.ndarray, n_fft: int = 2048, hop: int = 512,
+             length: int | None = None) -> np.ndarray:
+    """Inverse STFT by windowed overlap-add with squared-hann COLA
+    normalization (the librosa.istft construction)."""
+    n_frames = spec.shape[1]
+    win = _hann(n_fft)
+    total = n_fft + hop * (n_frames - 1)
+    out = np.zeros(total)
+    norm = np.zeros(total)
+    frames = np.fft.irfft(spec, n=n_fft, axis=0)
+    for i in range(n_frames):
+        sl = slice(i * hop, i * hop + n_fft)
+        out[sl] += frames[:, i] * win
+        norm[sl] += win * win
+    nz = norm > 1e-12
+    out[nz] /= norm[nz]
+    pad = n_fft // 2
+    out = out[pad:]
+    if length is not None:
+        out = np.resize(out, length) if len(out) < length else out[:length]
+    return out
+
+
+def np_spectral_subtract(x: np.ndarray, sr: int = 16000,
+                         alpha: float = 2.0, beta: float = 0.01,
+                         n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """F4 parity kernel: the reference's spectral subtraction at its
+    real STFT geometry (audio_processor.py:116-157): noise spectrum
+    from the first min(0.5 s, len/4) samples, subtract alpha*noise,
+    floor at beta*magnitude, resynthesize with the original phase,
+    np.resize back to the input length. Inputs whose noise window is
+    under 1024 samples are returned unchanged (the reference's gate)."""
+    x = np.asarray(x, dtype=np.float64)
+    noise_len = min(int(0.5 * sr), len(x) // 4)
+    if noise_len < 1024:
+        return x.astype(np.float32)
+    spec = np_stft(x, n_fft, hop)
+    mag = np.abs(spec)
+    phase = np.angle(spec)
+    noise_mag = np.abs(np_stft(x[:noise_len], n_fft, hop)).mean(
+        axis=1, keepdims=True
+    )
+    clean = np.maximum(mag - alpha * noise_mag, beta * mag)
+    y = np_istft(clean * np.exp(1j * phase), n_fft, hop, length=len(x))
+    return y.astype(np.float32)

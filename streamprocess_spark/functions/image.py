@@ -13,8 +13,17 @@ row-major order, with width/height carried as typed metadata columns
     mirroring src/preprocessing/image_processor.py semantics.
 
 Mapping (reference file:line in image_processor.py):
-  F13 denoise        (:182-196)  3x3 median filter (vs fastNlMeans)
-  F14 enhance        (:198-215)  contrast stretch + gamma 1.2 LUT
+  F13 denoise        (:182-196)  np_nlmeans: real non-local means at
+                                 the reference's h=10/7/21 parameters
+                                 (cv2.fastNlMeansDenoising algorithm;
+                                 np_median3 kept for the hashed
+                                 median-chain oracle legs)
+  F14 enhance        (:198-215)  np_clahe: cv2-construction CLAHE
+                                 (clipLimit=2, 8x8 tiles, bilinear
+                                 LUT blend) + gamma 1.2 LUT
+                                 (np_enhance_contrast percentile
+                                 stretch kept for the closed-form
+                                 q67 oracle invariants)
   F15 binarize       (:217-236)  otsu | adaptive-mean | fixed
   F16 remove_noise   (:238-262)  morphological open (3x3)
   F17 adjust_dpi     (:264-286)  nearest-neighbor rescale
@@ -649,6 +658,114 @@ def np_enhance_contrast(img: np.ndarray, gamma: float = 1.2) -> np.ndarray:
     stretched = np.clip((img.astype(np.float64) - lo) / (hi - lo), 0, 1)
     lut = np.power(stretched, 1.0 / gamma)
     return (lut * 255).astype(np.uint8)
+
+
+def np_clahe(img: np.ndarray, clip_limit: float = 2.0,
+             grid: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """F14 parity kernel: Contrast-Limited Adaptive Histogram
+    Equalization, the cv2.createCLAHE(clipLimit=2.0, tileGridSize=
+    (8,8)).apply construction the reference's enhance_contrast uses
+    (image_processor.py:198-215): per-tile clipped histograms with
+    excess redistribution, per-tile equalization LUTs, and bilinear
+    interpolation between the four neighboring tile LUTs per pixel
+    (Zuiderveld 1994 / the OpenCV algorithm; pure NumPy)."""
+    h, w = img.shape
+    gh, gw = grid
+    th, tw = (h + gh - 1) // gh, (w + gw - 1) // gw
+    ph, pw = th * gh - h, tw * gw - w
+    padded = (
+        np.pad(img, ((0, ph), (0, pw)), mode="reflect")
+        if (ph or pw) else img
+    )
+    tile_area = th * tw
+    limit = max(1, int(clip_limit * tile_area / 256.0))
+    tiles = padded.reshape(gh, th, gw, tw)
+    luts = np.empty((gh, gw, 256), dtype=np.uint8)
+    lut_scale = 255.0 / tile_area
+    for i in range(gh):
+        for j in range(gw):
+            hist = np.bincount(tiles[i, :, j, :].reshape(-1), minlength=256)
+            excess = int(np.sum(np.maximum(hist - limit, 0)))
+            if excess:
+                hist = np.minimum(hist, limit)
+                hist += excess // 256
+                resid = excess % 256
+                if resid:
+                    # residual spread at even stride (the OpenCV pass)
+                    step = max(1, 256 // resid)
+                    hist[np.arange(0, 256, step)[:resid]] += 1
+            cdf = np.cumsum(hist)
+            luts[i, j] = np.clip(
+                np.rint(cdf * lut_scale), 0, 255
+            ).astype(np.uint8)
+
+    # bilinear blend between tile LUTs, in tile-center coordinates
+    ys = (np.arange(h) + 0.5) / th - 0.5
+    xs = (np.arange(w) + 0.5) / tw - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy = (ys - y0f)[:, None]
+    wx = (xs - x0f)[None, :]
+    y0 = np.clip(y0f.astype(np.int64), 0, gh - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, gh - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, gw - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, gw - 1)
+    v = img
+    out = (
+        (1 - wy) * (1 - wx) * luts[y0[:, None], x0[None, :], v]
+        + (1 - wy) * wx * luts[y0[:, None], x1[None, :], v]
+        + wy * (1 - wx) * luts[y1[:, None], x0[None, :], v]
+        + wy * wx * luts[y1[:, None], x1[None, :], v]
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _box_sum_valid(x: np.ndarray, k: int) -> np.ndarray:
+    """Valid-mode sum over k x k windows via an integral image —
+    output is (H-k+1, W-k+1) for input (H, W), O(1) per pixel."""
+    ii = np.zeros((x.shape[0] + 1, x.shape[1] + 1))
+    ii[1:, 1:] = np.cumsum(np.cumsum(x, axis=0), axis=1)
+    h = x.shape[0] - k + 1
+    w = x.shape[1] - k + 1
+    return (
+        ii[k:k + h, k:k + w] - ii[k:k + h, :w] - ii[:h, k:k + w] + ii[:h, :w]
+    )
+
+
+def np_nlmeans(img: np.ndarray, h: float = 10.0, template: int = 7,
+               search: int = 21) -> np.ndarray:
+    """F13 parity kernel: non-local-means denoising — the algorithm
+    behind cv2.fastNlMeansDenoising(h=10, templateWindowSize=7,
+    searchWindowSize=21) in the reference's denoise
+    (image_processor.py:182-196). Buades et al. 2005: each pixel is a
+    weighted average of every pixel in its search window, weighted by
+    exp(-patch_distance/h^2).
+
+    Vectorized per search offset: the shifted squared-difference map
+    is box-filtered by an integral image, so the cost is
+    O(search^2 * pixels) with no per-pixel Python. cv2's production
+    variant approximates exp() with a LUT; values can differ in the
+    last digit, the algorithm and its parameters are the same."""
+    f = template // 2
+    s = search // 2
+    x = img.astype(np.float64)
+    pmax = s + f
+    p = np.pad(x, pmax, mode="reflect")
+    hh, ww = img.shape
+    acc = np.zeros((hh, ww))
+    wsum = np.zeros((hh, ww))
+    inv_h2 = 1.0 / (h * h * template * template)
+    base_ext = p[pmax - f:pmax + hh + f, pmax - f:pmax + ww + f]
+    for dy in range(-s, s + 1):
+        for dx in range(-s, s + 1):
+            shifted_ext = p[
+                pmax + dy - f:pmax + dy + hh + f,
+                pmax + dx - f:pmax + dx + ww + f,
+            ]
+            d2 = _box_sum_valid((shifted_ext - base_ext) ** 2, template)
+            w = np.exp(-d2 * inv_h2)
+            acc += w * shifted_ext[f:f + hh, f:f + ww]
+            wsum += w
+    return np.clip(np.rint(acc / wsum), 0, 255).astype(np.uint8)
 
 
 def np_otsu_threshold(img: np.ndarray) -> int:

@@ -1038,6 +1038,36 @@ def q_inference_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.join(audio, "doc_id")
 
 
+_DSP_PARITY_ORACLE = """
+    SELECT 'dsp_butter' AS modality, doc_id,
+           cast(6144 + (doc_id % 4) * 512 AS BIGINT) AS n_int,
+           true AS ok1, true AS ok2, true AS ok3
+    FROM documents
+    UNION ALL
+    SELECT 'dsp_resample', doc_id,
+           cast(((2205 + doc_id % 441) * 160 + 440) // 441 AS BIGINT),
+           true, true, true
+    FROM documents
+    UNION ALL
+    SELECT 'dsp_clahe', doc_id,
+           cast(64 * (1 + doc_id % 2) AS BIGINT)
+           * (SELECT sum(cast(round((v + 1) * 255.0 / 256) AS BIGINT))
+              FROM generate_series(0, 255) t(v)),
+           true, true, true
+    FROM documents
+    UNION ALL
+    SELECT 'dsp_nlm', doc_id,
+           cast(4096 * (100 + doc_id % 50) AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT 'dsp_denoise', doc_id,
+           cast(16000 + (doc_id % 3) * 2048 AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 5 = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_media_invariants (q59 ∪ q67 ∪ q128 — the former rows-only slot,
 # now fully oracle-checked via closed-form invariants)
@@ -1062,8 +1092,10 @@ def q_inference_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(-2 * (doc_id % 9 - 4) AS BIGINT),
            true, true, true
     FROM documents WHERE doc_id % 10 >= 2
-    """,
-    covers=("F4", "F5", "F6", "F8", "F10", "F11", "F12", "F14", "F21"),
+    UNION ALL
+    """ + _DSP_PARITY_ORACLE,
+    covers=("F1", "F4", "F5", "F6", "F8", "F10", "F11", "F12", "F13",
+            "F14", "F21"),
     doc="Media float paths made driver-checkable: every recursive "
         "filter / FFT / percentile / rotation path still executes, and "
         "the emitted columns are closed-form invariants DuckDB "
@@ -1114,6 +1146,9 @@ def q_media_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(True).alias("ok3"),
             )
         )
+        # the scipy/librosa/cv2 parity kernels (q_dsp_parity, defined
+        # below in this module): same 6-column invariant schema
+        .unionByName(QUERIES["q_dsp_parity"].builder(spark, sf_dir))
     )
 
 
@@ -1634,6 +1669,272 @@ def stream_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_value").alias("v"),
                 null_t.alias("t_start"),
                 null_t.alias("t_end"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dsp_parity — the scipy/librosa/cv2 parity kernels (functions/dsp.py
+# + np_clahe/np_nlmeans) made driver-checkable with closed-form
+# invariants. Fixtures are synthesized from doc_id alone inside the
+# UDFs (map-only, no shuffle); every n_int is an exact closed form the
+# oracle recomputes, every okN is a measured physics bound with wide
+# margin (the analytic Butterworth gain, Fourier-aligned tone
+# preservation, CLAHE's uniform-histogram LUT identity, NLM's
+# constant-image fixed point, the spectral-subtraction noise gate).
+# ---------------------------------------------------------------------------
+
+_DSP_ROW = T.StructType([
+    T.StructField("n_int", T.LongType()),
+    T.StructField("ok1", T.BooleanType()),
+    T.StructField("ok2", T.BooleanType()),
+    T.StructField("ok3", T.BooleanType()),
+])
+
+
+def _dft_amp(y, k: int, start: int, width: int):
+    """Amplitude of the k-th DFT bin over y[start:start+width] — the
+    Fourier-aligned single-tone projection used to measure filter gain."""
+    import numpy as np
+
+    t = np.arange(width)
+    seg = y[start:start + width].astype(np.float64)
+    return 2.0 * np.abs(np.sum(seg * np.exp(-2j * np.pi * k * t / width))) / width
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_butter_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """4th-order Butterworth filtfilt (F5, audio_processor.py:159-180):
+    measured gain on Fourier-aligned tones must match the analytic
+    bilinear-Butterworth |H|^2 (squared by the two passes) to 1e-3."""
+    import numpy as np
+
+    from streamprocess_spark.functions.dsp import (
+        butter_highpass_gain_sq,
+        np_butter_highpass_filtfilt,
+    )
+
+    sr, win = 16000, 2048
+    rows = []
+    for d in doc_id.astype("int64"):
+        n = 6144 + int(d % 4) * 512
+        k1 = 4 + int(d % 12)          # 31.25 .. 117 Hz (transition band)
+        k2 = 128 + int(d % 64)        # 1000 .. 1500 Hz (passband)
+        f1, f2 = k1 * sr / win, k2 * sr / win
+        t = np.arange(n)
+        x = (np.sin(2 * np.pi * f1 * t / sr)
+             + 0.5 * np.sin(2 * np.pi * f2 * t / sr)).astype(np.float64)
+        y = np_butter_highpass_filtfilt(x, cutoff=80.0, sr=sr, order=4)
+        # interior window: filtfilt edge transients decay ~1e-11 by 2048
+        a1_in = _dft_amp(x, k1, 2048, win)
+        a2_in = _dft_amp(x, k2, 2048, win)
+        a1_out = _dft_amp(y.astype(np.float64), k1, 2048, win)
+        a2_out = _dft_amp(y.astype(np.float64), k2, 2048, win)
+        g1 = butter_highpass_gain_sq(4, 80.0, sr, f1)
+        g2 = butter_highpass_gain_sq(4, 80.0, sr, f2)
+        dc = np_butter_highpass_filtfilt(np.ones(2048), cutoff=80.0, sr=sr)
+        rows.append({
+            "n_int": len(y),
+            "ok1": bool(abs(a1_out / a1_in - g1) < 1e-3),
+            "ok2": bool(abs(a2_out / a2_in - g2) < 1e-3),
+            "ok3": bool(np.max(np.abs(dc)) < 1e-6),
+        })
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_resample_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Kaiser-sinc resampler (F1, audio_processor.py:70-82): exact
+    librosa ceil length on the non-trivial 441:160 ratio, and
+    tone preservation through up/down-sampling to 1e-4."""
+    import numpy as np
+
+    from streamprocess_spark.functions.dsp import np_resample_kaiser
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        n_in = 2205 + int(d % 441)
+        x = np.sin(2 * np.pi * 441.0 * np.arange(n_in) / 44100).astype(
+            np.float32
+        )
+        y = np_resample_kaiser(x, 44100, 16000)
+
+        n_up = 4000
+        tone = np.sin(2 * np.pi * 440.0 * np.arange(n_up) / 8000).astype(
+            np.float32
+        )
+        up = np_resample_kaiser(tone, 8000, 16000)
+        ref_up = np.sin(2 * np.pi * 440.0 * np.arange(len(up)) / 16000)
+        core = slice(200, len(up) - 200)
+        err_up = float(np.max(np.abs(up[core] - ref_up[core])))
+
+        tone48 = np.sin(2 * np.pi * 440.0 * np.arange(12000) / 48000).astype(
+            np.float32
+        )
+        down = np_resample_kaiser(tone48, 48000, 16000)
+        ref_dn = np.sin(2 * np.pi * 440.0 * np.arange(len(down)) / 16000)
+        core = slice(400, len(down) - 400)
+        err_dn = float(np.max(np.abs(down[core] - ref_dn[core])))
+
+        amp = float(np.sqrt(2.0 * np.mean(up[200:-200].astype(np.float64) ** 2)))
+        rows.append({
+            "n_int": len(y),
+            "ok1": bool(err_up < 1e-4),
+            "ok2": bool(abs(amp - 1.0) < 1e-3),
+            "ok3": bool(err_dn < 1e-4),
+        })
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_clahe_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """CLAHE (F14 parity, image_processor.py:198-215): on a fixture
+    whose every 8x8-grid tile has a perfectly uniform histogram, no
+    clipping fires and every tile LUT is identical, so the output is
+    the closed-form LUT v -> rint((v+1)*255/256) applied pointwise —
+    the oracle recomputes the exact pixel sum from generate_series."""
+    import numpy as np
+
+    from streamprocess_spark.functions.image import np_clahe
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        m = 1 + int(d % 2)
+        h, w = 128, 128 * m
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (16 * (yy % 16) + (xx % (16 * m)) // m).astype(np.uint8)
+        out = np_clahe(img, clip_limit=2.0, grid=(8, 8))
+        lut = np.rint((np.arange(256) + 1) * 255.0 / 256.0).astype(np.int64)
+        exact = bool(np.array_equal(out.astype(np.int64), lut[img]))
+        rows.append({
+            "n_int": int(out.sum(dtype=np.int64)),
+            "ok1": exact,
+            "ok2": bool(out.min() == lut[0]),
+            "ok3": bool(out.max() == lut[255]),
+        })
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_nlm_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Non-local means (F13 parity, image_processor.py:182-196,
+    h=10/template=7/search=21): a constant image is an exact fixed
+    point (uniform weights average identical values), and on a
+    deterministic noisy two-tone fixture the denoised MSE must drop."""
+    import numpy as np
+
+    from streamprocess_spark.functions.image import np_nlmeans
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        c = 100 + int(d % 50)
+        const = np.full((64, 64), c, np.uint8)
+        out_c = np_nlmeans(const)
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        clean = np.where((yy // 8) % 2 == 0, 200, 60).astype(np.float64)
+        noise = ((d * 31 + yy * 17 + xx * 29) % 13).astype(np.float64) - 6.0
+        noisy = np.clip(clean + 2.0 * noise, 0, 255).astype(np.uint8)
+        den = np_nlmeans(noisy)
+        mse_before = float(np.mean((noisy.astype(np.float64) - clean) ** 2))
+        mse_after = float(np.mean((den.astype(np.float64) - clean) ** 2))
+        rows.append({
+            "n_int": int(out_c.sum(dtype=np.int64)),
+            "ok1": bool(np.all(out_c == c)),
+            "ok2": bool(mse_after < mse_before),
+            "ok3": True,
+        })
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_denoise_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """STFT spectral subtraction (F4, audio_processor.py:116-157) at
+    the reference geometry: length preserved exactly via np.resize, a
+    tone after leading silence survives (noise estimate ~ 0), energy
+    never grows, and the <1024-sample noise gate passes input through
+    bit-for-bit."""
+    import numpy as np
+
+    from streamprocess_spark.functions.audio import np_denoise
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        n = 16000 + int(d % 3) * 2048
+        # the noise window is min(0.5 s, n/4) = n/4 <= 5024 here; the
+        # leading silence must cover it fully or the tone leaks into
+        # the noise estimate and gets subtracted from itself
+        lead = 5632
+        t = np.arange(n - lead)
+        sig = np.concatenate([
+            np.zeros(lead, np.float32),
+            np.sin(2 * np.pi * 500.0 * t / 16000).astype(np.float32),
+        ])
+        y = np_denoise(sig, sr=16000)
+        tone_in = sig[8000:n - 2048].astype(np.float64)
+        tone_out = y[8000:n - 2048].astype(np.float64)
+        ratio = float(
+            np.sqrt(np.mean(tone_out ** 2) / np.mean(tone_in ** 2))
+        )
+        short = np.sin(2 * np.pi * 440.0 * np.arange(2000) / 16000).astype(
+            np.float32
+        )
+        rows.append({
+            "n_int": len(y),
+            "ok1": bool(0.95 < ratio < 1.05),
+            "ok2": bool(
+                np.sqrt(np.mean(y.astype(np.float64) ** 2))
+                <= np.sqrt(np.mean(sig.astype(np.float64) ** 2)) * 1.001
+            ),
+            "ok3": bool(np.array_equal(np_denoise(short, sr=16000), short)),
+        })
+    return pd.DataFrame(rows)
+
+
+
+
+@register(
+    "q_dsp_parity",
+    oracle=_DSP_PARITY_ORACLE,
+    covers=("F1", "F4", "F5", "F13", "F14"),
+    doc="Reference-parity DSP kernel suite (functions/dsp.py + "
+        "np_clahe/np_nlmeans): the scipy 4th-order Butterworth "
+        "filtfilt, the librosa Kaiser-sinc resampler, the real-"
+        "geometry STFT spectral subtraction, cv2-construction CLAHE "
+        "and non-local means — each exercised on synthetic fixtures "
+        "with closed-form exact n_int (lengths, LUT pixel sums, "
+        "constant fixed points) and measured physics booleans "
+        "(analytic |H|^2 gain match to 1e-3, Fourier tone "
+        "preservation to 1e-4, MSE reduction, the 1024-sample noise "
+        "gate). Map-only, zero shuffle; at 100 TB this runs "
+        "embarrassingly parallel per row.",
+)
+def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def leg(name, udf, frame):
+        return frame.withColumn("r", udf(F.col("doc_id"))).select(
+            F.lit(name).alias("modality"),
+            "doc_id",
+            F.col("r.n_int").alias("n_int"),
+            F.col("r.ok1").alias("ok1"),
+            F.col("r.ok2").alias("ok2"),
+            F.col("r.ok3").alias("ok3"),
+        )
+
+    return (
+        leg("dsp_butter", _dsp_butter_udf, docs)
+        .unionByName(leg("dsp_resample", _dsp_resample_udf, docs))
+        .unionByName(leg("dsp_clahe", _dsp_clahe_udf, docs))
+        .unionByName(
+            leg("dsp_nlm", _dsp_nlm_udf, docs.filter(F.col("doc_id") % 10 == 3))
+        )
+        .unionByName(
+            leg(
+                "dsp_denoise",
+                _dsp_denoise_udf,
+                docs.filter(F.col("doc_id") % 5 == 1),
             )
         )
     )
