@@ -401,3 +401,38 @@ def np_spectral_subtract(x: np.ndarray, sr: int = 16000,
     clean = np.maximum(mag - alpha * noise_mag, beta * mag)
     y = np_istft(clean * np.exp(1j * phase), n_fft, hop, length=len(x))
     return y.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# FFT (trigonometric-interpolant) resampling — the reference's
+# scipy.signal.resample fallback path (audio_processor.py:80-82)
+# ---------------------------------------------------------------------------
+
+def np_resample_fft(x: np.ndarray, num: int) -> np.ndarray:
+    """Resample to exactly ``num`` samples by evaluating the signal's
+    trigonometric interpolant on the new grid — the
+    scipy.signal.resample algorithm (spectrum truncation/zero-padding
+    in the rfft domain, with the even-length Nyquist-bin split).
+    Verified against direct interpolant evaluation in tests/test_dsp.py.
+
+    The reference hits this path as a fallback when librosa fails
+    (audio_processor.py:80-82: num = int(len(x) * target / orig))."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if num == n or n == 0:
+        return x.astype(np.float32)
+    sp = np.fft.rfft(x)
+    y = np.zeros(num // 2 + 1, dtype=np.complex128)
+    nkeep = min(num, n)
+    nyq = nkeep // 2 + 1
+    y[:nyq] = sp[:nyq]
+    if nkeep % 2 == 0:
+        if num < n:
+            # the old bin at the new Nyquist and its conjugate mirror
+            # alias together: the cos coefficient doubles, sin cancels
+            y[nkeep // 2] = 2.0 * sp[nkeep // 2].real
+        else:
+            # the old pure-cos Nyquist bin splits into +/- complex
+            # exponentials; in the longer spectrum it carries half
+            y[nkeep // 2] *= 0.5
+    return (np.fft.irfft(y, num) * (num / n)).astype(np.float32)

@@ -1362,3 +1362,116 @@ def np_decode_tiff_gray(raw: bytes) -> np.ndarray:
     if tags.get("photometric", [1])[0] == 0:         # WhiteIsZero
         img = 255 - img
     return img
+
+
+# ---------------------------------------------------------------------------
+# cv2-construction interpolation kernels (F12/F15/F17 parity): bicubic
+# resize/warpAffine (INTER_CUBIC, a=-0.75, half-pixel centers,
+# replicate border) and the Gaussian adaptive threshold
+# ---------------------------------------------------------------------------
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """The 4 bicubic tap weights at fractional phase t in [0,1) —
+    the Keys kernel with OpenCV's a=-0.75 (modules/imgproc: interpolateCubic).
+    Taps cover offsets (-1, 0, 1, 2) relative to floor(coord); the
+    kernel is a partition of unity, so weights sum to exactly 1."""
+    w = np.empty(t.shape + (4,), dtype=np.float64)
+    for i, off in enumerate((-1.0, 0.0, 1.0, 2.0)):
+        x = np.abs(t - off)
+        w[..., i] = np.where(
+            x <= 1.0,
+            ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+            np.where(x < 2.0, ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a,
+                     0.0),
+        )
+    return w
+
+
+def _sample_bicubic(img: np.ndarray, fy: np.ndarray,
+                    fx: np.ndarray) -> np.ndarray:
+    """Sample img at float coords (fy, fx) elementwise with bicubic
+    interpolation and replicate border (coordinates clamped)."""
+    h, w = img.shape
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    wy = _cubic_weights(fy - y0)
+    wx = _cubic_weights(fx - x0)
+    out = np.zeros(fy.shape, dtype=np.float64)
+    for j in range(4):
+        yj = np.clip(y0 + (j - 1), 0, h - 1)
+        row_acc = np.zeros(fy.shape, dtype=np.float64)
+        for i in range(4):
+            xi = np.clip(x0 + (i - 1), 0, w - 1)
+            row_acc += wx[..., i] * img[yj, xi]
+        out += wy[..., j] * row_acc
+    return out
+
+
+def np_resize_cubic(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """F17 parity kernel: cv2.resize(..., INTER_CUBIC) — the DPI
+    upscaler (image_processor.py:264-286). Half-pixel-center mapping
+    src = (dst + 0.5) * (in/out) - 0.5, bicubic a=-0.75, clamped
+    borders. np_resize_nearest stays for the hashed oracle legs."""
+    h, w = img.shape
+    fy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    out = _sample_bicubic(
+        img.astype(np.float64), fy[:, None] * np.ones_like(fx)[None, :],
+        np.ones_like(fy)[:, None] * fx[None, :],
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def np_warp_affine_cubic(img: np.ndarray, m: np.ndarray,
+                         out_shape: tuple[int, int] | None = None
+                         ) -> np.ndarray:
+    """F12 parity kernel: cv2.warpAffine(..., INTER_CUBIC,
+    BORDER_REPLICATE) — the deskew rotation application
+    (image_processor.py:174). ``m`` is the forward 2x3 src->dst
+    matrix (cv2.getRotationMatrix2D layout); each destination pixel
+    samples the source at the inverted transform with bicubic
+    interpolation and replicate border."""
+    h, w = img.shape
+    oh, ow = out_shape or (h, w)
+    m = np.asarray(m, dtype=np.float64)
+    a_lin = m[:, :2]
+    t_vec = m[:, 2]
+    inv = np.linalg.inv(a_lin)
+    yy, xx = np.mgrid[0:oh, 0:ow].astype(np.float64)
+    sx = inv[0, 0] * (xx - t_vec[0]) + inv[0, 1] * (yy - t_vec[1])
+    sy = inv[1, 0] * (xx - t_vec[0]) + inv[1, 1] * (yy - t_vec[1])
+    out = _sample_bicubic(img.astype(np.float64), sy, sx)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def np_gaussian_kernel1d(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel(ksize, sigma=-1): sigma from the
+    documented formula 0.3*((ksize-1)*0.5 - 1) + 0.8, sampled
+    exp(-i^2/(2 sigma^2)) around the center, normalized to sum 1."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    i = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(i * i) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def np_adaptive_threshold_gaussian(img: np.ndarray, block: int = 11,
+                                   c: float = 2.0) -> np.ndarray:
+    """F15 parity kernel: cv2.adaptiveThreshold(..., ADAPTIVE_THRESH_
+    GAUSSIAN_C, THRESH_BINARY, blockSize=11, C=2) — the reference's
+    default binarize branch (image_processor.py:217-236). The local
+    threshold is the Gaussian-weighted block mean (separable blur,
+    replicate border, rounded to uint8 as cv2's 8-bit path does)
+    minus C; dst = 255 where src > threshold."""
+    k = np_gaussian_kernel1d(block)
+    half = block // 2
+    x = img.astype(np.float64)
+    p = np.pad(x, ((half, half), (0, 0)), mode="edge")
+    vert = np.zeros_like(x)
+    for j in range(block):
+        vert += k[j] * p[j:j + img.shape[0], :]
+    p2 = np.pad(vert, ((0, 0), (half, half)), mode="edge")
+    mean = np.zeros_like(x)
+    for j in range(block):
+        mean += k[j] * p2[:, j:j + img.shape[1]]
+    thresh = np.rint(mean) - c
+    return np.where(x > thresh, 255, 0).astype(np.uint8)

@@ -1038,6 +1038,148 @@ def q_inference_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.join(audio, "doc_id")
 
 
+_DSP_ROW = T.StructType([
+    T.StructField("n_int", T.LongType()),
+    T.StructField("ok1", T.BooleanType()),
+    T.StructField("ok2", T.BooleanType()),
+    T.StructField("ok3", T.BooleanType()),
+])
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_fft_resample_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """FFT trigonometric-interpolant resample (F1 fallback,
+    audio_processor.py:80-82 scipy.signal.resample): the reference's
+    num = int(n * target / orig) truncating length, and exact
+    reproduction of Fourier-aligned tones (spectrum translation is
+    exact for band-limited periodic signals)."""
+    import numpy as np
+
+    from streamprocess_spark.functions.dsp import np_resample_fft
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        n_in = 2205 + int(d % 441)
+        num = n_in * 160 // 441  # int(n * 16000 / 44100)
+        x = np.sin(
+            2 * np.pi * 441.0 * np.arange(n_in) / 44100
+        ).astype(np.float32)
+        y = np_resample_fft(x, num)
+
+        # Fourier-aligned tone: k cycles over n samples resampled to m
+        n, m, k = 1024, 2048, 40
+        tone = np.sin(2 * np.pi * k * np.arange(n) / n)
+        up = np_resample_fft(tone, m)
+        ref = np.sin(2 * np.pi * k * np.arange(m) / m)
+        err = float(np.max(np.abs(up.astype(np.float64) - ref)))
+        amp = float(np.sqrt(2.0 * np.mean(up.astype(np.float64) ** 2)))
+        # downsample keeps in-band tones exactly too (k < m2/2)
+        m2 = 512
+        dn = np_resample_fft(tone, m2)
+        ref2 = np.sin(2 * np.pi * k * np.arange(m2) / m2)
+        err2 = float(np.max(np.abs(dn.astype(np.float64) - ref2)))
+        rows.append({
+            "n_int": len(y),
+            "ok1": bool(err < 1e-5),
+            "ok2": bool(abs(amp - 1.0) < 1e-5),
+            "ok3": bool(err2 < 1e-5),
+        })
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_cubic_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Bicubic resize/warpAffine, the cv2 INTER_CUBIC construction
+    (F17 adjust_dpi :264-286, F12 deskew warp :174): Keys a=-0.75
+    kernel is a partition of unity (constant images exact), reproduces
+    linear ramps in the interior, and is the identity at integer
+    phases (integer-translation warp == exact shift)."""
+    import numpy as np
+
+    from streamprocess_spark.functions.image import (
+        np_resize_cubic,
+        np_warp_affine_cubic,
+    )
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        h, w = 32, 32 + int(d % 16)
+        oh, ow = 2 * h + 1, 2 * w + 3
+        const = np.full((h, w), 60 + int(d % 160), np.uint8)
+        rc = np_resize_cubic(const, oh, ow)
+        ok1 = bool(np.all(rc == const[0, 0]))
+
+        img = ((np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 13 + d)
+               % 256).astype(np.uint8)
+        ty, tx = 5, 3
+        m = np.array([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+        shifted = np_warp_affine_cubic(img, m)
+        ys = np.clip(np.arange(h) - ty, 0, h - 1)
+        xs = np.clip(np.arange(w) - tx, 0, w - 1)
+        ok2 = bool(np.array_equal(shifted, img[ys[:, None], xs[None, :]]))
+
+        ramp = np.tile(
+            np.minimum(np.arange(w) * 3, 255), (h, 1)
+        ).astype(np.uint8)
+        rr = np_resize_cubic(ramp, h, 2 * w)
+        fx = (np.arange(2 * w) + 0.5) * (w / (2 * w)) - 0.5
+        expect = np.rint(np.minimum(np.clip(fx, 0, w - 1) * 3, 255))
+        ok3 = bool(
+            np.max(np.abs(rr[h // 2, 4:-4].astype(np.int64)
+                          - expect[4:-4].astype(np.int64))) <= 1
+        )
+        rows.append(
+            {"n_int": oh * ow, "ok1": ok1, "ok2": ok2, "ok3": ok3}
+        )
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
+def _dsp_gauss_adaptive_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Gaussian adaptive threshold (F15, image_processor.py:217-236,
+    cv2 ADAPTIVE_THRESH_GAUSSIAN_C blockSize=11 C=2): a constant
+    image thresholds all-white (mean - C < v everywhere), and the
+    separable implementation must equal the dense 2-D brute force on
+    a deterministic random fixture."""
+    import numpy as np
+
+    from streamprocess_spark.functions.image import (
+        np_adaptive_threshold_gaussian,
+        np_gaussian_kernel1d,
+    )
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        h, w = 24, 24 + int(d % 8)
+        const = np.full((h, w), 40 + int(d % 180), np.uint8)
+        at = np_adaptive_threshold_gaussian(const)
+        ok1 = bool(np.all(at == 255))
+
+        img = ((np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17
+                + d * 13) % 256).astype(np.uint8)
+        got = np_adaptive_threshold_gaussian(img)
+
+        k = np_gaussian_kernel1d(11)
+        kk = np.outer(k, k)
+        p = np.pad(img.astype(np.float64), 5, mode="edge")
+        brute = np.empty((h, w))
+        for y in range(h):
+            for x in range(w):
+                brute[y, x] = np.sum(kk * p[y:y + 11, x:x + 11])
+        want = np.where(img > np.rint(brute) - 2.0, 255, 0).astype(np.uint8)
+        ok2 = bool(np.array_equal(got, want))
+
+        # a bright half-plane: the bright side is always white
+        step = np.where(np.arange(w)[None, :] >= w // 2, 255, 0).astype(
+            np.uint8
+        )
+        step = np.repeat(step, h, axis=0)
+        st = np_adaptive_threshold_gaussian(step)
+        ok3 = bool(np.all(st[:, w // 2 + 6:] == 255))
+        rows.append({"n_int": h * w, "ok1": ok1, "ok2": ok2, "ok3": ok3})
+    return pd.DataFrame(rows)
+
+
 _DSP_PARITY_ORACLE = """
     SELECT 'dsp_butter' AS modality, doc_id,
            cast(6144 + (doc_id % 4) * 512 AS BIGINT) AS n_int,
@@ -1065,6 +1207,21 @@ _DSP_PARITY_ORACLE = """
            cast(16000 + (doc_id % 3) * 2048 AS BIGINT),
            true, true, true
     FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT 'dsp_fft_resample', doc_id,
+           cast((2205 + doc_id % 441) * 160 // 441 AS BIGINT),
+           true, true, true
+    FROM documents
+    UNION ALL
+    SELECT 'dsp_cubic', doc_id,
+           cast((2 * 32 + 1) * (2 * (32 + doc_id % 16) + 3) AS BIGINT),
+           true, true, true
+    FROM documents
+    UNION ALL
+    SELECT 'dsp_gauss_adaptive', doc_id,
+           cast(24 * (24 + doc_id % 8) AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 10 = 7
 """
 
 
@@ -1095,7 +1252,7 @@ _DSP_PARITY_ORACLE = """
     UNION ALL
     """ + _DSP_PARITY_ORACLE,
     covers=("F1", "F4", "F5", "F6", "F8", "F10", "F11", "F12", "F13",
-            "F14", "F21"),
+            "F14", "F15", "F17", "F21"),
     doc="Media float paths made driver-checkable: every recursive "
         "filter / FFT / percentile / rotation path still executes, and "
         "the emitted columns are closed-form invariants DuckDB "
@@ -1685,14 +1842,6 @@ def stream_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant-image fixed point, the spectral-subtraction noise gate).
 # ---------------------------------------------------------------------------
 
-_DSP_ROW = T.StructType([
-    T.StructField("n_int", T.LongType()),
-    T.StructField("ok1", T.BooleanType()),
-    T.StructField("ok2", T.BooleanType()),
-    T.StructField("ok3", T.BooleanType()),
-])
-
-
 def _dft_amp(y, k: int, start: int, width: int):
     """Amplitude of the k-th DFT bin over y[start:start+width] — the
     Fourier-aligned single-tone projection used to measure filter gain."""
@@ -1897,7 +2046,7 @@ def _dsp_denoise_udf(doc_id: pd.Series) -> pd.DataFrame:
 @register(
     "q_dsp_parity",
     oracle=_DSP_PARITY_ORACLE,
-    covers=("F1", "F4", "F5", "F13", "F14"),
+    covers=("F1", "F4", "F5", "F12", "F13", "F14", "F15", "F17"),
     doc="Reference-parity DSP kernel suite (functions/dsp.py + "
         "np_clahe/np_nlmeans): the scipy 4th-order Butterworth "
         "filtfilt, the librosa Kaiser-sinc resampler, the real-"
@@ -1935,6 +2084,15 @@ def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dsp_denoise",
                 _dsp_denoise_udf,
                 docs.filter(F.col("doc_id") % 5 == 1),
+            )
+        )
+        .unionByName(leg("dsp_fft_resample", _dsp_fft_resample_udf, docs))
+        .unionByName(leg("dsp_cubic", _dsp_cubic_udf, docs))
+        .unionByName(
+            leg(
+                "dsp_gauss_adaptive",
+                _dsp_gauss_adaptive_udf,
+                docs.filter(F.col("doc_id") % 10 == 7),
             )
         )
     )

@@ -263,3 +263,150 @@ def test_nlm_denoises_structured_image():
         np.mean((den.astype(np.float64) - clean) ** 2)
         < 0.7 * np.mean((noisy.astype(np.float64) - clean) ** 2)
     )
+
+
+# --------------------------------------------------------- fft resample
+
+def _trig_interpolant(x, m):
+    """Ground truth: evaluate x's trigonometric interpolant at the
+    m-point grid (O(nm), definitionally exact for band-limited
+    periodic signals)."""
+    n = len(x)
+    sp = np.fft.rfft(x)
+    t = np.arange(m) * n / m
+    out = np.full(m, sp[0].real)
+    for k in range(1, (n - 1) // 2 + 1):
+        out = out + 2 * (sp[k] * np.exp(2j * np.pi * k * t / n)).real
+    if n % 2 == 0:
+        out = out + (sp[n // 2] * np.exp(1j * np.pi * t)).real
+    return out / n
+
+
+def test_fft_resample_matches_direct_interpolant_upsampling():
+    rng = np.random.default_rng(1)
+    for n, m in [(16, 24), (16, 33), (15, 40), (64, 96)]:
+        x = rng.normal(size=n)
+        got = dsp.np_resample_fft(x, m)
+        assert np.max(np.abs(got - _trig_interpolant(x, m))) < 1e-5
+
+
+def test_fft_resample_downsampling_truncates_spectrum():
+    rng = np.random.default_rng(2)
+    for n, m in [(24, 16), (24, 15), (16, 8)]:
+        x = rng.normal(size=n)
+        got = dsp.np_resample_fft(x, m)
+        sp = np.fft.rfft(x)
+        keep = np.zeros_like(sp)
+        nyq = m // 2 + 1
+        keep[:nyq] = sp[:nyq]
+        if m % 2 == 0:
+            keep[m // 2] = sp[m // 2].real
+        xb = np.fft.irfft(keep, n)
+        assert np.max(np.abs(got - _trig_interpolant(xb, m))) < 1e-5
+
+
+def test_fft_resample_tone_exact():
+    n, m, k = 1024, 2048, 40
+    tone = np.sin(2 * np.pi * k * np.arange(n) / n)
+    up = dsp.np_resample_fft(tone, m)
+    ref = np.sin(2 * np.pi * k * np.arange(m) / m)
+    assert np.max(np.abs(up - ref)) < 1e-5
+
+
+# --------------------------------------------------------- bicubic
+
+def test_cubic_weights_partition_of_unity():
+    from streamprocess_spark.functions.image import _cubic_weights
+
+    t = np.linspace(0, 1, 101)
+    assert np.max(np.abs(_cubic_weights(t).sum(-1) - 1.0)) < 1e-12
+
+
+def test_resize_cubic_constant_and_ramp():
+    from streamprocess_spark.functions.image import np_resize_cubic
+
+    const = np.full((40, 52), 173, np.uint8)
+    assert np.all(np_resize_cubic(const, 95, 130) == 173)
+
+    w = 64
+    ramp = np.tile(np.arange(w) * 3, (16, 1)).astype(np.uint8)
+    out = np_resize_cubic(ramp, 16, 128)
+    fx = (np.arange(128) + 0.5) * (w / 128) - 0.5
+    expect = np.rint(np.clip(fx, 0, w - 1) * 3).astype(np.int64)
+    assert np.max(np.abs(out[8, 4:-4].astype(np.int64) - expect[4:-4])) <= 1
+
+
+def test_warp_affine_cubic_integer_shift_exact():
+    from streamprocess_spark.functions.image import np_warp_affine_cubic
+
+    img = (np.arange(32 * 32).reshape(32, 32) * 7 % 256).astype(np.uint8)
+    m = np.array([[1.0, 0.0, 3.0], [0.0, 1.0, 5.0]])
+    got = np_warp_affine_cubic(img, m)
+    ys = np.clip(np.arange(32) - 5, 0, 31)
+    xs = np.clip(np.arange(32) - 3, 0, 31)
+    assert np.array_equal(got, img[ys[:, None], xs[None, :]])
+
+
+def test_warp_affine_cubic_rotation_roundtrip():
+    import math
+
+    from streamprocess_spark.functions.image import np_warp_affine_cubic
+
+    def rot(angle_deg, cx=16.0, cy=16.0):
+        a = math.radians(angle_deg)
+        return np.array([
+            [math.cos(a), math.sin(a),
+             (1 - math.cos(a)) * cx - math.sin(a) * cy],
+            [-math.sin(a), math.cos(a),
+             math.sin(a) * cx + (1 - math.cos(a)) * cy],
+        ])
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = (yy * 4 + xx * 3).astype(np.uint8)
+    back = np_warp_affine_cubic(
+        np_warp_affine_cubic(smooth, rot(7.0)), rot(-7.0)
+    )
+    assert np.max(np.abs(
+        back[8:-8, 8:-8].astype(np.int64)
+        - smooth[8:-8, 8:-8].astype(np.int64)
+    )) <= 1
+
+
+# --------------------------------------------------------- adaptive
+
+def test_gaussian_kernel_normalized_symmetric():
+    from streamprocess_spark.functions.image import np_gaussian_kernel1d
+
+    k = np_gaussian_kernel1d(11)
+    assert abs(k.sum() - 1.0) < 1e-12
+    assert np.allclose(k, k[::-1])
+    assert np.argmax(k) == 5
+
+
+def test_adaptive_threshold_gaussian_matches_bruteforce():
+    from streamprocess_spark.functions.image import (
+        np_adaptive_threshold_gaussian,
+        np_gaussian_kernel1d,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (24, 26), np.uint8)
+    k = np_gaussian_kernel1d(11)
+    kk = np.outer(k, k)
+    p = np.pad(img.astype(np.float64), 5, mode="edge")
+    brute = np.empty(img.shape)
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            brute[y, x] = np.sum(kk * p[y:y + 11, x:x + 11])
+    want = np.where(img > np.rint(brute) - 2.0, 255, 0).astype(np.uint8)
+    assert np.array_equal(np_adaptive_threshold_gaussian(img), want)
+
+
+def test_adaptive_threshold_constant_all_white():
+    from streamprocess_spark.functions.image import (
+        np_adaptive_threshold_gaussian,
+    )
+
+    for v in (0, 40, 255):
+        img = np.full((20, 20), v, np.uint8)
+        assert np.all(np_adaptive_threshold_gaussian(img) == 255)
