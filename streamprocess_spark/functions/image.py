@@ -1475,3 +1475,69 @@ def np_adaptive_threshold_gaussian(img: np.ndarray, block: int = 11,
         mean += k[j] * p2[:, j:j + img.shape[1]]
     thresh = np.rint(mean) - c
     return np.where(x > thresh, 255, 0).astype(np.uint8)
+
+
+def np_morph_open2(binary: np.ndarray) -> np.ndarray:
+    """Morphological opening with the reference denoise step's 2x2
+    all-ones kernel (image_processor.py:189-191; cv2 anchors an even
+    kernel at (1,1), so erosion looks up-left and dilation mirrors)."""
+    def erode(x):
+        p = np.pad(x, ((1, 0), (1, 0)), mode="edge")
+        return np.minimum.reduce([
+            p[0:-1, 0:-1], p[0:-1, 1:], p[1:, 0:-1], p[1:, 1:]
+        ])
+
+    def dilate(x):
+        p = np.pad(x, ((0, 1), (0, 1)), mode="edge")
+        return np.maximum.reduce([
+            p[0:-1, 0:-1], p[0:-1, 1:], p[1:, 0:-1], p[1:, 1:]
+        ])
+
+    return dilate(erode(binary)).astype(np.uint8)
+
+
+def np_preprocess_image_reference(
+    img: np.ndarray,
+    deskew: bool = True,
+    denoise: bool = True,
+    enhance_contrast: bool = True,
+    binarize: bool = False,
+    gamma: float = 1.2,
+) -> np.ndarray:
+    """The reference's preprocess_image composition over the parity
+    kernels (image_processor.py:20-76): deskew (PCA angle + the
+    cv2-construction INTER_CUBIC warp with replicate border, :143-180)
+    -> denoise (non-local means h=10/7/21 + 2x2 opening, :182-196;
+    NOTE the reference code names the opening op cv2.MORPH_OPENING,
+    which does not exist — cv2 spells it MORPH_OPEN — so its runtime
+    denoise silently returns the input via the surrounding
+    try/except; the intended semantics are implemented here)
+    -> enhance (CLAHE clipLimit=2 8x8 + gamma-1.2 LUT, :198-215)
+    -> optional binarize (Gaussian adaptive threshold 11/2, :217-236).
+    All stages preserve dimensions."""
+    import math
+
+    out = img
+    if deskew:
+        angle = np_text_angle_pca(out)
+        if abs(angle) > 0.5:
+            h, w = out.shape
+            cy, cx = h // 2, w // 2
+            a = math.radians(-angle)
+            m = np.array([
+                [math.cos(a), math.sin(a),
+                 (1 - math.cos(a)) * cx - math.sin(a) * cy],
+                [-math.sin(a), math.cos(a),
+                 math.sin(a) * cx + (1 - math.cos(a)) * cy],
+            ])
+            out = np_warp_affine_cubic(out, m)
+    if denoise:
+        out = np_morph_open2(np_nlmeans(out))
+    if enhance_contrast:
+        out = np_clahe(out)
+        inv_gamma = 1.0 / gamma
+        lut = ((np.arange(256) / 255.0) ** inv_gamma * 255).astype(np.uint8)
+        out = lut[out]
+    if binarize:
+        out = np_adaptive_threshold_gaussian(out)
+    return out

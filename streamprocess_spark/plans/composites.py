@@ -2096,3 +2096,100 @@ def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q138_ocr_chain_parity — the reference preprocess_image composition
+# (image_processor.py:20-76) over the parity kernels, end-to-end
+# ---------------------------------------------------------------------------
+
+_CHAIN_ROW = T.StructType([
+    T.StructField("n_px", T.LongType()),
+    T.StructField("const_ok", T.BooleanType()),
+    T.StructField("binary_ok", T.BooleanType()),
+    T.StructField("det_ok", T.BooleanType()),
+])
+
+
+@pandas_udf(_CHAIN_ROW)
+def _ocr_chain_udf(image: pd.Series, width: pd.Series,
+                   height: pd.Series) -> pd.DataFrame:
+    """Runs the real page through the full parity chain (deskew-cubic
+    -> NLM+open -> CLAHE+gamma -> adaptive binarize) and checks:
+    dimensional preservation (n_px exact), the constant-image closed
+    form (CLAHE spike-clip arithmetic + gamma LUT, derived in
+    tests/test_dsp.py fashion inside numpy), binarize emits only
+    {0,255}, and the chain is deterministic (two runs bit-equal)."""
+    import numpy as np
+
+    from streamprocess_spark.functions.image import (
+        np_clahe,
+        np_preprocess_image_reference,
+    )
+
+    rows = []
+    for raw, w, h in zip(image, width.astype("int64"), height.astype("int64")):
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        out1 = np_preprocess_image_reference(img, binarize=True)
+        out2 = np_preprocess_image_reference(img, binarize=True)
+
+        c = 77
+        const = np.full((64, 64), c, np.uint8)
+        chain_c = np_preprocess_image_reference(const, binarize=False)
+        # closed form for the constant page: deskew/NLM/open are
+        # no-ops; CLAHE's spike clip (tile 8x8, limit 1, residual
+        # stride 4) gives lut[c] = rint((c//4 + 2) * 255/64); gamma
+        # LUT floors pow(v/255, 1/1.2)*255
+        clahe_v = int(np.rint((c // 4 + 2) * 255.0 / 64.0))
+        expect = int(((clahe_v / 255.0) ** (1.0 / 1.2)) * 255)
+        const_ok = bool(np.all(chain_c == expect)) and bool(
+            np.all(np_clahe(const) == clahe_v)
+        )
+        rows.append({
+            "n_px": int(out1.size),
+            "const_ok": const_ok,
+            "binary_ok": bool(np.isin(out1, (0, 255)).all()),
+            "det_ok": bool(np.array_equal(out1, out2)),
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q138_ocr_chain_parity",
+    oracle="""
+    SELECT doc_id,
+           cast((160 + (doc_id % 3) * 80) * (120 + (doc_id % 2) * 60)
+                AS BIGINT) AS n_px,
+           true AS const_ok, true AS binary_ok, true AS det_ok
+    FROM documents WHERE doc_id % 10 = 4
+    """,
+    covers=("F12", "F13", "F14", "F15", "§3.3"),
+    doc="The reference's full preprocess_image composition "
+        "(image_processor.py:20-76) executed end-to-end over the "
+        "parity kernels on the real synthesized pages: deskew with "
+        "the INTER_CUBIC warp, NLM + the 2x2 opening the reference "
+        "INTENDS (its cv2.MORPH_OPENING typo makes its own runtime "
+        "denoise a silent no-op — documented in "
+        "np_preprocess_image_reference), CLAHE + gamma, Gaussian "
+        "adaptive binarize. n_px is the exact dimension-preservation "
+        "closed form; booleans assert the constant-page closed form, "
+        "the binary alphabet, and bit-level determinism.",
+)
+def q138_ocr_chain_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.plans.multimodal import _image_df
+
+    return (
+        _image_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 4)
+        .withColumn(
+            "r",
+            _ocr_chain_udf(F.col("image"), F.col("width"), F.col("height")),
+        )
+        .select(
+            "doc_id",
+            F.col("r.n_px").alias("n_px"),
+            F.col("r.const_ok").alias("const_ok"),
+            F.col("r.binary_ok").alias("binary_ok"),
+            F.col("r.det_ok").alias("det_ok"),
+        )
+    )
