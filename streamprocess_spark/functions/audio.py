@@ -21,7 +21,14 @@ public math in functions/dsp.py; remaining deviations noted inline:
   F7  apply_vad           (:217-278) frame-energy VAD (vs webrtcvad —
                                       its GMM tables aren't derivable
                                       offline; documented analog)
-  F8  extract_features    (:384-420) RMS/ZCR/centroid/bandwidth/rolloff
+  F8  extract_features    (:384-420) per-frame MFCC/centroid/
+                                      bandwidth/rolloff/ZCR/RMS at the
+                                      librosa construction (dsp.np_mfcc,
+                                      dsp.np_frame_features); np_features
+                                      keeps the scalar summary for the
+                                      oracle-banded q59 leg; beat
+                                      tracking (librosa.beat) is the
+                                      one un-reproduced F8 output
   F9  decode LINEAR16     (stt_worker.py:381-394) int16/32768
   F10 preprocess pipeline (:20-68)
 
@@ -290,9 +297,11 @@ def np_vad_flags(x: np.ndarray, sr: int = 16000, frame_ms: int = 30,
 
 
 def np_features(x: np.ndarray, sr: int = 16000) -> dict[str, float]:
-    """F8: summary spectral features (audio_processor.py:384-420),
-    scalars instead of per-frame arrays (MFCC needs librosa; the
-    centroid/bandwidth/rolloff/ZCR/RMS family is reproduced)."""
+    """F8: summary spectral features (audio_processor.py:384-420) as
+    scalars for the banded q59 invariants. The reference's per-frame
+    forms — MFCC and the frame-grid centroid/bandwidth/rolloff/ZCR/RMS
+    — are reproduced at the librosa construction in functions/dsp.py
+    (np_mfcc, np_frame_features; q_dsp_parity 'dsp_mfcc' rows)."""
     if len(x) == 0:
         return {"rms": 0.0, "zcr": 0.0, "centroid": 0.0,
                 "bandwidth": 0.0, "rolloff": 0.0}

@@ -436,3 +436,131 @@ def np_resample_fft(x: np.ndarray, num: int) -> np.ndarray:
             # exponentials; in the longer spectrum it carries half
             y[nkeep // 2] *= 0.5
     return (np.fft.irfft(y, num) * (num / n)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# librosa-construction frame features + MFCC (F8 parity,
+# audio_processor.py:384-420). Beat tracking (librosa.beat.beat_track)
+# is NOT reproduced — a full onset-envelope + tempo-estimation
+# pipeline is out of scope; documented residue.
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    """Slaney's auditory-toolbox mel scale (librosa default htk=False):
+    linear below 1 kHz, logarithmic above with step 27/ln(6.4)."""
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / (200.0 / 3.0)
+    log_region = f >= 1000.0
+    mel = np.where(
+        log_region,
+        15.0 + np.log(np.maximum(f, 1e-300) / 1000.0) / (np.log(6.4) / 27.0),
+        mel,
+    )
+    return mel
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f = m * (200.0 / 3.0)
+    log_region = m >= 15.0
+    f = np.where(log_region, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), f)
+    return f
+
+
+def np_mel_filterbank(sr: int, n_fft: int, n_mels: int = 128,
+                      fmin: float = 0.0,
+                      fmax: float | None = None) -> np.ndarray:
+    """The librosa.filters.mel construction (Slaney scale, 'slaney'
+    area normalization): n_mels triangular filters over the rfft bins."""
+    fmax = fmax if fmax is not None else sr / 2.0
+    n_bins = n_fft // 2 + 1
+    freqs = np.linspace(0.0, sr / 2.0, n_bins)
+    mel_pts = np.linspace(
+        _hz_to_mel_slaney(np.array([fmin]))[0],
+        _hz_to_mel_slaney(np.array([fmax]))[0],
+        n_mels + 2,
+    )
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-12)
+        down = (hi - freqs) / max(hi - ctr, 1e-12)
+        fb[m] = np.maximum(0.0, np.minimum(up, down))
+        fb[m] *= 2.0 / (hi - lo)  # slaney area norm
+    return fb
+
+
+def _dct_ortho(x: np.ndarray, n_out: int) -> np.ndarray:
+    """Type-II DCT with 'ortho' normalization along axis 0 (the
+    scipy.fftpack.dct(type=2, norm='ortho') used by librosa.mfcc),
+    returning the first n_out coefficients."""
+    n = x.shape[0]
+    k = np.arange(n_out)[:, None]
+    i = np.arange(n)[None, :]
+    basis = np.cos(np.pi * k * (2 * i + 1) / (2.0 * n))
+    scale = np.full((n_out, 1), np.sqrt(2.0 / n))
+    scale[0, 0] = np.sqrt(1.0 / n)
+    return (basis @ x) * scale
+
+
+def np_power_to_db(s: np.ndarray, amin: float = 1e-10,
+                   top_db: float = 80.0) -> np.ndarray:
+    """librosa.power_to_db with ref=1.0: 10*log10(max(amin, S)),
+    floored at (max - top_db)."""
+    db = 10.0 * np.log10(np.maximum(amin, s))
+    return np.maximum(db, db.max() - top_db)
+
+
+def np_mfcc(x: np.ndarray, sr: int = 16000, n_mfcc: int = 13,
+            n_fft: int = 2048, hop: int = 512,
+            n_mels: int = 128) -> np.ndarray:
+    """F8 parity kernel: librosa.feature.mfcc defaults — hann STFT
+    2048/512 (centered), power mel spectrogram over the Slaney
+    filterbank, power_to_db (ref=1, top_db=80), DCT-II ortho, first
+    n_mfcc rows. Shape (n_mfcc, 1 + len(x)//hop)."""
+    spec = np.abs(np_stft(x, n_fft, hop)) ** 2
+    mel = np_mel_filterbank(sr, n_fft, n_mels) @ spec
+    return _dct_ortho(np_power_to_db(mel), n_mfcc)
+
+
+def np_frame_features(x: np.ndarray, sr: int = 16000, n_fft: int = 2048,
+                      hop: int = 512) -> dict[str, np.ndarray]:
+    """F8 parity kernels: the per-frame librosa.feature family the
+    reference stacks next to MFCC (audio_processor.py:396-410) —
+    spectral centroid, p=2 spectral bandwidth, 85% rolloff, per-frame
+    zero-crossing rate and RMS, all on the centered hann STFT frame
+    grid (frame_length=n_fft, hop=512)."""
+    x = np.asarray(x, dtype=np.float64)
+    mag = np.abs(np_stft(x, n_fft, hop))
+    freqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)[:, None]
+    norm = mag.sum(axis=0, keepdims=True) + 1e-300
+    centroid = (freqs * mag).sum(axis=0, keepdims=True) / norm
+    bandwidth = np.sqrt(
+        ((freqs - centroid) ** 2 * mag).sum(axis=0, keepdims=True) / norm
+    )
+    cum = np.cumsum(mag, axis=0)
+    thresh = 0.85 * cum[-1:, :]
+    roll_idx = (cum < thresh).sum(axis=0)
+    rolloff = freqs[np.minimum(roll_idx, len(freqs) - 1), 0]
+
+    # zcr / rms over centered frames of the raw signal
+    pad = n_fft // 2
+    xp_e = np.pad(x, pad, mode="edge")       # librosa zcr pad: edge
+    xp_c = np.pad(x, pad, mode="constant")   # librosa rms pad: zeros
+    n_frames = mag.shape[1]
+    zcr = np.empty(n_frames)
+    rms = np.empty(n_frames)
+    for i in range(n_frames):
+        fe = xp_e[i * hop:i * hop + n_fft]
+        fc = xp_c[i * hop:i * hop + n_fft]
+        sign = np.signbit(fe)
+        zcr[i] = np.mean(sign[1:] != sign[:-1])
+        rms[i] = np.sqrt(np.mean(fc * fc))
+    return {
+        "centroid": centroid[0],
+        "bandwidth": bandwidth[0],
+        "rolloff": rolloff,
+        "zcr": zcr,
+        "rms": rms,
+    }

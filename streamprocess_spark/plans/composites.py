@@ -1180,6 +1180,52 @@ def _dsp_gauss_adaptive_udf(doc_id: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@pandas_udf(_DSP_ROW)
+def _dsp_mfcc_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """librosa-construction MFCC + per-frame spectral features (F8,
+    audio_processor.py:384-420): exact frame-grid shape, the silence
+    closed form (c0 = -top_db_floor * sqrt(n_mels), higher DCT
+    coefficients zero), and tone physics (centroid/rolloff at the
+    tone, zcr = 2f/sr, rms = amp/sqrt(2))."""
+    import numpy as np
+
+    from streamprocess_spark.functions.dsp import (
+        np_frame_features,
+        np_mfcc,
+    )
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        n = 8192 + int(d % 8) * 512
+        m = np_mfcc(np.zeros(n))
+        n_frames = 1 + n // 512
+        ok1 = bool(
+            m.shape == (13, n_frames)
+            and np.max(np.abs(m[0] - (-100.0 * np.sqrt(128.0)))) < 1e-9
+            and np.max(np.abs(m[1:])) < 1e-9
+        )
+
+        sr = 16000
+        f_hz = 500.0 * (1 + int(d % 4))  # 500..2000, Fourier-bin aligned
+        amp = 0.5
+        tone = amp * np.sin(2 * np.pi * f_hz * np.arange(sr) / sr)
+        feats = np_frame_features(tone, sr)
+        mid = slice(4, -4)
+        ok2 = bool(
+            abs(float(np.mean(feats["centroid"][mid])) - f_hz) < 1.0
+            and abs(float(np.mean(feats["rolloff"][mid])) - f_hz) < 16.0
+        )
+        ok3 = bool(
+            abs(float(np.mean(feats["zcr"][mid])) - 2 * f_hz / sr) < 1e-3
+            and abs(float(np.mean(feats["rms"][mid])) - amp / np.sqrt(2))
+            < 1e-6
+        )
+        rows.append(
+            {"n_int": 13 * n_frames, "ok1": ok1, "ok2": ok2, "ok3": ok3}
+        )
+    return pd.DataFrame(rows)
+
+
 _DSP_PARITY_ORACLE = """
     SELECT 'dsp_butter' AS modality, doc_id,
            cast(6144 + (doc_id % 4) * 512 AS BIGINT) AS n_int,
@@ -1222,6 +1268,11 @@ _DSP_PARITY_ORACLE = """
            cast(24 * (24 + doc_id % 8) AS BIGINT),
            true, true, true
     FROM documents WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT 'dsp_mfcc', doc_id,
+           cast(13 * (1 + (8192 + (doc_id % 8) * 512) // 512) AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 5 = 2
 """
 
 
@@ -2046,7 +2097,8 @@ def _dsp_denoise_udf(doc_id: pd.Series) -> pd.DataFrame:
 @register(
     "q_dsp_parity",
     oracle=_DSP_PARITY_ORACLE,
-    covers=("F1", "F4", "F5", "F12", "F13", "F14", "F15", "F17"),
+    covers=("F1", "F4", "F5", "F8", "F12", "F13", "F14", "F15",
+            "F17"),
     doc="Reference-parity DSP kernel suite (functions/dsp.py + "
         "np_clahe/np_nlmeans): the scipy 4th-order Butterworth "
         "filtfilt, the librosa Kaiser-sinc resampler, the real-"
@@ -2093,6 +2145,13 @@ def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dsp_gauss_adaptive",
                 _dsp_gauss_adaptive_udf,
                 docs.filter(F.col("doc_id") % 10 == 7),
+            )
+        )
+        .unionByName(
+            leg(
+                "dsp_mfcc",
+                _dsp_mfcc_udf,
+                docs.filter(F.col("doc_id") % 5 == 2),
             )
         )
     )

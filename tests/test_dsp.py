@@ -410,3 +410,82 @@ def test_adaptive_threshold_constant_all_white():
     for v in (0, 40, 255):
         img = np.full((20, 20), v, np.uint8)
         assert np.all(np_adaptive_threshold_gaussian(img) == 255)
+
+
+# --------------------------------------------------------------- mfcc
+
+def test_mfcc_silence_closed_form():
+    n = 8192
+    m = dsp.np_mfcc(np.zeros(n))
+    assert m.shape == (13, 1 + n // 512)
+    # silence -> power_to_db floor -100 dB in every mel band; DCT of
+    # a constant vector: c0 = -100*sqrt(n_mels), the rest zero
+    assert np.max(np.abs(m[0] - (-100.0 * np.sqrt(128.0)))) < 1e-9
+    assert np.max(np.abs(m[1:])) < 1e-9
+
+
+def test_mfcc_deterministic_and_tone_structure():
+    sr = 16000
+    # 500 Hz = exactly 16 cycles per 512-sample hop, so every interior
+    # frame sees an identical waveform (an un-aligned tone like 440 Hz
+    # shifts phase per frame and ripples through the hann window)
+    tone = 0.5 * np.sin(2 * np.pi * 500 * np.arange(sr) / sr)
+    m1 = dsp.np_mfcc(tone, sr)
+    m2 = dsp.np_mfcc(tone, sr)
+    assert np.array_equal(m1, m2)
+    interior = m1[:, 4:-4]
+    assert np.max(np.std(interior, axis=1)) < 1e-9
+
+
+def test_mel_filterbank_structure():
+    fb = dsp.np_mel_filterbank(16000, 2048)
+    assert fb.shape == (128, 1025)
+    assert (fb >= 0).all()
+    # every filter is nonempty and interior bins are covered
+    assert (fb.sum(axis=1) > 0).all()
+    assert (fb > 0).any(axis=0)[5:-5].all()
+    # slaney norm: triangle area ~ 1 when integrated over Hz
+    hz_step = 8000.0 / 1024
+    areas = fb.sum(axis=1) * hz_step
+    assert np.all((areas > 0.7) & (areas < 1.3))
+
+
+def test_dct_ortho_matches_dense_definition():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(16, 3))
+    got = dsp._dct_ortho(x, 16)
+    n = 16
+    ref = np.empty_like(got)
+    for k in range(n):
+        s = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+        ref[k] = s * np.sum(
+            x * np.cos(np.pi * k * (2 * np.arange(n)[:, None] + 1) / (2 * n)),
+            axis=0,
+        )
+    assert np.max(np.abs(got - ref)) < 1e-12
+    # orthogonality: inverse via transpose reconstructs
+    full_basis = np.array([
+        [(np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n))
+         * np.cos(np.pi * k * (2 * i + 1) / (2 * n)) for i in range(n)]
+        for k in range(n)
+    ])
+    assert np.max(np.abs(full_basis.T @ got - x)) < 1e-12
+
+
+def test_frame_features_tone_physics():
+    sr = 16000
+    amp, f_hz = 0.5, 1000.0
+    tone = amp * np.sin(2 * np.pi * f_hz * np.arange(sr) / sr)
+    f = dsp.np_frame_features(tone, sr)
+    mid = slice(4, -4)
+    assert abs(np.mean(f["centroid"][mid]) - f_hz) < 1.0
+    assert np.mean(f["bandwidth"][mid]) < 50.0
+    assert abs(np.mean(f["rolloff"][mid]) - f_hz) < 16.0
+    assert abs(np.mean(f["zcr"][mid]) - 2 * f_hz / sr) < 1e-3
+    assert abs(np.mean(f["rms"][mid]) - amp / np.sqrt(2)) < 1e-6
+
+
+def test_hz_mel_roundtrip():
+    f = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 8000.0])
+    back = dsp._mel_to_hz_slaney(dsp._hz_to_mel_slaney(f))
+    assert np.max(np.abs(back - f)) < 1e-6
