@@ -27,8 +27,9 @@ public math in functions/dsp.py; remaining deviations noted inline:
                                       dsp.np_frame_features); np_features
                                       keeps the scalar summary for the
                                       oracle-banded q59 leg; beat
-                                      tracking (librosa.beat) is the
-                                      one un-reproduced F8 output
+                                      tracking via the published
+                                      Ellis-2007 DP algorithm
+                                      (dsp.np_beat_track)
   F9  decode LINEAR16     (stt_worker.py:381-394) int16/32768
   F10 preprocess pipeline (:20-68)
 
@@ -301,7 +302,9 @@ def np_features(x: np.ndarray, sr: int = 16000) -> dict[str, float]:
     scalars for the banded q59 invariants. The reference's per-frame
     forms — MFCC and the frame-grid centroid/bandwidth/rolloff/ZCR/RMS
     — are reproduced at the librosa construction in functions/dsp.py
-    (np_mfcc, np_frame_features; q_dsp_parity 'dsp_mfcc' rows)."""
+    (np_mfcc, np_frame_features; q_dsp_parity 'dsp_mfcc' rows), and
+    beat tracking by the Ellis-2007 DP algorithm (np_beat_track,
+    'dsp_beat' rows)."""
     if len(x) == 0:
         return {"rms": 0.0, "zcr": 0.0, "centroid": 0.0,
                 "bandwidth": 0.0, "rolloff": 0.0}

@@ -440,9 +440,8 @@ def np_resample_fft(x: np.ndarray, num: int) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # librosa-construction frame features + MFCC (F8 parity,
-# audio_processor.py:384-420). Beat tracking (librosa.beat.beat_track)
-# is NOT reproduced — a full onset-envelope + tempo-estimation
-# pipeline is out of scope; documented residue.
+# audio_processor.py:384-420). Beat tracking follows below (Ellis
+# 2007 DP — the published algorithm librosa.beat.beat_track builds on).
 # ---------------------------------------------------------------------------
 
 def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
@@ -564,3 +563,88 @@ def np_frame_features(x: np.ndarray, sr: int = 16000, n_fft: int = 2048,
         "zcr": zcr,
         "rms": rms,
     }
+
+
+# ---------------------------------------------------------------------------
+# Beat tracking (the last F8 output): the Ellis dynamic-programming
+# beat tracker (D. Ellis, "Beat Tracking by Dynamic Programming",
+# J. New Music Research 2007) — the published algorithm behind
+# librosa.beat.beat_track. Spectral-flux onset envelope over the mel
+# spectrogram, autocorrelation tempo with a log-normal prior at
+# 120 BPM, then the DP recurrence with tightness 100.
+# ---------------------------------------------------------------------------
+
+def np_onset_strength(x: np.ndarray, sr: int = 16000, n_fft: int = 2048,
+                      hop: int = 512) -> np.ndarray:
+    """Spectral-flux onset envelope: positive first difference of the
+    dB mel spectrogram, averaged over mel bands (the
+    librosa.onset.onset_strength construction)."""
+    spec = np.abs(np_stft(x, n_fft, hop)) ** 2
+    mel_db = np_power_to_db(np_mel_filterbank(sr, n_fft) @ spec)
+    flux = np.maximum(0.0, np.diff(mel_db, axis=1))
+    env = flux.mean(axis=0)
+    return np.concatenate([[0.0], env])
+
+
+def np_tempo_estimate(onset_env: np.ndarray, sr: int = 16000,
+                      hop: int = 512, start_bpm: float = 120.0,
+                      std_bpm: float = 1.0) -> float:
+    """Tempo from the onset autocorrelation, weighted by a log-normal
+    prior around start_bpm (the librosa.feature.rhythm construction)."""
+    n = len(onset_env)
+    if n < 4:
+        return start_bpm
+    env = onset_env - onset_env.mean()
+    ac = np.correlate(env, env, mode="full")[n - 1:]
+    ac = np.maximum(ac, 0.0)
+    fps = sr / hop
+    lags = np.arange(1, n)
+    bpms = 60.0 * fps / lags
+    prior = np.exp(-0.5 * ((np.log2(bpms / start_bpm)) / std_bpm) ** 2)
+    weighted = ac[1:] * prior
+    if not np.any(weighted > 0):
+        return start_bpm
+    return float(bpms[int(np.argmax(weighted))])
+
+
+def np_beat_track(x: np.ndarray, sr: int = 16000, hop: int = 512,
+                  tightness: float = 100.0) -> tuple[float, np.ndarray]:
+    """F8 beat tracking: returns (tempo_bpm, beat frame indices).
+    Ellis 2007 DP: cumulative score C(t) = O(t) + max_p [C(p) -
+    tightness * (log((t-p)/period))^2] over a window of candidate
+    predecessors, then backtrack from the best final beat."""
+    onset_env = np_onset_strength(x, sr=sr, hop=hop)
+    n = len(onset_env)
+    if n == 0 or not np.any(onset_env > 0):
+        return 0.0, np.zeros(0, dtype=np.int64)
+    tempo = np_tempo_estimate(onset_env, sr=sr, hop=hop)
+    fps = sr / hop
+    period = max(1, int(round(60.0 * fps / tempo)))
+
+    # normalize the envelope (Ellis: divide by its std)
+    env = onset_env / (onset_env.std() + 1e-10)
+    score = np.zeros(n)
+    backlink = np.full(n, -1, dtype=np.int64)
+    lo, hi = max(1, period // 2), min(n - 1, 2 * period)
+    taus = np.arange(lo, hi + 1)
+    penalty = -tightness * (np.log(taus / period)) ** 2
+    for t in range(lo, n):
+        window = t - taus
+        valid = window >= 0
+        if not np.any(valid):
+            score[t] = env[t]
+            continue
+        cand = score[window[valid]] + penalty[valid]
+        best = int(np.argmax(cand))
+        score[t] = env[t] + cand[best]
+        backlink[t] = window[valid][best]
+
+    # backtrack from the best scoring position near the end
+    tail_start = max(0, n - period)
+    t = tail_start + int(np.argmax(score[tail_start:]))
+    beats = [t]
+    while backlink[t] >= 0:
+        t = int(backlink[t])
+        beats.append(t)
+    beats = np.array(beats[::-1], dtype=np.int64)
+    return tempo, beats

@@ -1226,6 +1226,54 @@ def _dsp_mfcc_udf(doc_id: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@pandas_udf(_DSP_ROW)
+def _dsp_beat_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Ellis-2007 DP beat tracking (the last F8 output,
+    audio_processor.py:412-414): on a synthetic click track the
+    estimated tempo must land within onset-lag quantization of the
+    true BPM, detected beats must align with the clicks, and the
+    onset envelope has the exact frame-grid length."""
+    import numpy as np
+
+    from streamprocess_spark.functions.dsp import (
+        np_beat_track,
+        np_onset_strength,
+    )
+
+    sr, hop = 16000, 512
+    rows = []
+    for d in doc_id.astype("int64"):
+        bpm = 90.0 + float(d % 5) * 15.0   # 90..150
+        dur = 8 + int(d % 3)
+        n = sr * dur
+        x = np.zeros(n, np.float32)
+        period_s = 60.0 / bpm
+        clicks = []
+        i = 0
+        while int(i * period_s * sr) < n - 64:
+            p = int(i * period_s * sr)
+            x[p:p + 64] = np.sin(
+                2 * np.pi * 2000 * np.arange(64) / sr
+            ).astype(np.float32)
+            clicks.append(int(round(p / hop)))
+            i += 1
+        env = np_onset_strength(x, sr=sr, hop=hop)
+        tempo, beats = np_beat_track(x, sr=sr, hop=hop)
+        clicks_a = np.asarray(clicks)
+        align = (
+            float(np.median(np.min(
+                np.abs(beats[:, None] - clicks_a[None, :]), axis=1
+            ))) if len(beats) else 99.0
+        )
+        rows.append({
+            "n_int": len(env),
+            "ok1": bool(abs(tempo - bpm) / bpm < 0.08),
+            "ok2": bool(align <= 2.0),
+            "ok3": bool(abs(len(beats) - len(clicks)) <= 2),
+        })
+    return pd.DataFrame(rows)
+
+
 _DSP_PARITY_ORACLE = """
     SELECT 'dsp_butter' AS modality, doc_id,
            cast(6144 + (doc_id % 4) * 512 AS BIGINT) AS n_int,
@@ -1273,6 +1321,11 @@ _DSP_PARITY_ORACLE = """
            cast(13 * (1 + (8192 + (doc_id % 8) * 512) // 512) AS BIGINT),
            true, true, true
     FROM documents WHERE doc_id % 5 = 2
+    UNION ALL
+    SELECT 'dsp_beat', doc_id,
+           cast(1 + (16000 * (8 + doc_id % 3)) // 512 AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 5 = 3
 """
 
 
@@ -2152,6 +2205,13 @@ def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dsp_mfcc",
                 _dsp_mfcc_udf,
                 docs.filter(F.col("doc_id") % 5 == 2),
+            )
+        )
+        .unionByName(
+            leg(
+                "dsp_beat",
+                _dsp_beat_udf,
+                docs.filter(F.col("doc_id") % 5 == 3),
             )
         )
     )

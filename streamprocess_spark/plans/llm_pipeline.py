@@ -2757,3 +2757,128 @@ def q135_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunks", cdc_chunks_udf()(_synth_blob_udf(F.col("doc_id")))
     )
     return cdc_near_dup_groups(chunked)
+
+
+# ---------------------------------------------------------------------------
+# q139_substring_spans — corpus-duplicated substring detection
+# ---------------------------------------------------------------------------
+
+_K_SPAN = 8  # detection resolution: duplicated runs of >= K tokens
+
+
+@register(
+    "q139_substring_spans",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, p.i AS pos,
+               t[p.i + 1] || ' ' || t[p.i + 2] || ' ' || t[p.i + 3] || ' ' ||
+               t[p.i + 4] || ' ' || t[p.i + 5] || ' ' || t[p.i + 6] || ' ' ||
+               t[p.i + 7] || ' ' || t[p.i + 8] AS s
+        FROM toks, range(0, 4096) p(i)
+        WHERE p.i <= len(t) - {_K_SPAN}
+    ),
+    hv AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007 AS h
+        FROM grams
+    ),
+    dupes AS (
+        SELECT h FROM hv GROUP BY h HAVING count(*) > 1
+    ),
+    marked AS (
+        SELECT doc_id, pos FROM hv WHERE h IN (SELECT h FROM dupes)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos > prev + {_K_SPAN}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM marked) q
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               max(pos) + {_K_SPAN} - min(pos) AS span_tokens
+        FROM islands GROUP BY doc_id, island
+    )
+    SELECT d.doc_id,
+           cast(coalesce(count(s.island), 0) AS BIGINT) AS n_spans,
+           cast(coalesce(sum(s.span_tokens), 0) AS BIGINT) AS dup_tokens,
+           cast(coalesce(max(s.span_tokens), 0) AS BIGINT) AS longest_span
+    FROM documents d LEFT JOIN spans s USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    covers=("§2.13-dedup",),
+    doc="Corpus-duplicated substring spans — the distributed k-gram "
+        "form of exact-substring dedup (Lee et al. 2022, "
+        "'Deduplicating Training Data Makes Language Models Better': "
+        "their suffix-array ExactSubstr pass flags duplicated byte "
+        "runs; the k-token-gram formulation detects every duplicated "
+        "run of >= k tokens at k-token resolution and is "
+        "shuffle-friendly at 100 TB). One gram explosion, one "
+        "count-by-hash shuffle, a semi-join back, and an islands "
+        "merge per doc — duplicated-gram starts whose intervals "
+        "overlap fuse into maximal spans. Emits per-doc span count, "
+        "total duplicated-token mass, and the longest span; the "
+        "whole pipeline is replayed bit-for-bit by the DuckDB oracle "
+        "through the shared md5 gram hash.",
+)
+def q139_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from streamprocess_spark.operators.dedup import token_hash
+
+    k = _K_SPAN
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("t"),
+    )
+    idx = F.when(
+        F.size("t") >= k, F.sequence(F.lit(0), F.size("t") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.col("t")[i + j] for j in range(k)]
+                ),
+            )
+        ).alias("pos", "s"),
+    )
+    hashed = grams.select("doc_id", "pos", token_hash(F.col("s")).alias("h"))
+    dupes = hashed.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    marked = hashed.join(dupes, "h").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") + k - F.min("pos")).alias("span_tokens"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(spans, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("island").cast("bigint").alias("n_spans"),
+            F.coalesce(F.sum("span_tokens"), F.lit(0))
+            .cast("bigint").alias("dup_tokens"),
+            F.coalesce(F.max("span_tokens"), F.lit(0))
+            .cast("bigint").alias("longest_span"),
+        )
+    )

@@ -489,3 +489,55 @@ def test_hz_mel_roundtrip():
     f = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 8000.0])
     back = dsp._mel_to_hz_slaney(dsp._hz_to_mel_slaney(f))
     assert np.max(np.abs(back - f)) < 1e-6
+
+
+# --------------------------------------------------------------- beats
+
+def _click_track(bpm, sr=16000, dur=10):
+    x = np.zeros(sr * dur, np.float32)
+    period_s = 60.0 / bpm
+    i = 0
+    while int(i * period_s * sr) < len(x) - 64:
+        p = int(i * period_s * sr)
+        x[p:p + 64] = np.sin(
+            2 * np.pi * 2000 * np.arange(64) / sr
+        ).astype(np.float32)
+        i += 1
+    return x
+
+
+def test_beat_track_recovers_click_tempo():
+    for bpm in (90, 120, 140):
+        tempo, beats = dsp.np_beat_track(_click_track(bpm))
+        # tempo is quantized to integer onset-frame lags (~31.25 fps)
+        assert abs(tempo - bpm) / bpm < 0.08
+        assert len(beats) > 5
+
+
+def test_beat_track_beats_align_with_clicks():
+    sr, hop = 16000, 512
+    tempo, beats = dsp.np_beat_track(_click_track(120, sr))
+    fps = sr / hop
+    clicks = np.array([
+        int(i * 0.5 * fps) for i in range(20)
+    ])
+    d = np.min(np.abs(beats[:, None] - clicks[None, :]), axis=1)
+    assert float(np.median(d)) <= 2.0
+
+
+def test_beat_track_silence_empty():
+    tempo, beats = dsp.np_beat_track(np.zeros(16000, np.float32))
+    assert len(beats) == 0
+    assert tempo == 0.0
+
+
+def test_onset_strength_shape_and_peaks():
+    sr = 16000
+    x = _click_track(120, sr, dur=4)
+    env = dsp.np_onset_strength(x, sr)
+    assert len(env) == 1 + len(x) // 512
+    # envelope peaks at click onsets (frame ~ every 15.6)
+    peak_frames = np.argsort(env)[-8:]
+    clicks = np.array([int(i * 0.5 * sr / 512) for i in range(8)])
+    d = np.min(np.abs(peak_frames[:, None] - clicks[None, :]), axis=1)
+    assert float(np.median(d)) <= 2.0
