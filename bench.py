@@ -12,6 +12,22 @@ sf0.1 every query is dominated by the ~1 s plan/Arrow warmup floor,
 so round-over-round deltas there are noise; the deep run is where
 plan-quality regressions (extra shuffles, lost pushdowns, skew) are
 actually visible. Set SPARK_GRAFT_SKIP_DEEP=1 to skip it.
+
+Round-4 regression post-mortem (the "explain or erase" ask): BENCH_r04
+inflated uniformly (+8-20% headline, deep q55 1.88x) on unchanged
+query code. Two causes, both fixed in round 5 and confirmed erased by
+re-measurement (headline 12.27 s -> ~6.3 s, deep q55 back under its
+round-3 time): (1) every builder called spark.read.parquet for all 10
+tables inside the timed region — a per-call JVM round-trip + footer
+read (~0.8 s/query) that grew with table count and dominated the sf0.1
+floor; io/tables.py now memoizes the scan DataFrames per (session,
+dir), the catalog shape any engine would use. (2) the deep section was
+single-run and executed after the flagship streaming bench, inheriting
+JVM/GC state; deep is now min-of-2 and runs before flagship, and the
+flagship query drains on an idle trigger before stop() so no
+micro-batch aborts into the log. A round-over-round regression gate
+(>1.5x per query vs the previous BENCH json) prints into the output so
+a future silent inflation cannot land unexplained again.
 """
 
 from __future__ import annotations

@@ -428,3 +428,67 @@ def preprocess_udf(orig_sr: int, target_sr: int = 16000, denoise: bool = False):
             ).tolist()
         )
     return _udf
+
+
+MFCC_SCHEMA = T.StructType([
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("mfcc_mean", T.ArrayType(T.DoubleType())),
+    T.StructField("centroid_mean", T.DoubleType()),
+    T.StructField("rolloff_mean", T.DoubleType()),
+    T.StructField("zcr_mean", T.DoubleType()),
+    T.StructField("rms_mean", T.DoubleType()),
+])
+
+
+def frame_features_udf(sr: int = 16000):
+    """F8 per-frame feature surface at the librosa construction
+    (dsp.np_mfcc + dsp.np_frame_features): frame-grid size, the
+    13-coefficient MFCC mean vector, and frame-mean spectral stats."""
+    from streamprocess_spark.functions.dsp import np_frame_features, np_mfcc
+
+    @pandas_udf(MFCC_SCHEMA)
+    def _udf(samples: pd.Series) -> pd.DataFrame:
+        rows = []
+        for a in samples:
+            x = np.asarray(a, dtype=np.float32)
+            m = np_mfcc(x, sr)
+            f = np_frame_features(x, sr)
+            rows.append({
+                "n_frames": m.shape[1],
+                "mfcc_mean": m.mean(axis=1).tolist(),
+                "centroid_mean": float(np.mean(f["centroid"])),
+                "rolloff_mean": float(np.mean(f["rolloff"])),
+                "zcr_mean": float(np.mean(f["zcr"])),
+                "rms_mean": float(np.mean(f["rms"])),
+            })
+        return pd.DataFrame(rows)
+
+    return _udf
+
+
+BEAT_SCHEMA = T.StructType([
+    T.StructField("tempo_bpm", T.DoubleType()),
+    T.StructField("n_beats", T.LongType()),
+    T.StructField("beat_frames", T.ArrayType(T.LongType())),
+])
+
+
+def beat_track_udf(sr: int = 16000):
+    """F8 beat tracking surface (dsp.np_beat_track, Ellis 2007 DP)."""
+    from streamprocess_spark.functions.dsp import np_beat_track
+
+    @pandas_udf(BEAT_SCHEMA)
+    def _udf(samples: pd.Series) -> pd.DataFrame:
+        rows = []
+        for a in samples:
+            tempo, beats = np_beat_track(
+                np.asarray(a, dtype=np.float32), sr=sr
+            )
+            rows.append({
+                "tempo_bpm": float(tempo),
+                "n_beats": len(beats),
+                "beat_frames": beats.tolist(),
+            })
+        return pd.DataFrame(rows)
+
+    return _udf

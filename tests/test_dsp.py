@@ -541,3 +541,37 @@ def test_onset_strength_shape_and_peaks():
     clicks = np.array([int(i * 0.5 * sr / 512) for i in range(8)])
     d = np.min(np.abs(peak_frames[:, None] - clicks[None, :]), axis=1)
     assert float(np.median(d)) <= 2.0
+
+
+# ------------------------------------------------------- spark surface
+
+def test_frame_features_and_beat_udfs(spark):
+    import pyspark.sql.functions as F
+
+    from streamprocess_spark.functions.audio import (
+        beat_track_udf,
+        frame_features_udf,
+    )
+
+    sr = 16000
+    tone = (0.5 * np.sin(2 * np.pi * 500 * np.arange(sr) / sr)).astype(
+        float
+    ).tolist()
+    clicks = np.zeros(sr * 4, np.float32)
+    for i in range(8):
+        p = int(i * 0.5 * sr)
+        clicks[p:p + 64] = 1.0
+    df = spark.createDataFrame(
+        [(1, tone, clicks.tolist())], "id long, tone array<double>, clicks array<double>"
+    )
+    ff = frame_features_udf(sr)
+    bt = beat_track_udf(sr)
+    row = (
+        df.select(ff(F.col("tone")).alias("f"), bt(F.col("clicks")).alias("b"))
+        .collect()[0]
+    )
+    assert row["f"]["n_frames"] == 1 + sr // 512
+    assert len(row["f"]["mfcc_mean"]) == 13
+    assert abs(row["f"]["centroid_mean"] - 500.0) < 30.0
+    assert abs(row["b"]["tempo_bpm"] - 120.0) < 10.0
+    assert row["b"]["n_beats"] >= 5
