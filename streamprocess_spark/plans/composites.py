@@ -2312,3 +2312,48 @@ def q138_ocr_chain_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.det_ok").alias("det_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q140_frame_features — the F8 per-frame feature surface over the
+# synthesized audio corpus (UDF-integration twin of the dsp_mfcc
+# closed-form leg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q140_frame_features",
+    oracle="""
+    SELECT doc_id,
+           cast(1 + ((10 + doc_id % 5) * 480) // 512 AS BIGINT) AS n_frames,
+           cast(13 AS BIGINT) AS n_mfcc,
+           true AS ok_centroid, true AS ok_rms
+    FROM documents
+    """,
+    covers=("F8",),
+    doc="frame_features_udf (librosa-construction MFCC + frame "
+        "spectral stats, functions/dsp.py) over the real synthesized "
+        "audio corpus: the frame grid is the exact closed form "
+        "1 + n//512 for the known per-doc lengths, the MFCC vector is "
+        "13 wide, and the frame-mean centroid/RMS land in the same "
+        "physics bands the q59 scalar leg pins (pseudo-uniform "
+        "synthesis -> centroid in (1000, 5000) Hz, AGC-free RMS in "
+        "(0.05, 0.8)). Map-only Arrow pass, zero shuffle.",
+)
+def q140_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.functions.audio import frame_features_udf
+    from streamprocess_spark.plans.multimodal import _audio_df
+
+    ff = frame_features_udf(sr=16000)
+    return (
+        _audio_df(spark, sf_dir)
+        .withColumn("f", ff(F.col("samples")))
+        .select(
+            "doc_id",
+            F.col("f.n_frames").alias("n_frames"),
+            F.size("f.mfcc_mean").cast("bigint").alias("n_mfcc"),
+            F.col("f.centroid_mean").between(1000.0, 5000.0)
+            .alias("ok_centroid"),
+            F.col("f.rms_mean").between(0.05, 0.8).alias("ok_rms"),
+        )
+    )

@@ -319,3 +319,85 @@ def test_jpeg_decoder_total_under_mutation(seed, n_flips):
         # exactly the exceptions io/ingest.py's dead-letter boundary
         # catches — anything else would crash the ingest task
         pass
+
+
+# ------------------------------------------------------------ dsp parity
+
+from streamprocess_spark.functions import dsp  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_arrays, st.sampled_from([8000, 16000, 44100, 48000]),
+       st.sampled_from([8000, 16000, 44100, 48000]))
+def test_kaiser_resample_length_and_bound(x, orig, target):
+    y = dsp.np_resample_kaiser(x, orig, target)
+    if orig == target or len(x) == 0:
+        assert len(y) == len(x)
+    else:
+        assert len(y) == int(np.ceil(len(x) * target / orig))
+    if len(x) >= 64:
+        # windowed-sinc interpolation of a bounded signal stays
+        # bounded by the filter's small overshoot (Gibbs ringing can
+        # exceed this on inputs shorter than the filter support)
+        assert np.max(np.abs(y)) <= np.max(np.abs(x)) * 1.2 + 1e-6
+    assert np.isfinite(y).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_arrays)
+def test_filtfilt_linear_in_input(x):
+    if len(x) <= 15:
+        return
+    y1 = dsp.np_butter_highpass_filtfilt(x.astype(np.float64))
+    y2 = dsp.np_butter_highpass_filtfilt(2.0 * x.astype(np.float64))
+    # LTI: doubling the input doubles the output
+    assert np.max(np.abs(y2 - 2.0 * y1)) < 1e-4
+    assert len(y1) == len(x)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=200),
+       st.integers(min_value=1, max_value=300))
+def test_fft_resample_constant_preserved(n, m):
+    # the trig interpolant of a constant is that constant at any grid
+    y = dsp.np_resample_fft(np.full(n, 0.5), m)
+    assert len(y) == m
+    assert np.max(np.abs(y - 0.5)) < 1e-5
+
+
+@settings(max_examples=25, deadline=None)
+@given(small_images)
+def test_clahe_range_shape_dtype(img):
+    out = I.np_clahe(img)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=15, deadline=None)
+@given(small_images)
+def test_nlm_range_and_constant_regions(img):
+    out = I.np_nlmeans(img)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+    # NLM output is a convex combination of input pixels: bounded by
+    # the input's own range
+    assert out.min() >= img.min() - 1 and out.max() <= img.max() + 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(small_images, st.integers(min_value=0, max_value=20),
+       st.integers(min_value=0, max_value=20))
+def test_warp_integer_translation_exact(img, ty, tx):
+    m = np.array([[1.0, 0.0, float(tx)], [0.0, 1.0, float(ty)]])
+    got = I.np_warp_affine_cubic(img, m)
+    h, w = img.shape
+    ys = np.clip(np.arange(h) - ty, 0, h - 1)
+    xs = np.clip(np.arange(w) - tx, 0, w - 1)
+    assert np.array_equal(got, img[ys[:, None], xs[None, :]])
+
+
+@settings(max_examples=25, deadline=None)
+@given(small_images)
+def test_adaptive_threshold_binary_alphabet(img):
+    out = I.np_adaptive_threshold_gaussian(img)
+    assert np.isin(out, (0, 255)).all()
