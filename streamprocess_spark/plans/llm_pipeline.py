@@ -2882,3 +2882,98 @@ def q139_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("longest_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q141_sequence_packing — concat-and-chunk training-example packing
+# ---------------------------------------------------------------------------
+
+_CTX_LEN = 2048  # training context length (tokens per packed example)
+_PACK_BUCKET = 64  # doc_ids per scan bucket (two-level prefix sum)
+
+
+@register(
+    "q141_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) + 1 AS n_tok
+        FROM documents  -- +1 separator token after each doc
+    ),
+    scan AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS off
+        FROM toks
+    )
+    SELECT doc_id,
+           cast(off AS BIGINT) AS tok_offset,
+           cast(off // {_CTX_LEN} AS BIGINT) AS first_chunk,
+           cast((off + n_tok - 1) // {_CTX_LEN} AS BIGINT) AS last_chunk,
+           cast((off + n_tok - 1) // {_CTX_LEN} - off // {_CTX_LEN} + 1
+                AS BIGINT) AS n_chunks
+    FROM scan
+    """,
+    covers=("§2.13-text",),
+    doc="Concat-and-chunk sequence packing — the GPT-style training "
+        "prep: documents (plus one separator token each) are "
+        "concatenated in doc_id order and split into fixed "
+        f"{_CTX_LEN}-token context windows; each doc learns its global "
+        "token offset and the chunk range it lands in. The global "
+        "prefix sum is computed SCALABLY as a two-level scan: "
+        "per-bucket token totals (one small aggregate), a window over "
+        "the bucket totals (runs on #buckets rows, not the corpus), "
+        "broadcast of the bucket offsets back, and a per-bucket "
+        "cumulative window — no global single-partition sort of the "
+        "full corpus anywhere, so the plan holds at 100 TB where a "
+        "bare `sum() OVER (ORDER BY doc_id)` would serialize. The "
+        "oracle IS the naive global scan, so the test proves the "
+        "two-level decomposition is exactly equivalent.",
+)
+def q141_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        (F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))) + 1)
+        .cast("bigint").alias("n_tok"),
+        (F.col("doc_id") / _PACK_BUCKET).cast("bigint").alias("bucket"),
+    )
+    # level 1: bucket totals — tiny (corpus/64 rows)
+    bucket_offsets = (
+        toks.groupBy("bucket").agg(F.sum("n_tok").alias("btotal"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btotal").over(
+                    Window.orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "boff")
+    )
+    # level 2: within-bucket scan + broadcast bucket base offsets
+    w = (
+        Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn(
+            "off", F.col("boff") + F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+    )
+    return packed.select(
+        "doc_id",
+        F.col("off").alias("tok_offset"),
+        (F.col("off") / _CTX_LEN).cast("bigint").alias("first_chunk"),
+        ((F.col("off") + F.col("n_tok") - 1) / _CTX_LEN).cast("bigint")
+        .alias("last_chunk"),
+        (
+            ((F.col("off") + F.col("n_tok") - 1) / _CTX_LEN).cast("bigint")
+            - (F.col("off") / _CTX_LEN).cast("bigint") + 1
+        ).alias("n_chunks"),
+    )
