@@ -2977,3 +2977,126 @@ def q141_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("off") / _CTX_LEN).cast("bigint") + 1
         ).alias("n_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142_nb_quality_classifier — weak-supervision Naive Bayes quality scorer
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q142_nb_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    labels AS (
+        SELECT doc_id, (lang = 'en') AS hi FROM documents
+    ),
+    lt AS (
+        SELECT t.doc_id, t.tok, l.hi FROM toks t JOIN labels l USING (doc_id)
+    ),
+    cls AS (
+        SELECT tok,
+               sum(CASE WHEN hi THEN 1 ELSE 0 END)::BIGINT AS c1,
+               sum(CASE WHEN hi THEN 0 ELSE 1 END)::BIGINT AS c0
+        FROM lt GROUP BY tok
+    ),
+    tot AS (
+        SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cls
+    ),
+    pri AS (
+        SELECT sum(CASE WHEN hi THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN hi THEN 0 ELSE 1 END) AS n0
+        FROM labels
+    ),
+    scored AS (
+        SELECT l.doc_id,
+               floor((ln((c.c1 + 1.0) / (tot.t1 + tot.v))
+                      - ln((c.c0 + 1.0) / (tot.t0 + tot.v))) * 10000.0)
+                   AS lo_fp
+        FROM lt l JOIN cls c USING (tok), tot
+    )
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           cast(sum(s.lo_fp) +
+                cast(floor(ln((pri.n1 + 1.0) / (pri.n0 + 1.0)) * 10000.0)
+                     AS BIGINT) AS BIGINT) AS logodds_fp,
+           (sum(s.lo_fp) +
+            cast(floor(ln((pri.n1 + 1.0) / (pri.n0 + 1.0)) * 10000.0)
+                 AS BIGINT)) > 0 AS pred_hi
+    FROM scored s, pri
+    GROUP BY s.doc_id, pri.n1, pri.n0
+    """,
+    covers=("§2.13-text",),
+    doc="Weak-supervision multinomial Naive Bayes text classifier — "
+        "the fastText/CCNet-style quality/language scorer family "
+        "trained ON the corpus with a metadata weak label (lang='en', "
+        "the way CCNet seeds quality with in-domain data). The "
+        "synthetic corpus draws all languages from one shared token "
+        "pool, so there is no real signal to learn here — the check "
+        "is the MECHANICS: the distributed training pass (per-class "
+        "token counts), the smoothed log-ratio model, and the scoring "
+        "join must reproduce the oracle's model bit-for-bit. "
+        "Per-class token "
+        "counts are one "
+        "keyed shuffle, the model (class-conditional log-ratios with "
+        "add-one smoothing + class prior) joins back on the token key "
+        "— no model server, the training pass and the scoring pass "
+        "are both corpus-shaped shuffles that scale like word count. "
+        "Every ln() is floor-quantized at 1e-4 (the q102/q116 trick) "
+        "so Spark and DuckDB agree bit-for-bit on the fixed-point "
+        "log-odds and the predicted class.",
+)
+def q142_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # metadata weak label: broadcastable (one row per doc, two cols)
+    labels = docs.select("doc_id", (F.col("lang") == "en").alias("hi"))
+    lt = toks.join(F.broadcast(labels), "doc_id")
+    cls = lt.groupBy("tok").agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("c0"),
+    )
+    tot = cls.agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    ).withColumn("k", F.lit(1))
+    pri = labels.agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("n0"),
+    ).withColumn("k", F.lit(1))
+
+    lo_fp = F.floor(
+        (
+            F.log((F.col("c1") + F.lit(1.0)) / (F.col("t1") + F.col("v")))
+            - F.log((F.col("c0") + F.lit(1.0)) / (F.col("t0") + F.col("v")))
+        )
+        * F.lit(10000.0)
+    ).cast("bigint")
+    prior_fp = F.floor(
+        F.log((F.col("n1") + F.lit(1.0)) / (F.col("n0") + F.lit(1.0)))
+        * F.lit(10000.0)
+    ).cast("bigint")
+
+    scored = (
+        lt.join(cls, "tok")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select("doc_id", lo_fp.alias("lo_fp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lo_fp").alias("s"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(pri), "k")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("s") + prior_fp).alias("logodds_fp"),
+            ((F.col("s") + prior_fp) > 0).alias("pred_hi"),
+        )
+    )

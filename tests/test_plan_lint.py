@@ -52,6 +52,9 @@ _ALLOWED_NESTED_LOOP = {
     "q118_domain_mixing",  # 1-row weight-normalizer broadcast to 20 sources
     "q124_bpe_apply",      # 1-row pivoted merge table broadcast to the corpus
     "q126_retrieve_rerank",  # inherits q102's 1-row stats broadcast
+    "q142_nb_quality_classifier",  # two 1-ROW model-stat broadcasts
+                           # (class totals + prior) to the token table
+                           # — q102's exact shape
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
