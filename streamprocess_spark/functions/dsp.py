@@ -96,8 +96,11 @@ def lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
     filter for a unit step input (Gustafsson 1996, eq. as in the
     scipy docs): solve (I - A^T) zi = B with A the companion matrix
     of a and B = b[1:] - a[1:] * b[0]."""
-    a = np.asarray(a, dtype=np.float64) / a[0]
-    b = np.asarray(b, dtype=np.float64) / a[0]
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a0 = a[0]
+    a = a / a0
+    b = b / a0
     n = max(len(a), len(b))
     a = np.concatenate([a, np.zeros(n - len(a))])
     b = np.concatenate([b, np.zeros(n - len(b))])
@@ -550,11 +553,15 @@ def np_frame_features(x: np.ndarray, sr: int = 16000, n_fft: int = 2048,
     n_frames = mag.shape[1]
     zcr = np.empty(n_frames)
     rms = np.empty(n_frames)
+    # librosa zero_crossing_rate: samples within 1e-10 of zero are
+    # clipped to +0 before the sign comparison, and the crossing count
+    # is divided by frame_length (not the n_fft-1 comparison slots)
+    xe_clipped = np.where(np.abs(xp_e) < 1e-10, 0.0, xp_e)
     for i in range(n_frames):
-        fe = xp_e[i * hop:i * hop + n_fft]
+        fe = xe_clipped[i * hop:i * hop + n_fft]
         fc = xp_c[i * hop:i * hop + n_fft]
         sign = np.signbit(fe)
-        zcr[i] = np.mean(sign[1:] != sign[:-1])
+        zcr[i] = np.count_nonzero(sign[1:] != sign[:-1]) / n_fft
         rms[i] = np.sqrt(np.mean(fc * fc))
     return {
         "centroid": centroid[0],

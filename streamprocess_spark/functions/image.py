@@ -673,6 +673,9 @@ def np_clahe(img: np.ndarray, clip_limit: float = 2.0,
     gh, gw = grid
     th, tw = (h + gh - 1) // gh, (w + gw - 1) // gw
     ph, pw = th * gh - h, tw * gw - w
+    # np.pad mode='reflect' is edge-EXCLUSIVE ([1,2,3] -> [1,2,3,2,1]),
+    # i.e. exactly cv2's BORDER_REFLECT_101, which is what OpenCV's
+    # CLAHE uses for the pad-to-tile-multiple copyMakeBorder
     padded = (
         np.pad(img, ((0, ph), (0, pw)), mode="reflect")
         if (ph or pw) else img

@@ -69,7 +69,16 @@ class ResultStoreStreamWriter(DataSourceStreamWriter):
             tmp = f"{final}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(doc, f, sort_keys=True)
-            os.replace(tmp, final)  # atomic upsert == SETEX overwrite
+            try:
+                os.replace(tmp, final)  # atomic upsert == SETEX overwrite
+            except FileNotFoundError:
+                # a driver-side abort() of this (already doomed) batch
+                # swept our spool file between write and rename; this
+                # task's work is being discarded anyway — surface the
+                # abort instead of half-committing
+                raise RuntimeError(
+                    f"spool file swept by batch abort: {tmp}"
+                ) from None
             n += 1
         return ResultCommitMessage(n_written=n)
 
@@ -79,21 +88,36 @@ class ResultStoreStreamWriter(DataSourceStreamWriter):
         total = sum(m.n_written for m in messages if m is not None)
         with open(os.path.join(marker_dir, str(batchId)), "w") as f:
             json.dump({"batch_id": batchId, "n_written": total}, f)
+        # re-sweep tmps a straggler of an ABORTED earlier epoch may
+        # have recreated after that epoch's abort() pass; age-gated so
+        # this epoch's own in-flight spool files are never touched
+        self._sweep_tmp(self.path, older_than_s=60.0)
 
     def abort(self, messages, batchId: int) -> None:
         # completed upserts are harmless (keyed overwrite == SETEX;
         # same posture as a reference worker dying mid-store) and are
-        # kept; only orphaned tmp spool files from tasks killed
-        # mid-write are swept, so an aborted micro-batch leaves no
-        # garbage — every surviving file is a well-formed result
-        if not os.path.isdir(self.path):
+        # kept; orphaned tmp spool files from tasks killed mid-write
+        # are swept. The sweep is BEST-EFFORT: a straggler task still
+        # running when the driver aborts can recreate a tmp file after
+        # this pass (its own rename then fails loudly, see write()),
+        # so commit() of the next epoch re-sweeps stale tmps too.
+        self._sweep_tmp(self.path)
+
+    @staticmethod
+    def _sweep_tmp(path: str, older_than_s: float = 0.0) -> None:
+        if not os.path.isdir(path):
             return
-        for fn in os.listdir(self.path):
-            if ".tmp." in fn:
-                try:
-                    os.remove(os.path.join(self.path, fn))
-                except OSError:
-                    pass
+        now = time.time()
+        for fn in os.listdir(path):
+            if ".tmp." not in fn:
+                continue
+            full = os.path.join(path, fn)
+            try:
+                if older_than_s and now - os.path.getmtime(full) < older_than_s:
+                    continue
+                os.remove(full)
+            except OSError:
+                pass
 
 
 class ResultStoreDataSource(DataSource):

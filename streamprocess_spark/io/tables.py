@@ -86,7 +86,20 @@ def load_tables(
     if catalog is None:
         catalog = {}
         spark._spark_graft_catalog = catalog
-    cached = catalog.get(os.path.abspath(sf_dir))
+    # staleness guard: key on the source files' mtimes too (10 stat
+    # calls, microseconds), so regenerating an sf dir in place within
+    # one session invalidates the memoized scans instead of serving
+    # DataFrames over a vanished file listing
+    key = (
+        os.path.abspath(sf_dir),
+        tuple(
+            os.path.getmtime(os.path.join(sf_dir, f"{n}.parquet"))
+            if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+            else None
+            for n in TABLE_NAMES
+        ),
+    )
+    cached = catalog.get(key)
     if cached is not None:
         return dict(cached)
     # pandas-UDF closures downstream reference this package; make sure
@@ -99,7 +112,7 @@ def load_tables(
         name: spark.read.parquet(table_path(sf_dir, name))
         for name in TABLE_NAMES
     }
-    catalog[os.path.abspath(sf_dir)] = dfs
+    catalog[key] = dfs
     return dict(dfs)
 
 

@@ -1408,7 +1408,10 @@ def q_media_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # the scipy/librosa/cv2 parity kernels (q_dsp_parity, defined
-        # below in this module): same 6-column invariant schema
+        # below in this module): same 6-column invariant schema.
+        # Deliberately ALSO registered standalone below slot 50 — the
+        # repo suite then runs the dsp legs twice (~2 s warm), a cost
+        # accepted for a focused failure signal when one leg breaks
         .unionByName(QUERIES["q_dsp_parity"].builder(spark, sf_dir))
     )
 

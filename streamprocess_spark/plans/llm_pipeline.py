@@ -2773,12 +2773,17 @@ _K_SPAN = 8  # detection resolution: duplicated runs of >= K tokens
         SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
     ),
     grams AS (
-        SELECT doc_id, p.i AS pos,
-               t[p.i + 1] || ' ' || t[p.i + 2] || ' ' || t[p.i + 3] || ' ' ||
-               t[p.i + 4] || ' ' || t[p.i + 5] || ' ' || t[p.i + 6] || ' ' ||
-               t[p.i + 7] || ' ' || t[p.i + 8] AS s
-        FROM toks, range(0, 4096) p(i)
-        WHERE p.i <= len(t) - {_K_SPAN}
+        -- unnest(range(len)) instead of a fixed cross-range so docs of
+        -- ANY length replay exactly (a hard 4096 cap would silently
+        -- drop grams of longer documents)
+        SELECT doc_id, i AS pos,
+               t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+               t[i + 4] || ' ' || t[i + 5] || ' ' || t[i + 6] || ' ' ||
+               t[i + 7] || ' ' || t[i + 8] AS s
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t) - {_K_SPAN} + 1, 0)))
+                         AS i
+              FROM toks) q
     ),
     hv AS (
         SELECT doc_id, pos,
