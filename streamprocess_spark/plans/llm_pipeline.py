@@ -914,10 +914,13 @@ def q94_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
     ),
     sh AS (
-        SELECT doc_id, p.i AS pos,
-               t[p.i + 1] || ' ' || t[p.i + 2] || ' ' || t[p.i + 3] AS s
-        FROM toks, range(0, 4096) p(i)
-        WHERE p.i <= len(t) - 3
+        -- unnest(range(len)) so docs of ANY length replay exactly
+        -- (a fixed cross-range would cap shingles at its bound)
+        SELECT doc_id, i AS pos,
+               t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t) - 2, 0))) AS i
+              FROM toks) q
     ),
     hv AS (
         SELECT doc_id, pos,
