@@ -66,6 +66,20 @@ def sniff_format(raw: bytes) -> tuple[str, str, str]:
                     return "AVI", "video_batch", "low"
                 continue  # RIFF but neither WAVE nor AVI → unknown
             return fmt, jtype, prio
+    # WARC (ISO 28500) — the Common Crawl training-data format; crawl
+    # archives usually arrive as concatenated per-record gzip members,
+    # so a gzip magic gets its first member peeked for the WARC line
+    if raw[:5] == b"WARC/":
+        return "WARC", "text_batch", "normal"
+    if raw[:2] == b"\x1f\x8b":
+        import zlib
+
+        try:
+            head = zlib.decompressobj(wbits=31).decompress(raw, 5)
+        except zlib.error:
+            head = b""
+        if head[:5] == b"WARC/":
+            return "WARC", "text_batch", "normal"
     # MP4/ISO-BMFF: the ftyp magic sits at offset 4, not 0
     if raw[4:8] == b"ftyp":
         return "MP4", "video_batch", "low"
@@ -149,6 +163,13 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             )
 
             np_parse_mkv_mjpeg(raw)
+        elif fmt == "WARC":
+            # full record walk: version lines, header fields,
+            # Content-Length framing, HTTP response splits; truncated
+            # or malformed archives → dead-letter
+            from streamprocess_spark.functions.warc import np_parse_warc
+
+            np_parse_warc(raw)
         elif fmt == "OPUS":
             # page walk + CRC + OpusHead/TOC validate every byte; PCM
             # stays the documented stub (functions/ogg_opus.py)

@@ -8,6 +8,7 @@ dot products accumulate in decimal (order-independent, exact).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3107,4 +3108,114 @@ def q142_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") + prior_fp).alias("logodds_fp"),
             ((F.col("s") + prior_fp) > 0).alias("pred_hi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143_warc_ingest — WARC (Common Crawl) source, oracle-hashed
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as _T
+
+_WARC_ROW = _T.StructType([
+    _T.StructField("n_records", _T.LongType()),
+    _T.StructField("n_responses", _T.LongType()),
+    _T.StructField("n_ok", _T.LongType()),
+    _T.StructField("body_bytes", _T.LongType()),
+    _T.StructField("body_md5_fp", _T.LongType()),
+])
+
+
+@F.pandas_udf(_WARC_ROW)
+def _warc_probe_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Builds a deterministic per-doc WARC file (Common Crawl layout:
+    gzip members for odd doc_ids, plain for even — both parse through
+    the same record walk), parses it with the ISO 28500 reader, and
+    emits record counts, HTTP status tallies, body byte mass, and the
+    md5 content fingerprint of every body (the engine-agnostic hash
+    the oracle recomputes from the same closed-form text)."""
+    import hashlib
+
+    from streamprocess_spark.functions.warc import (
+        np_build_warc,
+        np_parse_warc,
+    )
+
+    mod = 1_000_000_007
+    rows = []
+    for d in doc_id.astype("int64"):
+        k = 1 + int(d % 3)
+        recs = [{
+            "warc_type": "warcinfo", "record_id": f"uuid:{d}-info",
+            "date": "2026-08-14T00:00:00Z", "body": b"software: sp\r\n",
+        }]
+        for i in range(k):
+            body = (f"doc {d} rec {i} " * (5 + (d + i) % 7)).encode()
+            recs.append({
+                "warc_type": "response",
+                "record_id": f"uuid:{d}-{i}",
+                "date": "2026-08-14T00:00:01Z",
+                "target_uri": f"http://ex.com/{d}/{i}",
+                "http_status": 200 if (d + i) % 5 else 404,
+                "http_content_type": "text/plain",
+                "body": body,
+            })
+        raw = np_build_warc(recs, gzip_members=bool(d % 2))
+        parsed = np_parse_warc(raw)
+        resp = [r for r in parsed if r["warc_type"] == "response"]
+        h = 0
+        for r in resp:
+            h += int(hashlib.md5(r["body"]).hexdigest()[:15], 16) % mod
+        rows.append({
+            "n_records": len(parsed),
+            "n_responses": len(resp),
+            "n_ok": sum(1 for r in resp if r["http_status"] == 200),
+            "body_bytes": sum(len(r["body"]) for r in resp),
+            "body_md5_fp": h,
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q143_warc_ingest",
+    oracle="""
+    WITH rec AS (
+        SELECT d.doc_id, i.i,
+               repeat('doc ' || d.doc_id || ' rec ' || i.i || ' ',
+                      5 + (d.doc_id + i.i) % 7) AS body,
+               CASE WHEN (d.doc_id + i.i) % 5 <> 0 THEN 200 ELSE 404 END
+                   AS status
+        FROM documents d, range(0, 3) i(i)
+        WHERE i.i < 1 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           cast(count(*) + 1 AS BIGINT) AS n_records,
+           cast(count(*) AS BIGINT) AS n_responses,
+           cast(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ok,
+           cast(sum(length(body)) AS BIGINT) AS body_bytes,
+           cast(sum(('0x' || substr(md5(body), 1, 15))::BIGINT
+                    % 1000000007) AS BIGINT) AS body_md5_fp
+    FROM rec GROUP BY doc_id
+    """,
+    covers=("S15", "§2.13-text"),
+    doc="WARC source (ISO 28500 / Common Crawl, functions/warc.py, "
+        "from-scratch record walk + multi-member gzip + HTTP response "
+        "split): per-doc archives — alternating plain and "
+        "member-gzipped layouts — are parsed end-to-end and every "
+        "body is md5-fingerprinted; the oracle reconstructs the exact "
+        "record set, statuses, byte mass, and content hashes in SQL. "
+        "Map-only, zero shuffle; at 100 TB each crawl segment file "
+        "parses independently inside its scan partition, which is "
+        "exactly how Common Crawl is laid out.",
+)
+def q143_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.withColumn("w", _warc_probe_udf(F.col("doc_id"))).select(
+        "doc_id",
+        F.col("w.n_records").alias("n_records"),
+        F.col("w.n_responses").alias("n_responses"),
+        F.col("w.n_ok").alias("n_ok"),
+        F.col("w.body_bytes").alias("body_bytes"),
+        F.col("w.body_md5_fp").alias("body_md5_fp"),
     )

@@ -138,7 +138,8 @@ def test_streaming_ingest_edge(spark, tmp_path):
 
     stream = envelope_stream(spark, str(land))
     out = tmp_path / "store"
-    known = ("stt_batch", "ocr_single", "ocr_batch", "video_batch")
+    known = ("stt_batch", "ocr_single", "ocr_batch", "video_batch",
+             "text_batch")
     q = (
         route_to_storage(stream, str(out), known, type_col="type")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -245,6 +246,19 @@ def _mp3(id3: bool = False) -> bytes:
     return MA.np_build_mpeg_frames(6, id3_title="x" if id3 else None)
 
 
+def _warc(gz: bool = False) -> bytes:
+    from streamprocess_spark.functions.warc import np_build_warc
+
+    return np_build_warc([
+        {"warc_type": "warcinfo", "record_id": "uuid:0",
+         "date": "2026-08-14T00:00:00Z", "body": b"software: t\r\n"},
+        {"warc_type": "response", "record_id": "uuid:1",
+         "date": "2026-08-14T00:00:01Z", "target_uri": "http://e.com/a",
+         "http_status": 200, "http_content_type": "text/html",
+         "body": b"<html>hi</html>"},
+    ], gzip_members=gz)
+
+
 # (case_id, valid_builder, expected_fmt, expected_type, expected_prio,
 #  corrupt_builder) — corrupt keeps the magic so the SNIFF succeeds and
 # the CODEC must reject (truncation / garbage body / broken CRC)
@@ -290,6 +304,10 @@ _EDGE_CASES = [
      lambda: _mp3()[:-10]),                       # torn last frame
     ("mp3_id3", lambda: _mp3(id3=True), "MP3", "stt_batch", "normal",
      lambda: _mp3(id3=True)[:-10]),
+    ("warc", _warc, "WARC", "text_batch", "normal",
+     lambda: _warc()[:-20]),                      # torn record tail
+    ("warc_gz", lambda: _warc(gz=True), "WARC", "text_batch", "normal",
+     lambda: _warc(gz=True)[:-8]),                # torn gzip member
 ]
 
 
