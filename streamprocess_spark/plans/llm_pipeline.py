@@ -3219,3 +3219,129 @@ def q143_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.body_bytes").alias("body_bytes"),
         F.col("w.body_md5_fp").alias("body_md5_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144_html_extract — crawl HTML -> training text, JVM-side only
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q144_html_extract",
+    oracle="""
+    WITH page AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || doc_id ||
+               '</title><style>p {color: red}</style></head><body>' ||
+               '<h1>Doc ' || doc_id || ' &amp; friends</h1>' ||
+               '<script>var x = ' || doc_id || ';</script>' ||
+               (SELECT string_agg('<p>para ' || i.i || ' of doc ' ||
+                                  p2.doc_id || ' &lt;ok&gt;</p>', ''
+                                  ORDER BY i.i)
+                FROM range(0, 6) i(i), (SELECT 1) x
+                WHERE i.i < 2 + p2.doc_id % 4) ||
+               '</body></html>' AS html
+        FROM documents p2(doc_id)
+    ),
+    ext AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                       '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                     '<[^>]+>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''),
+                 '\\s+', ' ', 'g')) AS txt
+        FROM page
+    )
+    SELECT doc_id,
+           cast(length(txt) AS BIGINT) AS n_chars,
+           cast(len(string_split(txt, ' ')) AS BIGINT) AS n_words,
+           cast(('0x' || substr(md5(txt), 1, 15))::BIGINT % 1000000007
+                AS BIGINT) AS text_md5_fp
+    FROM ext
+    """,
+    covers=("§2.13-text", "S15"),
+    doc="HTML -> training-text extraction, the stage after the WARC "
+        "source in a crawl pipeline: drop script/style blocks "
+        "((?s) non-greedy), strip tags to spaces, decode the five "
+        "basic entities, collapse whitespace. Implemented ENTIRELY as "
+        "JVM-side column expressions (regexp_replace/replace chains — "
+        "no Python UDF in the hot path; whole-stage codegen keeps it "
+        "inside the scan stage), with DuckDB running the identical "
+        "chain; the md5 fingerprint of every extracted string must "
+        "match bit-for-bit, which pins both engines to the same "
+        "extraction semantics. Map-only, zero shuffle.",
+)
+def q144_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    paras = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4 + 1).cast("int")),
+            lambda i: F.concat(
+                F.lit("<p>para "), i.cast("string"),
+                F.lit(" of doc "), F.col("doc_id").cast("string"),
+                F.lit(" &lt;ok&gt;</p>"),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p {color: red}</style></head><body>"),
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</h1>"),
+        F.lit("<script>var x = "), F.col("doc_id").cast("string"),
+        F.lit(";</script>"),
+        paras,
+        F.lit("</body></html>"),
+    )
+    txt = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.replace(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        F.regexp_replace(
+                                            html,
+                                            r"(?s)<script[^>]*>.*?</script>",
+                                            "",
+                                        ),
+                                        r"(?s)<style[^>]*>.*?</style>",
+                                        "",
+                                    ),
+                                    r"<[^>]+>",
+                                    " ",
+                                ),
+                                F.lit("&amp;"), F.lit("&"),
+                            ),
+                            F.lit("&lt;"), F.lit("<"),
+                        ),
+                        F.lit("&gt;"), F.lit(">"),
+                    ),
+                    F.lit("&quot;"), F.lit('"'),
+                ),
+                F.lit("&#39;"), F.lit("'"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    from streamprocess_spark.operators.dedup import MOD
+
+    return docs.withColumn("txt", txt).select(
+        "doc_id",
+        F.length("txt").cast("bigint").alias("n_chars"),
+        F.size(F.split("txt", " ")).cast("bigint").alias("n_words"),
+        (
+            F.conv(F.substring(F.md5("txt"), 1, 15), 16, 10).cast("bigint")
+            % MOD
+        ).alias("text_md5_fp"),
+    )
