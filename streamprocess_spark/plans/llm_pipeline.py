@@ -3345,3 +3345,115 @@ def q144_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             % MOD
         ).alias("text_md5_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145_url_curation — crawl URL canonicalization + domain policy
+# ---------------------------------------------------------------------------
+
+_URL_BLOCKLIST = ("dom3.com", "dom7.org", "dom11.com")
+
+
+@register(
+    "q145_url_curation",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               'http://' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'sub' || (doc_id % 5) || '.'
+                    ELSE '' END ||
+               'dom' || (doc_id % 17) ||
+               CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END ||
+               '/p/' || doc_id ||
+               CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&sid=' || doc_id
+                    ELSE '' END AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^https?://([^/?]+)', 1) AS host,
+               regexp_extract(url, '^[^?]+') AS canonical,
+               len(string_split(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1),
+                                '/')) - 1 AS path_depth,
+               url LIKE '%?%' AS has_query
+        FROM u
+    ),
+    dom AS (
+        SELECT doc_id, canonical, path_depth, has_query,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM parsed
+    )
+    SELECT domain,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_query,
+           cast(sum(path_depth) AS BIGINT) AS depth_sum,
+           cast(sum(('0x' || substr(md5(canonical), 1, 15))::BIGINT
+                    % 1000000007) AS BIGINT) AS canon_md5_fp,
+           (domain IN {_URL_BLOCKLIST}) AS blocked
+    FROM dom GROUP BY domain
+    """,
+    covers=("§2.13-text", "R5"),
+    doc="Crawl URL curation — host extraction, registered-domain "
+        "rollup, query-string canonicalization (the dedup key crawl "
+        "pipelines group on), path-depth stats, and a domain "
+        "blocklist verdict — all native string/regexp column "
+        "expressions on both engines, md5-pinned on the canonical "
+        "URLs. One groupBy(domain) shuffle; at 100 TB domain is the "
+        "natural partition key for crawl policy and the blocklist "
+        "broadcast is a constant.",
+)
+def q145_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators.dedup import MOD
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".")),
+        ).otherwise(F.lit("")),
+        F.lit("dom"), (F.col("doc_id") % 17).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+            F.lit(".org")
+        ),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=x&sid="),
+                     F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    parsed = docs.withColumn("url", url).select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https?://([^/?]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[^?]+", 0).alias("canonical"),
+        (
+            F.size(
+                F.split(
+                    F.regexp_extract("url", r"^https?://[^/?]+([^?]*)", 1),
+                    "/",
+                )
+            )
+            - 1
+        ).alias("path_depth"),
+        F.col("url").contains("?").alias("has_query"),
+    )
+    dom = parsed.withColumn(
+        "domain", F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)
+    )
+    return dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_query").cast("int")).cast("bigint")
+        .alias("n_with_query"),
+        F.sum("path_depth").cast("bigint").alias("depth_sum"),
+        F.sum(
+            F.conv(F.substring(F.md5("canonical"), 1, 15), 16, 10)
+            .cast("bigint") % MOD
+        ).cast("bigint").alias("canon_md5_fp"),
+        F.first(
+            F.col("domain").isin(*_URL_BLOCKLIST)
+        ).alias("blocked"),
+    )
