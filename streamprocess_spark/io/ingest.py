@@ -51,6 +51,9 @@ _SNIFFERS = (
     (b"P6", "PNM", "ocr_single", "normal"),
     (b"P2", "PNM", "ocr_single", "normal"),
     (b"P3", "PNM", "ocr_single", "normal"),
+    # ZIP upload batches: one archive = many member jobs (see
+    # explode_archive); the archive itself validates member CRCs
+    (b"PK\x03\x04", "ZIP", "archive_batch", "normal"),
 )
 
 
@@ -163,6 +166,20 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             )
 
             np_parse_mkv_mjpeg(raw)
+        elif fmt == "ZIP":
+            import io as _io
+            import zipfile
+
+            try:
+                with zipfile.ZipFile(_io.BytesIO(raw)) as z:
+                    names = z.namelist()
+                    if not names:
+                        raise ValueError("empty ZIP archive")
+                    bad = z.testzip()   # CRC-checks every member
+                    if bad is not None:
+                        raise ValueError(f"ZIP member CRC mismatch: {bad}")
+            except zipfile.BadZipFile as e:
+                raise ValueError(f"bad ZIP archive: {e}") from None
         elif fmt == "WARC":
             # full record walk: version lines, header fields,
             # Content-Length framing, HTTP response splits; truncated
@@ -206,6 +223,39 @@ def make_envelope(raw: bytes, *, name: str = "", enqueued_at: float = 0.0) -> di
             **({"error": err} if not ok else {}),
         },
     }
+
+
+def explode_archive(raw: bytes, *, name: str = "",
+                    enqueued_at: float = 0.0) -> list[dict]:
+    """One uploaded archive -> one envelope per member, each member
+    re-sniffed and validated through its own codec (a ZIP of scans
+    becomes N ocr jobs; mixed archives route per member; garbage
+    members dead-letter individually). Non-archive payloads return
+    their single envelope unchanged, so the landing edge can call
+    this unconditionally."""
+    fmt, _, _ = sniff_format(raw)
+    if fmt != "ZIP":
+        return [make_envelope(raw, name=name, enqueued_at=enqueued_at)]
+    ok, err = _validate(raw, "ZIP")
+    if not ok:
+        return [make_envelope(raw, name=name, enqueued_at=enqueued_at)]
+    import io as _io
+    import zipfile
+
+    out = []
+    with zipfile.ZipFile(_io.BytesIO(raw)) as z:
+        for info in z.infolist():
+            if info.is_dir():
+                continue
+            member = z.read(info.filename)
+            env = make_envelope(
+                member,
+                name=f"{name}!{info.filename}" if name else info.filename,
+                enqueued_at=enqueued_at,
+            )
+            env["payload"]["archive"] = name or "archive.zip"
+            out.append(env)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -246,6 +246,23 @@ def _mp3(id3: bool = False) -> bytes:
     return MA.np_build_mpeg_frames(6, id3_title="x" if id3 else None)
 
 
+def _zip() -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.wav", _wav())
+        z.writestr("b.png", _png())
+    return buf.getvalue()
+
+
+def _zip_flip() -> bytes:
+    raw = bytearray(_zip())
+    raw[40] ^= 0xFF  # corrupt a member payload byte -> CRC mismatch
+    return bytes(raw)
+
+
 def _warc(gz: bool = False) -> bytes:
     from streamprocess_spark.functions.warc import np_build_warc
 
@@ -308,6 +325,8 @@ _EDGE_CASES = [
      lambda: _warc()[:-20]),                      # torn record tail
     ("warc_gz", lambda: _warc(gz=True), "WARC", "text_batch", "normal",
      lambda: _warc(gz=True)[:-8]),                # torn gzip member
+    ("zip", lambda: _zip(), "ZIP", "archive_batch", "normal",
+     lambda: _zip_flip()),                        # member CRC broken
 ]
 
 
@@ -404,3 +423,35 @@ def test_document_url_oneof_round_trip(tmp_path, spark):
     )
     types = sorted(r["type"] for r in rows)
     assert types == ["fetch_failed", "ocr_single", "stt_batch"]
+
+
+
+def test_archive_explodes_into_member_jobs():
+    """One ZIP upload becomes one envelope per member, each routed by
+    its own sniffed format; garbage members dead-letter individually;
+    non-archives pass through as their single envelope."""
+    import io
+    import zipfile
+
+    from streamprocess_spark.io.ingest import explode_archive
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.wav", _wav())
+        z.writestr("scans/b.png", _png())
+        z.writestr("junk.bin", b"\x00garbage")
+    members = explode_archive(buf.getvalue(), name="up.zip")
+    got = [(m["payload"]["filename"], m["type"], m["payload"]["format"])
+           for m in members]
+    assert got == [
+        ("up.zip!a.wav", "stt_batch", "WAV"),
+        ("up.zip!scans/b.png", "ocr_single", "PNG"),
+        ("up.zip!junk.bin", "unsupported_media", "UNKNOWN"),
+    ]
+    assert all(m["payload"]["archive"] == "up.zip" for m in members)
+
+    passthrough = explode_archive(_wav())
+    assert [m["payload"]["format"] for m in passthrough] == ["WAV"]
+
+    corrupt = explode_archive(_zip_flip(), name="bad.zip")
+    assert [m["type"] for m in corrupt] == ["corrupt_media"]
