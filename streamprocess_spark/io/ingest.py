@@ -83,6 +83,11 @@ def sniff_format(raw: bytes) -> tuple[str, str, str]:
             head = b""
         if head[:5] == b"WARC/":
             return "WARC", "text_batch", "normal"
+    # H.264 Annex B elementary stream: start code + a sane NAL header
+    from streamprocess_spark.functions.h264 import looks_like_annexb_h264
+
+    if looks_like_annexb_h264(raw):
+        return "H264", "video_batch", "low"
     # MP4/ISO-BMFF: the ftyp magic sits at offset 4, not 0
     if raw[4:8] == b"ftyp":
         return "MP4", "video_batch", "low"
@@ -166,6 +171,14 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
             )
 
             np_parse_mkv_mjpeg(raw)
+        elif fmt == "H264":
+            # full NAL walk + SPS/PPS + I_PCM macroblock decode;
+            # compressed macroblocks (CAVLC/CABAC) -> dead-letter
+            from streamprocess_spark.functions.h264 import (
+                np_decode_h264_ipcm,
+            )
+
+            np_decode_h264_ipcm(raw)
         elif fmt == "ZIP":
             import io as _io
             import zipfile

@@ -2729,3 +2729,88 @@ def q120_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q146_h264_ipcm — real H.264 (I_PCM subset) sample decode, S15
+# ---------------------------------------------------------------------------
+
+_H264_ROW = T.StructType([
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("luma_sum", T.LongType()),
+])
+
+
+@pandas_udf(_H264_ROW)
+def _h264_probe_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Builds a spec-compliant Annex B H.264 stream (IDR pictures of
+    I_PCM macroblocks, 4:2:0, frame cropping on odd doc_ids) from a
+    closed-form luma formula, decodes it through the full NAL/SPS/PPS/
+    slice/macroblock walk, and emits exact decoded-sample sums."""
+    from streamprocess_spark.functions.h264 import (
+        np_build_h264_ipcm,
+        np_decode_h264_ipcm,
+    )
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        h, w = (30, 44) if d % 2 else (32, 32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = [
+            ((yy * 3 + xx * 5 + d + f) % 256).astype(np.uint8)
+            for f in range(2)
+        ]
+        dec = np_decode_h264_ipcm(np_build_h264_ipcm(frames))
+        rows.append({
+            "n_frames": len(dec),
+            "height": dec[0].shape[0],
+            "width": dec[0].shape[1],
+            "luma_sum": int(sum(fr.sum(dtype=np.int64) for fr in dec)),
+        })
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q146_h264_ipcm",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 1 THEN 30 ELSE 32 END AS h,
+               CASE WHEN d.doc_id % 2 = 1 THEN 44 ELSE 32 END AS w,
+               y.y, x.x, f.f
+        FROM documents d, range(0, 32) y(y), range(0, 44) x(x),
+             range(0, 2) f(f)
+        WHERE y.y < CASE WHEN d.doc_id % 2 = 1 THEN 30 ELSE 32 END
+          AND x.x < CASE WHEN d.doc_id % 2 = 1 THEN 44 ELSE 32 END
+    )
+    SELECT doc_id,
+           cast(2 AS BIGINT) AS n_frames,
+           cast(max(h) AS BIGINT) AS height,
+           cast(max(w) AS BIGINT) AS width,
+           cast(sum((y * 3 + x * 5 + doc_id + f) % 256) AS BIGINT)
+               AS luma_sum
+    FROM px GROUP BY doc_id
+    """,
+    covers=("S15",),
+    doc="H.264/AVC sample decode — the I_PCM subset implemented from "
+        "the public ITU-T spec (functions/h264.py): Annex B NAL walk "
+        "with emulation prevention, Exp-Golomb entropy codes, "
+        "baseline SPS/PPS, IDR slice headers, I_PCM macroblock "
+        "samples, 4:2:0 frame cropping. The streams are spec-"
+        "compliant (any conformant decoder plays them); compressed "
+        "macroblocks (CAVLC/CABAC, spec 9.2/9.3 normative tables) "
+        "remain a documented NotImplementedError that dead-letters on "
+        "the ingest edge. The oracle recomputes every decoded luma "
+        "sample from the closed-form fixture formula. Map-only.",
+)
+def q146_h264_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.withColumn("r", _h264_probe_udf(F.col("doc_id"))).select(
+        "doc_id",
+        F.col("r.n_frames").alias("n_frames"),
+        F.col("r.height").alias("height"),
+        F.col("r.width").alias("width"),
+        F.col("r.luma_sum").alias("luma_sum"),
+    )

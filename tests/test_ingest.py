@@ -246,6 +246,12 @@ def _mp3(id3: bool = False) -> bytes:
     return MA.np_build_mpeg_frames(6, id3_title="x" if id3 else None)
 
 
+def _h264() -> bytes:
+    from streamprocess_spark.functions.h264 import np_build_h264_ipcm
+
+    return np_build_h264_ipcm([_img24x32(), _img24x32()])
+
+
 def _zip() -> bytes:
     import io
     import zipfile
@@ -327,6 +333,8 @@ _EDGE_CASES = [
      lambda: _warc(gz=True)[:-8]),                # torn gzip member
     ("zip", lambda: _zip(), "ZIP", "archive_batch", "normal",
      lambda: _zip_flip()),                        # member CRC broken
+    ("h264", lambda: _h264(), "H264", "video_batch", "low",
+     lambda: _h264()[:-40]),                      # torn PCM samples
 ]
 
 
