@@ -423,3 +423,28 @@ def looks_like_annexb_h264(raw: bytes) -> bool:
                 NAL_SPS, NAL_PPS, NAL_IDR, 1, 6, 9
             )
     return False
+
+
+def split_annexb_raw(raw: bytes) -> list[tuple[int, bytes]]:
+    """Like split_annexb but returns the raw NAL unit bytes (header +
+    EBSP payload, no start code) — the form MP4 'avc1' stores."""
+    starts = []
+    i = 0
+    while i < len(raw) - 3:
+        if raw[i:i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise ValueError("no Annex B start codes")
+    units = []
+    for j, s in enumerate(starts):
+        end = (starts[j + 1] - 3) if j + 1 < len(starts) else len(raw)
+        while end > s and raw[end - 1] == 0 and j + 1 < len(starts):
+            end -= 1
+        unit = raw[s:end]
+        if not unit:
+            raise ValueError("empty NAL unit")
+        units.append((unit[0] & 0x1F, unit))
+    return units

@@ -21,8 +21,12 @@ implements from the public ISO/IEC 14496-12 spec, dependency-free:
   - a spec-valid writer for fixtures (ftyp/mdat/moov with correct
     sample tables).
 
-Codecs that need entropy-coded bitstream decoders with normative
-tables not derivable offline (avc1/H.264 CABAC, vp09, hev1) raise
+'avc1' tracks route through the H.264 I_PCM decoder
+(functions/h264.py: real NAL/SPS/PPS/slice parsing, avcC parameter
+sets, length-prefixed sample NALs) — spec-compliant H.264 both ways
+for the I_PCM macroblock subset. Codecs that need entropy-coded
+bitstream decoders with normative tables not derivable offline
+(compressed-macroblock H.264 CAVLC/CABAC, vp09, hev1) raise
 NotImplementedError at the sample-decode boundary, with the container
 fully validated first — same boundary policy as MP3/OPUS
 (functions/mpeg_audio.py, functions/ogg_opus.py).
@@ -326,6 +330,14 @@ def np_build_mp4_mjpeg(frames: list[bytes], width: int, height: int,
     """Spec-valid unfragmented MP4: one 'vide' track whose samples are
     the given complete JPEG images ('jpeg' VisualSampleEntry), all in
     one chunk inside mdat, full stts/stsc/stsz/stco tables."""
+    return _assemble_mp4_video(frames, width, height, fps, b"jpeg", b"")
+
+
+def _assemble_mp4_video(frames: list[bytes], width: int, height: int,
+                        fps: int, fourcc: bytes,
+                        entry_children: bytes) -> bytes:
+    """Shared unfragmented-MP4 assembly for one video track; the
+    sample-entry fourcc and its child boxes (e.g. avcC) vary."""
     if not frames:
         raise ValueError("need at least one frame")
     nf = len(frames)
@@ -366,15 +378,16 @@ def np_build_mp4_mjpeg(frames: list[bytes], width: int, height: int,
                  struct.pack(">H", 0))
     hdlr = _fbox(b"hdlr", 0, 0, _U32.pack(0), b"vide", b"\x00" * 12,
                  b"VideoHandler\x00")
-    # VisualSampleEntry 'jpeg' (ISO 14496-12 §12.1.3)
-    entry = (_U32.pack(86) + b"jpeg" + b"\x00" * 6
+    # VisualSampleEntry (ISO 14496-12 §12.1.3) + optional children
+    entry = (_U32.pack(86 + len(entry_children)) + fourcc + b"\x00" * 6
              + struct.pack(">H", 1)            # data_reference_index
              + b"\x00" * 16
              + struct.pack(">HH", width, height)
              + _U32.pack(0x00480000) + _U32.pack(0x00480000)
              + _U32.pack(0) + struct.pack(">H", 1)
              + b"\x00" * 32                    # compressorname
-             + struct.pack(">Hh", 24, -1))
+             + struct.pack(">Hh", 24, -1)
+             + entry_children)
     stsd = _fbox(b"stsd", 0, 0, _U32.pack(1), entry)
     stts = _fbox(b"stts", 0, 0, _U32.pack(1),
                  _U32.pack(nf), _U32.pack(delta))
@@ -392,3 +405,155 @@ def np_build_mp4_mjpeg(frames: list[bytes], width: int, height: int,
     trak = _box(b"trak", tkhd, mdia)
     moov = _box(b"moov", mvhd, trak)
     return ftyp + mdat + moov
+
+
+# --------------------------------------------------- avc1 (H.264) track
+
+
+def _parse_avcc(raw: bytes, b: int, e: int) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15): parameter-set NAL
+    units + the sample NAL length-field size."""
+    if e - b < 7:
+        raise ValueError("avcC record too short")
+    if raw[b] != 1:
+        raise ValueError(f"avcC configurationVersion {raw[b]}")
+    length_size = (raw[b + 4] & 0x03) + 1
+    pos = b + 5
+    n_sps = raw[pos] & 0x1F
+    pos += 1
+    sps = []
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", raw, pos)[0]
+        pos += 2
+        sps.append(raw[pos:pos + ln])
+        pos += ln
+    n_pps = raw[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        ln = struct.unpack_from(">H", raw, pos)[0]
+        pos += 2
+        pps.append(raw[pos:pos + ln])
+        pos += ln
+    if not sps or not pps:
+        raise ValueError("avcC missing SPS/PPS")
+    return {"length_size": length_size, "sps": sps, "pps": pps}
+
+
+def _find_avcc_in_stsd(raw: bytes, st_b: int, st_e: int) -> dict:
+    """Locate the avcC child box of the first 'avc1' stsd entry."""
+    for typ, bb, be in _iter_boxes(raw, st_b, st_e):
+        if typ != b"stsd":
+            continue
+        entry = bb + 8           # first sample entry (size+fourcc at +0/+4)
+        # children start after the 78-byte VisualSampleEntry body
+        child = entry + 8 + 78
+        for ctyp, cb, ce in _iter_boxes(raw, child,
+                                        entry + _U32.unpack_from(raw, entry)[0]):
+            if ctyp == b"avcC":
+                return _parse_avcc(raw, cb, ce)
+    raise ValueError("avc1 entry has no avcC box")
+
+
+def np_parse_mp4_avc1(raw: bytes) -> tuple[np.ndarray, int]:
+    """MP4/'avc1' → ((nf, h, w) uint8 luma frames, fps) through the
+    H.264 I_PCM decoder (functions/h264.py): avcC parameter sets +
+    length-prefixed sample NALs are reassembled into Annex B and
+    decoded. Compressed macroblocks raise NotImplementedError."""
+    from streamprocess_spark.functions.h264 import np_decode_h264_ipcm
+
+    info = np_probe_mp4(raw)
+    vids = [t for t in info["tracks"] if t["handler"] == "vide"]
+    if not vids or vids[0]["codec"] != "avc1":
+        raise ValueError("MP4 has no avc1 video track")
+    moov_b, moov_e = _find(raw, 0, len(raw), b"moov")
+    for typ, tb, te in _iter_boxes(raw, moov_b, moov_e):
+        if typ != b"trak":
+            continue
+        md_b, md_e = _find(raw, tb, te, b"mdia")
+        hd_b, _ = _find(raw, md_b, md_e, b"hdlr")
+        if raw[hd_b + 8:hd_b + 12] != b"vide":
+            continue
+        mi_b, mi_e = _find(raw, md_b, md_e, b"minf")
+        st_b, st_e = _find(raw, mi_b, mi_e, b"stbl")
+        stbl = _parse_stbl(raw, st_b, st_e)
+        if stbl["codec"] != "avc1":
+            continue
+        avcc = _find_avcc_in_stsd(raw, st_b, st_e)
+        ranges = _sample_ranges(stbl, len(raw))
+        if not ranges:
+            raise ValueError("MP4 avc1 track has no samples")
+        ls = avcc["length_size"]
+        annexb = [b"\x00\x00\x00\x01" + u
+                  for u in avcc["sps"] + avcc["pps"]]
+        for s, e in ranges:
+            pos = s
+            while pos < e:
+                if pos + ls > e:
+                    raise ValueError("avc1 sample NAL length overruns")
+                ln = int.from_bytes(raw[pos:pos + ls], "big")
+                pos += ls
+                if pos + ln > e:
+                    raise ValueError("avc1 sample NAL overruns sample")
+                annexb.append(b"\x00\x00\x00\x01" + raw[pos:pos + ln])
+                pos += ln
+        frames = np_decode_h264_ipcm(b"".join(annexb))
+        track = vids[0]
+        dur = track["duration_ms"]
+        fps = track["n_samples"] * 1000 // dur if dur else 0
+        return np.stack(frames), fps
+    raise ValueError("MP4 avc1 track table not found")
+
+
+def np_build_mp4_avc1(frames_gray: list[np.ndarray],
+                      fps: int = 10) -> bytes:
+    """Spec-valid unfragmented MP4 with one 'avc1' track: avcC carries
+    the SPS/PPS, each sample is the length-prefixed IDR NAL of an
+    I_PCM-coded frame (functions/h264.py encoder)."""
+    from streamprocess_spark.functions.h264 import (
+        NAL_IDR,
+        NAL_PPS,
+        NAL_SPS,
+        np_build_h264_ipcm,
+        split_annexb_raw,
+    )
+
+    if not frames_gray:
+        raise ValueError("need at least one frame")
+    h, w = frames_gray[0].shape
+    units = split_annexb_raw(np_build_h264_ipcm(frames_gray))
+    sps = [u for t, u in units if t == NAL_SPS]
+    pps = [u for t, u in units if t == NAL_PPS]
+    idr = [u for t, u in units if t == NAL_IDR]
+    avcc = (
+        bytes([1, sps[0][1], sps[0][2], sps[0][3], 0xFF])  # cfg v1 + len=4
+        + bytes([0xE0 | len(sps)])
+        + b"".join(struct.pack(">H", len(u)) + u for u in sps)
+        + bytes([len(pps)])
+        + b"".join(struct.pack(">H", len(u)) + u for u in pps)
+    )
+    samples = [struct.pack(">I", len(u)) + u for u in idr]
+    entry_children = _box(b"avcC", avcc)
+    return _assemble_mp4_video(
+        samples, w, h, fps, b"avc1", entry_children
+    )
+
+
+def np_parse_mp4_video(raw: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch the first video track to its codec path: 'jpeg' ->
+    the baseline JPEG decoder, 'avc1' -> the H.264 I_PCM decoder.
+    Other codecs raise NotImplementedError (container validated)."""
+    info = np_probe_mp4(raw)
+    vids = [t for t in info["tracks"] if t["handler"] == "vide"]
+    if not vids:
+        raise ValueError("MP4 has no video track")
+    codec = vids[0]["codec"]
+    if codec == "jpeg":
+        return np_parse_mp4_jpeg(raw)
+    if codec == "avc1":
+        return np_parse_mp4_avc1(raw)
+    raise NotImplementedError(
+        f"MP4 codec {codec!r}: 'jpeg' and 'avc1' (I_PCM subset) decode "
+        "here; VP9/HEVC/AV1 and compressed-macroblock H.264 need "
+        "entropy decoders with normative tables"
+    )

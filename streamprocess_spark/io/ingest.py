@@ -149,12 +149,12 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
 
             np_parse_avi_mjpeg(raw)
         elif fmt == "MP4":
-            # full box walk + sample-table consistency; 'jpeg' tracks
-            # decode for real, other codecs NotImplementedError →
-            # dead-letter (functions/mp4.py)
-            from streamprocess_spark.functions.mp4 import np_parse_mp4_jpeg
+            # full box walk + sample-table consistency; 'jpeg' and
+            # 'avc1' (H.264 I_PCM subset) tracks decode for real,
+            # other codecs NotImplementedError → dead-letter
+            from streamprocess_spark.functions.mp4 import np_parse_mp4_video
 
-            np_parse_mp4_jpeg(raw)
+            np_parse_mp4_video(raw)
         elif fmt == "PNM":
             from streamprocess_spark.functions.image import np_decode_pnm
 

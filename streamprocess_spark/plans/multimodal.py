@@ -2763,11 +2763,25 @@ def _h264_probe_udf(doc_id: pd.Series) -> pd.DataFrame:
             for f in range(2)
         ]
         dec = np_decode_h264_ipcm(np_build_h264_ipcm(frames))
+        # the same pictures through the MP4 'avc1' container (avcC
+        # parameter sets + length-prefixed sample NALs) must decode
+        # identically — both paths contribute to the hashed sum
+        from streamprocess_spark.functions.mp4 import (
+            np_build_mp4_avc1,
+            np_parse_mp4_video,
+        )
+
+        mp4_dec, _ = np_parse_mp4_video(np_build_mp4_avc1(frames, fps=10))
+        es_sum = int(sum(fr.sum(dtype=np.int64) for fr in dec))
+        mp4_sum = int(mp4_dec.sum(dtype=np.int64))
+        if mp4_sum != es_sum or len(mp4_dec) != len(dec):
+            raise ValueError("avc1 container and elementary stream "
+                             "decoded differently")
         rows.append({
             "n_frames": len(dec),
             "height": dec[0].shape[0],
             "width": dec[0].shape[1],
-            "luma_sum": int(sum(fr.sum(dtype=np.int64) for fr in dec)),
+            "luma_sum": es_sum,
         })
     return pd.DataFrame(rows)
 
@@ -2802,7 +2816,10 @@ def _h264_probe_udf(doc_id: pd.Series) -> pd.DataFrame:
         "compliant (any conformant decoder plays them); compressed "
         "macroblocks (CAVLC/CABAC, spec 9.2/9.3 normative tables) "
         "remain a documented NotImplementedError that dead-letters on "
-        "the ingest edge. The oracle recomputes every decoded luma "
+        "the ingest edge. Each picture also round-trips through the "
+        "MP4 'avc1' container (avcC + length-prefixed sample NALs, "
+        "functions/mp4.py) and must decode identically to the "
+        "elementary stream. The oracle recomputes every decoded luma "
         "sample from the closed-form fixture formula. Map-only.",
 )
 def q146_h264_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,3 +110,34 @@ def test_sniffer():
     assert H.looks_like_annexb_h264(raw)
     assert not H.looks_like_annexb_h264(b"\x00\x00\x00\x02junk")
     assert not H.looks_like_annexb_h264(b"RIFF....WAVE")
+
+
+def test_mp4_avc1_roundtrip_and_dispatch():
+    from streamprocess_spark.functions.mp4 import (
+        np_build_mp4_avc1,
+        np_parse_mp4_avc1,
+        np_parse_mp4_video,
+        np_probe_mp4,
+    )
+
+    frames = _frames(seed=9, dims=(30, 44), n=3)
+    raw = np_build_mp4_avc1(frames, fps=10)
+    info = np_probe_mp4(raw)
+    assert info["tracks"][0]["codec"] == "avc1"
+    dec, fps = np_parse_mp4_avc1(raw)
+    assert fps == 10 and dec.shape == (3, 30, 44)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    dec2, _ = np_parse_mp4_video(raw)
+    assert np.array_equal(dec, dec2)
+
+
+def test_mp4_avc1_ingest_edge():
+    from streamprocess_spark.functions.mp4 import np_build_mp4_avc1
+    from streamprocess_spark.io.ingest import make_envelope
+
+    raw = np_build_mp4_avc1(_frames(n=1))
+    env = make_envelope(raw)
+    assert (env["type"], env["payload"]["format"]) == ("video_batch", "MP4")
+    bad = make_envelope(raw[:-64])
+    assert bad["type"] == "corrupt_media"
