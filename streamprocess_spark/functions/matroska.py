@@ -16,7 +16,9 @@ and the Matroska element registry (IETF cellar / matroska.org):
     Cluster/Timestamp/SimpleBlock walk with per-block header
     validation (track VINT, 16-bit relative timestamp, flags,
     no-lacing enforcement for the decode path);
-  - real demux + DECODE for `V_MJPEG` tracks (public Matroska codec
+  - real demux + DECODE for `V_MJPEG` tracks and V_MPEG4/ISO/AVC
+    (H.264 I_PCM subset via CodecPrivate avcC — see np_parse_mkv_avc
+    below) (public Matroska codec
     id), where every SimpleBlock payload is a complete baseline JPEG
     routed through the repo's own codec (functions/jpeg.py) — the
     same pattern as AVI/MJPG and MP4/'jpeg';
@@ -259,6 +261,163 @@ def np_build_mkv_mjpeg(frames: list[bytes], width: int, height: int,
     for i, f in enumerate(frames):
         blk = _el(_SIMPLEBLOCK,
                   b"\x81" + int(0).to_bytes(2, "big") + b"\x80" + f)
+        clusters += _el(_CLUSTER,
+                        _el_uint(_TIMESTAMP, i * 1000 // fps) + blk)
+    return head + _el(_SEGMENT, seg_info + tracks + clusters)
+
+
+# ----------------------------------------------- V_MPEG4/ISO/AVC track
+
+_CODECPRIV = 0x63A2  # CodecPrivate: carries avcC for H.264 tracks
+
+
+def _track_codec_private(raw: bytes, want_track: int) -> bytes:
+    """Fetch the CodecPrivate bytes of a track (avcC for AVC)."""
+    pos = 0
+    _, pos = _read_vint(raw, pos, True)
+    size, pos = _read_vint(raw, pos, False)
+    pos += size
+    _, pos = _read_vint(raw, pos, True)          # Segment
+    size, pos = _read_vint(raw, pos, False)
+    for cid, b, be in _walk(raw, pos, pos + size):
+        if cid != _TRACKS:
+            continue
+        for tid, tb, te in _walk(raw, b, be):
+            if tid != _TRACKENTRY:
+                continue
+            num = None
+            priv = None
+            for eid, eb, ee in _walk(raw, tb, te):
+                if eid == _TRACKNUM:
+                    num = _uint(raw, eb, ee)
+                elif eid == _CODECPRIV:
+                    priv = raw[eb:ee]
+            if num == want_track:
+                if priv is None:
+                    raise ValueError("AVC track missing CodecPrivate")
+                return priv
+    raise ValueError("track entry not found for CodecPrivate")
+
+
+def np_parse_mkv_avc(raw: bytes) -> tuple[np.ndarray, int]:
+    """Matroska/V_MPEG4/ISO/AVC → ((nf, h, w) luma frames, fps): the
+    CodecPrivate avcC record supplies SPS/PPS and the NAL length size,
+    SimpleBlock payloads are length-prefixed NALs (the same layout as
+    MP4 'avc1'); decode through the H.264 I_PCM subset."""
+    from streamprocess_spark.functions.h264 import np_decode_h264_ipcm
+    from streamprocess_spark.functions.mp4 import _parse_avcc
+
+    info = np_probe_matroska(raw)
+    vids = [t for t in info["tracks"] if t["type"] == 1]
+    if not vids or vids[0]["codec"] != "V_MPEG4/ISO/AVC":
+        raise ValueError("Matroska stream has no AVC video track")
+    want = vids[0]["number"]
+    priv = _track_codec_private(raw, want)
+    avcc = _parse_avcc(priv, 0, len(priv))
+    ls = avcc["length_size"]
+
+    blocks: list[bytes] = []
+    pos = 0
+    _, pos = _read_vint(raw, pos, True)
+    size, pos = _read_vint(raw, pos, False)
+    pos += size
+    _, pos = _read_vint(raw, pos, True)
+    size, pos = _read_vint(raw, pos, False)
+
+    def collect(p: int, e: int) -> None:
+        for cid, b, be in _walk(raw, p, e):
+            if cid == _CLUSTER:
+                collect(b, be)
+            elif cid == _SIMPLEBLOCK:
+                tn, hb = _read_vint(raw, b, False)
+                if tn == want:
+                    blocks.append(raw[hb + 3:be])
+
+    collect(pos, pos + size)
+    if not blocks:
+        raise ValueError("Matroska AVC track has no blocks")
+    annexb = [b"\x00\x00\x00\x01" + u for u in avcc["sps"] + avcc["pps"]]
+    for blk in blocks:
+        p = 0
+        while p < len(blk):
+            if p + ls > len(blk):
+                raise ValueError("AVC block NAL length overruns")
+            ln = int.from_bytes(blk[p:p + ls], "big")
+            p += ls
+            if p + ln > len(blk):
+                raise ValueError("AVC block NAL overruns block")
+            annexb.append(b"\x00\x00\x00\x01" + blk[p:p + ln])
+            p += ln
+    frames = np_decode_h264_ipcm(b"".join(annexb))
+    dur = info["duration_ms"]
+    fps = len(frames) * 1000 // dur if dur else 0
+    return np.stack(frames), fps
+
+
+def np_parse_mkv_video(raw: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch the first Matroska video track to its codec path:
+    V_MJPEG or V_MPEG4/ISO/AVC (I_PCM subset). Others raise
+    NotImplementedError with the container validated."""
+    info = np_probe_matroska(raw)
+    vids = [t for t in info["tracks"] if t["type"] == 1]
+    if not vids:
+        raise ValueError("Matroska stream has no video track")
+    codec = vids[0]["codec"]
+    if codec == "V_MJPEG":
+        return np_parse_mkv_mjpeg(raw)
+    if codec == "V_MPEG4/ISO/AVC":
+        return np_parse_mkv_avc(raw)
+    raise NotImplementedError(
+        f"Matroska codec {codec!r}: V_MJPEG and V_MPEG4/ISO/AVC "
+        "(I_PCM subset) decode here; VP8/VP9/AV1 need entropy decoders "
+        "with normative probability tables"
+    )
+
+
+def np_build_mkv_avc(frames_gray, fps: int = 10) -> bytes:
+    """Spec-valid Matroska fixture: one V_MPEG4/ISO/AVC track whose
+    CodecPrivate is the avcC record and whose SimpleBlocks carry
+    length-prefixed I_PCM IDR NALs (mirrors np_build_mp4_avc1)."""
+    import struct as _struct
+
+    from streamprocess_spark.functions.h264 import (
+        NAL_IDR,
+        NAL_PPS,
+        NAL_SPS,
+        np_build_h264_ipcm,
+        split_annexb_raw,
+    )
+
+    if not frames_gray:
+        raise ValueError("need at least one frame")
+    h, w = frames_gray[0].shape
+    units = split_annexb_raw(np_build_h264_ipcm(list(frames_gray)))
+    sps = [u for t, u in units if t == NAL_SPS]
+    pps = [u for t, u in units if t == NAL_PPS]
+    idr = [u for t, u in units if t == NAL_IDR]
+    avcc = (
+        bytes([1, sps[0][1], sps[0][2], sps[0][3], 0xFF])
+        + bytes([0xE0 | len(sps)])
+        + b"".join(_struct.pack(">H", len(u)) + u for u in sps)
+        + bytes([len(pps)])
+        + b"".join(_struct.pack(">H", len(u)) + u for u in pps)
+    )
+    dur_ms = len(idr) * 1000 // fps
+    head = _el(_EBML_HEAD, _el(_DOCTYPE, b"matroska"))
+    seg_info = _el(_INFO, _el_uint(_TSCALE, 1_000_000)
+                   + _el(_DURATION, struct.pack(">d", float(dur_ms))))
+    track = _el(_TRACKENTRY,
+                _el_uint(_TRACKNUM, 1) + _el_uint(_TRACKTYPE, 1)
+                + _el(_CODECID, b"V_MPEG4/ISO/AVC")
+                + _el(_CODECPRIV, avcc)
+                + _el(_VIDEO, _el_uint(_PIXELW, w)
+                      + _el_uint(_PIXELH, h)))
+    tracks = _el(_TRACKS, track)
+    clusters = b""
+    for i, u in enumerate(idr):
+        payload = _struct.pack(">I", len(u)) + u
+        blk = _el(_SIMPLEBLOCK,
+                  b"\x81" + int(0).to_bytes(2, "big") + b"\x80" + payload)
         clusters += _el(_CLUSTER,
                         _el_uint(_TIMESTAMP, i * 1000 // fps) + blk)
     return head + _el(_SEGMENT, seg_info + tracks + clusters)

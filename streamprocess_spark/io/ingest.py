@@ -164,13 +164,14 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
 
             np_decode_gif(raw)
         elif fmt == "MKV":
-            # EBML walk + track/block validation; V_MJPEG decodes for
-            # real, VP8/VP9/AV1 NotImplementedError → dead-letter
+            # EBML walk + track/block validation; V_MJPEG and
+            # V_MPEG4/ISO/AVC (H.264 I_PCM subset) decode for real,
+            # VP8/VP9/AV1 NotImplementedError → dead-letter
             from streamprocess_spark.functions.matroska import (
-                np_parse_mkv_mjpeg,
+                np_parse_mkv_video,
             )
 
-            np_parse_mkv_mjpeg(raw)
+            np_parse_mkv_video(raw)
         elif fmt == "H264":
             # full NAL walk + SPS/PPS + I_PCM macroblock decode;
             # compressed macroblocks (CAVLC/CABAC) -> dead-letter

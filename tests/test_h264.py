@@ -141,3 +141,26 @@ def test_mp4_avc1_ingest_edge():
     assert (env["type"], env["payload"]["format"]) == ("video_batch", "MP4")
     bad = make_envelope(raw[:-64])
     assert bad["type"] == "corrupt_media"
+
+
+def test_mkv_avc_roundtrip_and_ingest():
+    from streamprocess_spark.functions.matroska import (
+        np_build_mkv_avc,
+        np_parse_mkv_avc,
+        np_parse_mkv_video,
+    )
+    from streamprocess_spark.io.ingest import make_envelope
+
+    frames = _frames(seed=3, dims=(30, 44), n=3)
+    raw = np_build_mkv_avc(frames, fps=10)
+    dec, fps = np_parse_mkv_avc(raw)
+    assert fps == 10 and dec.shape == (3, 30, 44)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    dec2, _ = np_parse_mkv_video(raw)
+    assert np.array_equal(dec, dec2)
+
+    env = make_envelope(raw)
+    assert (env["type"], env["payload"]["format"]) == ("video_batch", "MKV")
+    bad = make_envelope(raw[:-48])
+    assert bad["type"] == "corrupt_media"
