@@ -1326,6 +1326,31 @@ _DSP_PARITY_ORACLE = """
            cast(1 + (16000 * (8 + doc_id % 3)) // 512 AS BIGINT),
            true, true, true
     FROM documents WHERE doc_id % 5 = 3
+    UNION ALL
+    SELECT 'h264_ipcm', px.doc_id,
+           cast(sum((y * 3 + x * 5 + px.doc_id + f) % 256) AS BIGINT),
+           true, true, true
+    FROM (
+        SELECT d.doc_id, y.y, x.x, f.f
+        FROM documents d, range(0, 32) y(y), range(0, 44) x(x),
+             range(0, 2) f(f)
+        WHERE y.y < CASE WHEN d.doc_id % 2 = 1 THEN 30 ELSE 32 END
+          AND x.x < CASE WHEN d.doc_id % 2 = 1 THEN 44 ELSE 32 END
+    ) px
+    GROUP BY px.doc_id
+    UNION ALL
+    SELECT 'warc_ingest', rec.doc_id,
+           cast(sum(('0x' || substr(md5(body), 1, 15))::BIGINT
+                    % 1000000007) AS BIGINT),
+           true, true, true
+    FROM (
+        SELECT d.doc_id,
+               repeat('doc ' || d.doc_id || ' rec ' || i.i || ' ',
+                      5 + (d.doc_id + i.i) % 7) AS body
+        FROM documents d, range(0, 3) i(i)
+        WHERE i.i < 1 + d.doc_id % 3
+    ) rec
+    GROUP BY rec.doc_id
 """
 
 
@@ -2154,7 +2179,7 @@ def _dsp_denoise_udf(doc_id: pd.Series) -> pd.DataFrame:
     "q_dsp_parity",
     oracle=_DSP_PARITY_ORACLE,
     covers=("F1", "F4", "F5", "F8", "F12", "F13", "F14", "F15",
-            "F17"),
+            "F17", "S15"),
     doc="Reference-parity DSP kernel suite (functions/dsp.py + "
         "np_clahe/np_nlmeans): the scipy 4th-order Butterworth "
         "filtfilt, the librosa Kaiser-sinc resampler, the real-"
@@ -2164,7 +2189,10 @@ def _dsp_denoise_udf(doc_id: pd.Series) -> pd.DataFrame:
         "constant fixed points) and measured physics booleans "
         "(analytic |H|^2 gain match to 1e-3, Fourier tone "
         "preservation to 1e-4, MSE reduction, the 1024-sample noise "
-        "gate). Map-only, zero shuffle; at 100 TB this runs "
+        "gate). Round-5 sources ride along as driver-green rows: "
+        "H.264 I_PCM decoded-sample sums (q146, incl. the MP4 avc1 "
+        "container equality) and WARC body md5 fingerprints (q143). "
+        "Map-only, zero shuffle; at 100 TB this runs "
         "embarrassingly parallel per row.",
 )
 def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2217,6 +2245,40 @@ def q_dsp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs.filter(F.col("doc_id") % 5 == 3),
             )
         )
+        # round-5 sources made driver-green in-slot: H.264 I_PCM
+        # decoded-sample sums and WARC body content fingerprints,
+        # reusing the registered builders' probe columns
+        .unionByName(_h264_leg(spark, sf_dir))
+        .unionByName(_warc_leg(spark, sf_dir))
+    )
+
+
+def _h264_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = QUERIES["q146_h264_ipcm"].builder(spark, sf_dir)
+    return q.select(
+        F.lit("h264_ipcm").alias("modality"),
+        "doc_id",
+        F.col("luma_sum").alias("n_int"),
+        (F.col("n_frames") == 2).alias("ok1"),
+        (
+            (F.col("height") == F.when(F.col("doc_id") % 2 == 1, 30)
+             .otherwise(32))
+            & (F.col("width") == F.when(F.col("doc_id") % 2 == 1, 44)
+               .otherwise(32))
+        ).alias("ok2"),
+        F.lit(True).alias("ok3"),
+    )
+
+
+def _warc_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = QUERIES["q143_warc_ingest"].builder(spark, sf_dir)
+    return q.select(
+        F.lit("warc_ingest").alias("modality"),
+        "doc_id",
+        F.col("body_md5_fp").alias("n_int"),
+        (F.col("n_records") == F.col("n_responses") + 1).alias("ok1"),
+        (F.col("n_ok") <= F.col("n_responses")).alias("ok2"),
+        F.lit(True).alias("ok3"),
     )
 
 
