@@ -401,3 +401,58 @@ def test_warp_integer_translation_exact(img, ty, tx):
 def test_adaptive_threshold_binary_alphabet(img):
     out = I.np_adaptive_threshold_gaussian(img)
     assert np.isin(out, (0, 255)).all()
+
+
+# ---------------------------------------------------------- h264 / warc
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_h264_ipcm_roundtrip_random(mb_h, mb_w, seed):
+    from streamprocess_spark.functions.h264 import (
+        np_build_h264_ipcm,
+        np_decode_h264_ipcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    h = 16 * mb_h - 2 * int(rng.integers(0, 4))
+    w = 16 * mb_w - 2 * int(rng.integers(0, 4))
+    frames = [
+        rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for _ in range(int(rng.integers(1, 4)))
+    ]
+    dec = np_decode_h264_ipcm(np_build_h264_ipcm(frames))
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1),
+       st.booleans())
+def test_warc_roundtrip_random_bodies(seed, gz):
+    from streamprocess_spark.functions.warc import (
+        np_build_warc,
+        np_parse_warc,
+    )
+
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(int(rng.integers(1, 5))):
+        body = bytes(rng.integers(0, 256, int(rng.integers(0, 300)),
+                                  dtype=np.uint8))
+        recs.append({
+            "warc_type": "response", "record_id": f"uuid:{i}",
+            "date": "2026-08-14T00:00:00Z",
+            "target_uri": f"http://e.com/{i}",
+            "http_status": int(rng.choice([200, 301, 404, 500])),
+            "http_content_type": "application/octet-stream",
+            "body": body,
+        })
+    parsed = np_parse_warc(np_build_warc(recs, gzip_members=gz))
+    assert len(parsed) == len(recs)
+    for want, got in zip(recs, parsed):
+        assert got["body"] == want["body"]
+        assert got["http_status"] == want["http_status"]
+        assert got["target_uri"] == want["target_uri"]
