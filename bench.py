@@ -153,8 +153,6 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
     )
 
     qdir = tempfile.mkdtemp(prefix="spbenchq_")
-    rdir = tempfile.mkdtemp(prefix="spbenchr_")
-    ckpt = tempfile.mkdtemp(prefix="spbenchck_")
     ev = load_tables(spark, sf_dir)["events"]
     chunks = chunks_from_events(ev, DEFAULT_CONFIG, max_users=N_STREAMS)
     expected_n = sessionize_batch(chunks, DEFAULT_CONFIG).count()
@@ -198,43 +196,64 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
             "payload"
         ),
     )
-    t0 = time.perf_counter()
-    query = (
-        segments.writeStream.format("result_store")
-        .option("path", rdir)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="200 milliseconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 300
-        delivered = 0
-        while time.time() < deadline:
-            delivered = sum(
-                1 for f in os.listdir(rdir) if f.endswith(".json")
-            )
-            if delivered >= expected_n:
-                break
-            time.sleep(0.2)
-        el = time.perf_counter() - t0
-        # drain before stop (outside the timed region): stopping while
-        # a 200ms trigger is mid-flight aborts its micro-batch commit
-        # and leaves ERROR lines in an otherwise-clean bench (round-4
-        # verdict). processAllAvailable() is NOT usable here — the
-        # sessionizer's processing-time idle-timeout (T8) keeps
-        # constructing timeout-only micro-batches, so the engine never
-        # reports noNewData (verified: epochs advance ~1.6s apart with
-        # zero input forever). Instead wait for an IDLE completed
-        # trigger (numInputRows == 0) and stop in the inter-trigger
-        # gap, so no batch is mid-commit when stop() lands.
-        drain_deadline = time.time() + 60
-        while time.time() < drain_deadline:
-            lp = query.lastProgress
-            if lp is not None and int(lp.get("numInputRows", -1)) == 0:
-                break
-            time.sleep(0.05)
-    finally:
-        query.stop()
+
+    def _one_run() -> tuple[float, int]:
+        # Fresh result dir + checkpoint per run; the queue log is
+        # append-only (offsets live in the checkpoint), so each run
+        # replays the identical enqueued workload from offset zero.
+        rdir = tempfile.mkdtemp(prefix="spbenchr_")
+        ckpt = tempfile.mkdtemp(prefix="spbenchck_")
+        t0 = time.perf_counter()
+        query = (
+            segments.writeStream.format("result_store")
+            .option("path", rdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            delivered = 0
+            while time.time() < deadline:
+                delivered = sum(
+                    1 for f in os.listdir(rdir) if f.endswith(".json")
+                )
+                if delivered >= expected_n:
+                    break
+                time.sleep(0.2)
+            el = time.perf_counter() - t0
+            # drain before stop (outside the timed region): stopping
+            # while a 200ms trigger is mid-flight aborts its micro-batch
+            # commit and leaves ERROR lines in an otherwise-clean bench
+            # (round-4 verdict). processAllAvailable() is NOT usable
+            # here — the sessionizer's processing-time idle-timeout (T8)
+            # keeps constructing timeout-only micro-batches, so the
+            # engine never reports noNewData (verified: epochs advance
+            # ~1.6s apart with zero input forever). Instead wait for an
+            # IDLE completed trigger (numInputRows == 0) and stop in the
+            # inter-trigger gap, so no batch is mid-commit when stop()
+            # lands.
+            drain_deadline = time.time() + 60
+            while time.time() < drain_deadline:
+                lp = query.lastProgress
+                if lp is not None and int(lp.get("numInputRows", -1)) == 0:
+                    break
+                time.sleep(0.05)
+        finally:
+            query.stop()
+        for d in (rdir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+        return el, delivered
+
+    # min of 2, same policy as every other bench section (round-5
+    # verdict #3: the single-run flagship slid 10% round-over-round on
+    # unchanged code — one-off scheduler/GC jitter lands straight in
+    # the round delta unless the section is repeated)
+    el, delivered = float("inf"), 0
+    for _ in range(2):
+        el_i, delivered_i = _one_run()
+        if el_i < el:
+            el, delivered = el_i, delivered_i
     out = {
         "streams": N_STREAMS,
         "input_chunks": int(n_chunks),
@@ -249,8 +268,7 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
         f"{delivered}/{expected_n} segments)",
         file=sys.stderr,
     )
-    for d in (qdir, rdir, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(qdir, ignore_errors=True)
     return out
 
 
@@ -414,6 +432,18 @@ def _regression_gate(result: dict) -> dict:
                                 "ratio": round(t / t0, 2)}
                 print(f"# REGRESSION {key}: {t0:.3f}s -> {t:.3f}s "
                       f"({t / t0:.2f}x)", file=sys.stderr)
+    # throughput sections (round-5 verdict #3): bigger is better, so a
+    # regression is now < prev / _GATE_RATIO
+    for section, metric in (("flagship", "chunks_per_sec"),
+                            ("streaming", "rows_per_sec")):
+        now_v = (result.get(section) or {}).get(metric)
+        ref_v = (prior.get(section) or {}).get(metric)
+        if now_v and ref_v and now_v < ref_v / _GATE_RATIO:
+            key = f"{section}:{metric}"
+            flagged[key] = {"now": now_v, "prev": ref_v,
+                            "ratio": round(now_v / ref_v, 2)}
+            print(f"# REGRESSION {key}: {ref_v} -> {now_v} "
+                  f"({now_v / ref_v:.2f}x)", file=sys.stderr)
     return {"baseline_round": prior_n, "threshold": _GATE_RATIO,
             "flagged": flagged}
 

@@ -32,9 +32,11 @@ Mapping (reference file:line in image_processor.py):
   F20 crop_to_content(:371-398)  non-white bbox + padding
   F22 validate_image (:422-446)  min/max size + blank-ratio check
   F23 bbox from quad (ocr_worker.py:373-379) min/max of corner points
-  F11 auto_rotate    (:81-141)   projection-profile angle search
-                                 (Hough-vote analog; EXIF branch n/a
-                                 for raw grayscale) + NN rotation
+  F11 auto_rotate    (:81-141)   EXIF tag-274 quarter-turn (parsed by
+                                 jpeg.np_jpeg_exif_orientation, applied
+                                 via np_apply_exif_orientation) then
+                                 projection-profile angle search
+                                 (Hough-vote analog) + NN rotation
   F12 deskew         (:143-180)  dark-pixel PCA angle (minAreaRect
                                  analog) + NN rotation
 """
@@ -612,17 +614,46 @@ def np_profile_sharpness(img: np.ndarray, dark: int = 128) -> float:
     return float(rows.var())
 
 
+def np_apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """F11 EXIF branch (image_processor.py:83-95): the reference maps
+    tag-274 value 3 → rotate(180), 6 → rotate(-90, expand) [clockwise],
+    8 → rotate(90, expand) [counter-clockwise], and leaves every other
+    value — including the mirrored orientations 2/4/5/7 — untouched.
+    Mirrored exactly here: np.rot90(k) is CCW, so 6 → k=3, 8 → k=1.
+    Pure views/copies, no resampling: pixel multisets (and therefore
+    closed-form pixel sums) survive bit-exactly."""
+    if orientation == 3:
+        return np.rot90(img, 2)
+    if orientation == 6:
+        return np.rot90(img, 3)
+    if orientation == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+def exif_orientation_inverse(orientation: int) -> int:
+    """The tag value that undoes `orientation` under the reference's
+    3/6/8 mapping (3 is self-inverse; 6 and 8 invert each other)."""
+    return {3: 3, 6: 8, 8: 6}.get(orientation, 1)
+
+
 def auto_rotate(
     img: np.ndarray,
     max_angle: float = 15.0,
     step: float = 0.5,
     dark: int = 128,
+    exif_orientation: int = 1,
 ) -> tuple[np.ndarray, float]:
-    """F11 text-angle correction (image_processor.py:81-141, minus the
-    EXIF branch — raw grayscale has no EXIF): search candidate angles,
-    keep the rotation that maximizes projection-profile sharpness
-    (deterministic grid argmax ≈ the dominant Hough-line angle).
-    Returns (corrected image, applied angle in degrees)."""
+    """F11 text-angle correction (image_processor.py:81-141): first
+    apply the EXIF orientation when the caller decoded one from the
+    container (np_jpeg_exif_orientation; raw grayscale defaults to 1 =
+    no-op), then search candidate angles and keep the rotation that
+    maximizes projection-profile sharpness (deterministic grid argmax
+    ≈ the dominant Hough-line angle) — the reference's exact two-step
+    order. Returns (corrected image, applied fine angle in degrees);
+    the coarse EXIF quarter-turn is not folded into the angle, same as
+    the reference which discards it after rotating."""
+    img = np_apply_exif_orientation(img, exif_orientation)
     best_angle, best_score = 0.0, -1.0
     n = int(round(2 * max_angle / step)) + 1
     for k in range(n):

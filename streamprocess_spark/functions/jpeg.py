@@ -1121,3 +1121,108 @@ def np_decode_jpeg_gray(raw: bytes) -> np.ndarray:
     preprocessing), and Y IS the BT.601 luma."""
     out = np_decode_jpeg(raw, color_space="ycbcr")
     return out if out.ndim == 2 else out[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# EXIF APP1 orientation (F11 first branch, image_processor.py:81-98:
+# the reference reads PIL _getexif() tag 274 before its content-based
+# angle search). The APP1 payload is a TIFF file (Exif 2.3 / CIPA
+# DC-008): 6-byte "Exif\0\0" header, then a TIFF header (byte order
+# II/MM + magic 42 + IFD0 offset) and IFD0's 12-byte tag entries.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAG_ORIENTATION = 274  # 0x0112
+
+
+def np_exif_app1(orientation: int, byte_order: str = "II") -> bytes:
+    """Build a minimal APP1 Exif segment whose IFD0 carries only the
+    orientation tag. `byte_order` II (little) or MM (big) — both are
+    legal on the wire and the reader must accept both."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    end = "little" if byte_order == "II" else "big"
+    tiff = bytearray(byte_order.encode())
+    tiff += (42).to_bytes(2, end)
+    tiff += (8).to_bytes(4, end)          # IFD0 right after the header
+    tiff += (1).to_bytes(2, end)          # one entry
+    tiff += _EXIF_TAG_ORIENTATION.to_bytes(2, end)
+    tiff += (3).to_bytes(2, end)          # type SHORT
+    tiff += (1).to_bytes(4, end)          # count
+    # SHORT value packed into the first 2 bytes of the 4-byte slot
+    tiff += orientation.to_bytes(2, end) + b"\x00\x00"
+    tiff += (0).to_bytes(4, end)          # no next IFD
+    return _seg(0xE1, b"Exif\x00\x00" + bytes(tiff))
+
+
+def np_encode_jpeg_gray_exif(
+    img: np.ndarray, orientation: int,
+    quality: int = 50, byte_order: str = "II",
+) -> bytes:
+    """Baseline grayscale JPEG with an EXIF orientation tag: the APP1
+    segment is inserted directly after SOI (before JFIF APP0 — Exif
+    writers put APP1 first; readers must not care)."""
+    plain = np_encode_jpeg_gray(img, quality=quality)
+    return plain[:2] + np_exif_app1(orientation, byte_order) + plain[2:]
+
+
+def np_jpeg_exif_orientation(raw: bytes) -> int:
+    """Walk the JPEG markers for an APP1 Exif segment and return the
+    IFD0 orientation (1..8). Returns 1 (normal) when no EXIF / no
+    orientation tag is present — the reference's `exif.get(274)` falsy
+    path. Malformed TIFF payloads also return 1 rather than raising:
+    orientation is advisory metadata, not part of the decodable image,
+    so a broken tag must not dead-letter an otherwise-valid scan
+    (mirrors the reference's bare `except: pass` around its EXIF
+    branch)."""
+    if len(raw) < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
+        return 1
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            break
+        marker = raw[pos + 1]
+        if marker == 0xFF:                 # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):         # entropy data / EOI: no EXIF past here
+            break
+        seg_len = int.from_bytes(raw[pos + 2:pos + 4], "big")
+        body = raw[pos + 4:pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return _parse_tiff_orientation(body[6:])
+        pos += 2 + seg_len
+    return 1
+
+
+def _parse_tiff_orientation(tiff: bytes) -> int:
+    try:
+        order = tiff[:2]
+        if order == b"II":
+            end = "little"
+        elif order == b"MM":
+            end = "big"
+        else:
+            return 1
+        if int.from_bytes(tiff[2:4], end) != 42:
+            return 1
+        ifd = int.from_bytes(tiff[4:8], end)
+        n = int.from_bytes(tiff[ifd:ifd + 2], end)
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            tag = int.from_bytes(tiff[e:e + 2], end)
+            if tag != _EXIF_TAG_ORIENTATION:
+                continue
+            typ = int.from_bytes(tiff[e + 2:e + 4], end)
+            if typ not in (3, 4):          # SHORT or LONG
+                return 1
+            width = 2 if typ == 3 else 4
+            v = int.from_bytes(tiff[e + 8:e + 8 + width], end)
+            return v if 1 <= v <= 8 else 1
+        return 1
+    except (IndexError, ValueError):
+        return 1

@@ -473,7 +473,13 @@ _COMPACT_TARGET = 100  # rows per compacted output file (scaled for test SF)
     "q119_compaction_plan",
     oracle=f"""
     WITH files AS (
-        SELECT cast(cast(ts AS timestamp) AS date) AS event_date,
+        -- event_date as VARCHAR, not DATE: Spark DateType materializes
+        -- in pandas as object-of-datetime.date while DuckDB DATE becomes
+        -- datetime64[us]; a format-sensitive value hash renders those
+        -- '2024-01-01' vs '2024-01-01 00:00:00'. Both engines cast
+        -- date->string identically as yyyy-MM-dd.
+        SELECT cast(cast(cast(ts AS timestamp) AS date) AS VARCHAR)
+               AS event_date,
                event_type,
                cast(floor(epoch(cast(ts AS timestamp)) / 3600.0) AS BIGINT)
                    AS file_id,
@@ -516,7 +522,7 @@ def q119_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     files = (
         ev.select(
-            F.col("ts").cast("date").alias("event_date"),
+            F.col("ts").cast("date").cast("string").alias("event_date"),
             "event_type",
             F.floor(ts_sec("ts") / 3600.0).cast("bigint").alias("file_id"),
         )

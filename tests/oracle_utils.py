@@ -40,6 +40,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for strict cross-engine type parity.
+
+    The driver's value hash is format-sensitive: a Spark int64 column
+    hashed against a DuckDB column pandas materialized as float64
+    renders '4177920' vs '4177920.0' and mismatches even when every
+    value is numerically identical (round-5 q_media_invariants red).
+    So the local mirror must refuse to numerically coerce across
+    families: integer must meet integer, float must meet float.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = identical)."""
     problems: list[str] = []
@@ -51,6 +72,16 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    for c in sorted(spark_pdf.columns):
+        fa, fb = _dtype_family(spark_pdf[c]), _dtype_family(duck_pdf[c])
+        if fa != fb:
+            problems.append(
+                f"column {c}: dtype family mismatch spark={fa} "
+                f"({spark_pdf[c].dtype}) vs duck={fb} ({duck_pdf[c].dtype}) — "
+                "the driver's format-sensitive hash would fail here"
+            )
+    if problems:
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
