@@ -8,10 +8,10 @@ baseline SPS/PPS parsing, IDR slice headers, and macroblock decode for
 carried in the bitstream after byte alignment). Streams produced here
 are spec-compliant Annex B elementary streams that any conformant
 decoder plays; conversely this decoder accepts any conformant stream
-whose macroblocks are all I_PCM. Compressed macroblock types need the
-CAVLC/CABAC residual machinery (spec 9.2/9.3 with its normative
-context tables) and raise NotImplementedError at the macroblock
-boundary — the container/NAL walk still validates such streams.
+whose macroblocks are all I_PCM. Compressed Intra_16x16 macroblocks
+(CAVLC sparse residuals, real transform/quant decode) live in
+functions/h264_islice.py on top of this NAL layer; CABAC, inter
+prediction and I_NxN remain NotImplementedError boundaries there.
 
 The frame model matches the repo's image convention: grayscale = the
 luma plane; chroma (4:2:0) is carried/validated but flattened out.

@@ -303,8 +303,11 @@ def np_parse_mkv_avc(raw: bytes) -> tuple[np.ndarray, int]:
     """Matroska/V_MPEG4/ISO/AVC → ((nf, h, w) luma frames, fps): the
     CodecPrivate avcC record supplies SPS/PPS and the NAL length size,
     SimpleBlock payloads are length-prefixed NALs (the same layout as
-    MP4 'avc1'); decode through the H.264 I_PCM subset."""
-    from streamprocess_spark.functions.h264 import np_decode_h264_ipcm
+    MP4 'avc1'); decode through the H.264 I-slice subset (I_PCM and
+    Intra_16x16 CAVLC macroblocks)."""
+    from streamprocess_spark.functions.h264_islice import (
+        np_decode_h264_islice as np_decode_h264_ipcm,
+    )
     from streamprocess_spark.functions.mp4 import _parse_avcc
 
     info = np_probe_matroska(raw)
@@ -374,10 +377,13 @@ def np_parse_mkv_video(raw: bytes) -> tuple[np.ndarray, int]:
     )
 
 
-def np_build_mkv_avc(frames_gray, fps: int = 10) -> bytes:
+def np_build_mkv_avc(frames_gray, fps: int = 10,
+                     es: bytes | None = None) -> bytes:
     """Spec-valid Matroska fixture: one V_MPEG4/ISO/AVC track whose
     CodecPrivate is the avcC record and whose SimpleBlocks carry
-    length-prefixed I_PCM IDR NALs (mirrors np_build_mp4_avc1)."""
+    length-prefixed I_PCM IDR NALs (mirrors np_build_mp4_avc1). Pass
+    `es` to wrap a pre-built Annex B stream (e.g. the compressed
+    Intra_16x16 encoder) instead."""
     import struct as _struct
 
     from streamprocess_spark.functions.h264 import (
@@ -391,7 +397,9 @@ def np_build_mkv_avc(frames_gray, fps: int = 10) -> bytes:
     if not frames_gray:
         raise ValueError("need at least one frame")
     h, w = frames_gray[0].shape
-    units = split_annexb_raw(np_build_h264_ipcm(list(frames_gray)))
+    units = split_annexb_raw(
+        es if es is not None else np_build_h264_ipcm(list(frames_gray))
+    )
     sps = [u for t, u in units if t == NAL_SPS]
     pps = [u for t, u in units if t == NAL_PPS]
     idr = [u for t, u in units if t == NAL_IDR]

@@ -457,10 +457,13 @@ def _find_avcc_in_stsd(raw: bytes, st_b: int, st_e: int) -> dict:
 
 def np_parse_mp4_avc1(raw: bytes) -> tuple[np.ndarray, int]:
     """MP4/'avc1' → ((nf, h, w) uint8 luma frames, fps) through the
-    H.264 I_PCM decoder (functions/h264.py): avcC parameter sets +
-    length-prefixed sample NALs are reassembled into Annex B and
-    decoded. Compressed macroblocks raise NotImplementedError."""
-    from streamprocess_spark.functions.h264 import np_decode_h264_ipcm
+    H.264 I-slice decoder (functions/h264_islice.py): avcC parameter
+    sets + length-prefixed sample NALs are reassembled into Annex B
+    and decoded — I_PCM and Intra_16x16 CAVLC macroblocks both play;
+    I_NxN/inter/CABAC raise NotImplementedError."""
+    from streamprocess_spark.functions.h264_islice import (
+        np_decode_h264_islice as np_decode_h264_ipcm,
+    )
 
     info = np_probe_mp4(raw)
     vids = [t for t in info["tracks"] if t["handler"] == "vide"]
@@ -506,10 +509,13 @@ def np_parse_mp4_avc1(raw: bytes) -> tuple[np.ndarray, int]:
 
 
 def np_build_mp4_avc1(frames_gray: list[np.ndarray],
-                      fps: int = 10) -> bytes:
+                      fps: int = 10, es: bytes | None = None) -> bytes:
     """Spec-valid unfragmented MP4 with one 'avc1' track: avcC carries
     the SPS/PPS, each sample is the length-prefixed IDR NAL of an
-    I_PCM-coded frame (functions/h264.py encoder)."""
+    I_PCM-coded frame (functions/h264.py encoder). Pass `es` to wrap a
+    pre-built Annex B elementary stream instead (e.g. the compressed
+    Intra_16x16 encoder, functions/h264_islice.py); frames_gray then
+    only supplies the display dimensions."""
     from streamprocess_spark.functions.h264 import (
         NAL_IDR,
         NAL_PPS,
@@ -521,7 +527,9 @@ def np_build_mp4_avc1(frames_gray: list[np.ndarray],
     if not frames_gray:
         raise ValueError("need at least one frame")
     h, w = frames_gray[0].shape
-    units = split_annexb_raw(np_build_h264_ipcm(frames_gray))
+    units = split_annexb_raw(
+        es if es is not None else np_build_h264_ipcm(frames_gray)
+    )
     sps = [u for t, u in units if t == NAL_SPS]
     pps = [u for t, u in units if t == NAL_PPS]
     idr = [u for t, u in units if t == NAL_IDR]

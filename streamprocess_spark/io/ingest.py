@@ -173,13 +173,14 @@ def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
 
             np_parse_mkv_video(raw)
         elif fmt == "H264":
-            # full NAL walk + SPS/PPS + I_PCM macroblock decode;
-            # compressed macroblocks (CAVLC/CABAC) -> dead-letter
-            from streamprocess_spark.functions.h264 import (
-                np_decode_h264_ipcm,
+            # full NAL walk + SPS/PPS + macroblock decode: I_PCM and
+            # Intra_16x16 CAVLC (sparse-residual subset); I_NxN /
+            # inter / CABAC -> dead-letter
+            from streamprocess_spark.functions.h264_islice import (
+                np_decode_h264_islice,
             )
 
-            np_decode_h264_ipcm(raw)
+            np_decode_h264_islice(raw)
         elif fmt == "ZIP":
             import io as _io
             import zipfile

@@ -1386,6 +1386,12 @@ _DSP_PARITY_ORACLE = """
            true, true, true
     FROM documents WHERE doc_id % 5 = 3
     UNION ALL
+    SELECT 'h264_i16', doc_id,
+           -- macroblock count x frames: (h/16)*(w/16), h = 32 or 48
+           cast((2 + doc_id % 2) * 3 AS BIGINT),
+           true, true, true
+    FROM documents WHERE doc_id % 10 = 4
+    UNION ALL
     SELECT 'exif_autorotate', doc_id,
            -- EXIF quarter-turns permute pixels, so the rotated sum is
            -- the original closed form. Outer cast: DuckDB sum() over
@@ -2287,6 +2293,54 @@ def _dsp_denoise_udf(doc_id: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(_DSP_ROW)
+def _h264_i16_udf(doc_id: pd.Series) -> pd.DataFrame:
+    """Compressed H.264 Intra_16x16 decode (functions/h264_islice.py,
+    spec 7.3.5/8.3/8.5/9.2): encode a deterministic luma fixture at a
+    doc-dependent QP and prediction mode, decode the CAVLC stream, and
+    check (1) the decode equals the encoder's closed-loop
+    reconstruction bit-for-bit, (2) PSNR against the source clears the
+    sparse-residual profile's floor, (3) the same stream through the
+    MP4 'avc1' container decodes identically. n_int is the closed-form
+    macroblock count x frames (the stream-structural invariant; pixel
+    sums are not closed-form for a lossy codec)."""
+    import numpy as np
+
+    from streamprocess_spark.functions.h264_islice import (
+        np_decode_h264_islice,
+        np_encode_h264_i16,
+    )
+    from streamprocess_spark.functions.mp4 import (
+        np_build_mp4_avc1,
+        np_parse_mp4_video,
+    )
+
+    rows = []
+    for d in doc_id.astype("int64"):
+        h, w = 32 + 16 * int(d % 2), 48
+        qp = 24 + int(d % 12)          # 24..35
+        mode = int(d % 4)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (128 + 60 * np.sin(yy / 9.0 + d)
+               + 50 * np.cos(xx / 11.0)).clip(0, 255).astype(np.uint8)
+        es, recons = np_encode_h264_i16(
+            [img], qp=qp, pred_mode=mode, return_recon=True
+        )
+        dec = np_decode_h264_islice(es)[0]
+        m1 = _exact_margin(dec, recons[0])
+
+        mse = float(((dec.astype(np.float64) - img) ** 2).mean())
+        psnr = 10 * np.log10(255.0 ** 2 / mse) if mse else 99.0
+        m2 = (psnr - 18.0) / 18.0
+
+        mp4_frames, _ = np_parse_mp4_video(
+            np_build_mp4_avc1([img], fps=10, es=es)
+        )
+        m3 = _exact_margin(mp4_frames[0], dec)
+        rows.append(_dsp_row((h // 16) * (w // 16), m1, m2, m3))
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(_DSP_ROW)
 def _exif_autorotate_udf(doc_id: pd.Series) -> pd.DataFrame:
     """F11 EXIF branch end-to-end (image_processor.py:81-98): encode a
     real baseline JPEG carrying an APP1 Exif orientation tag (byte
@@ -2358,6 +2412,7 @@ def _dsp_legs():
         ("dsp_mfcc", _dsp_mfcc_udf, (5, 2)),
         ("dsp_beat", _dsp_beat_udf, (5, 3)),
         ("exif_autorotate", _exif_autorotate_udf, None),
+        ("h264_i16", _h264_i16_udf, (10, 4)),
     )
 
 
@@ -2392,10 +2447,14 @@ def _dsp_leg_frames(spark: SparkSession, sf_dir: str, cols):
         "constant fixed points) and measured physics booleans "
         "(analytic |H|^2 gain match to 1e-3, Fourier tone "
         "preservation to 1e-4, MSE reduction, the 1024-sample noise "
-        "gate). Round 6 adds the F11 EXIF branch end-to-end: real "
+        "gate). Round 6 adds the F11 EXIF branch end-to-end (real "
         "APP1/TIFF-IFD orientation tags written+parsed on baseline "
         "JPEGs, the reference's 3/6/8 quarter-turn table applied, "
-        "pixel-sum/dims/inverse-round-trip invariants closed-form. "
+        "pixel-sum/dims/inverse-round-trip invariants closed-form) "
+        "and compressed H.264 Intra_16x16 decode (CAVLC sparse "
+        "residuals, spec-exact dequant/inverse transform, all four "
+        "16x16 prediction modes, bit-pinned to the encoder's "
+        "closed-loop reconstruction and the MP4 container path). "
         "Round-5 sources ride along as driver-green rows: "
         "H.264 I_PCM decoded-sample sums (q146, incl. the MP4 avc1 "
         "container equality) and WARC body md5 fingerprints (q143). "

@@ -54,7 +54,7 @@ def test_margin_headroom_report(spark):
         )
         .collect()
     )
-    assert len(rows) == 11
+    assert len(rows) == 12
     # (modality, column) pairs whose margin is an exact-equality /
     # discrete count: 0 is the healthy value, not a warning sign
     exact = {
@@ -66,6 +66,7 @@ def test_margin_headroom_report(spark):
         ("dsp_gauss_adaptive", "m3"),
         ("exif_autorotate", "m1"), ("exif_autorotate", "m2"),
         ("exif_autorotate", "m3"),
+        ("h264_i16", "m1"), ("h264_i16", "m3"),
     }
     weak = []
     for r in rows:
