@@ -287,7 +287,21 @@ def np_agc(x: np.ndarray, target: float = 0.1, attack: float = 0.1,
 def np_vad_flags(x: np.ndarray, sr: int = 16000, frame_ms: int = 30,
                  threshold: float = 0.01) -> np.ndarray:
     """F7: per-frame speech flags by RMS energy (frame cadence follows
-    audio_processor.py:217-278; webrtcvad → energy threshold)."""
+    audio_processor.py:217-278; webrtcvad → energy threshold).
+
+    Numeric-parity boundary (same sourcing protocol as the MP3 note,
+    functions/mpeg_audio.py:18-31): the reference's webrtcvad is a
+    trained two-class GMM over six sub-band log-energy features; its
+    decision surface is defined by the shipped model constants
+    (weights/means/variances in the WebRTC sources' vad_core tables),
+    i.e. TRAINED TABULATED data, not formulas. The retrieved public
+    content (PAPERS.md / SNIPPETS.md) carries no WebRTC material —
+    searched round 6, zero hits — so a from-scratch reimplementation
+    could not be numerically validated against anything. The energy
+    VAD keeps the reference's exact frame cadence and accept/reject
+    contract and is the documented analog; the sessionizer's T2/T4
+    state machines consume only the boolean flags, so swapping in a
+    bit-parity VAD would not change any downstream semantics."""
     frame = max(1, sr * frame_ms // 1000)
     n_frames = len(x) // frame
     if n_frames == 0:
