@@ -213,3 +213,29 @@ def test_known_bitstring_two_coeffs_with_run():
     assert bits == "000100" + "1" + "001" + "110" + "0"
     got = decode_residual_block(BitCursor(bits), 0)
     assert got == _block(16, [(0, 3), (2, -1)])
+
+
+def test_coeff_token_head_lengths_match_spec_matrix():
+    """Independent structural anchor: the Table 9-5 head-row codeword
+    LENGTHS per context, as published in the spec's length matrix.
+    A transposition that preserved prefix-freeness but moved a
+    codeword between rows would break these."""
+    want = {
+        0: {(0, 0): 1, (1, 0): 6, (1, 1): 2,
+            (2, 0): 8, (2, 1): 6, (2, 2): 3},
+        2: {(0, 0): 2, (1, 0): 6, (1, 1): 2,
+            (2, 0): 6, (2, 1): 5, (2, 2): 3},
+        4: {(0, 0): 4, (1, 0): 6, (1, 1): 4,
+            (2, 0): 6, (2, 1): 5, (2, 2): 4},
+    }
+    for nc, lengths in want.items():
+        table = coeff_token_table(nc)
+        for key, ln in lengths.items():
+            assert len(table[key]) == ln, (nc, key)
+
+
+def test_chroma_dc_token_lengths():
+    want = {(0, 0): 2, (1, 0): 6, (1, 1): 1, (2, 0): 6, (2, 1): 6,
+            (2, 2): 3, (3, 0): 6, (3, 1): 7, (3, 2): 7, (3, 3): 6,
+            (4, 0): 6, (4, 1): 8, (4, 2): 8, (4, 3): 7}
+    assert {k: len(v) for k, v in COEFF_TOKEN_CHROMA_DC.items()} == want
