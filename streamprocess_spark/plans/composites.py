@@ -2316,9 +2316,12 @@ def _h264_i16_udf(doc_id: pd.Series) -> pd.DataFrame:
 
     rows = []
     for d in doc_id.astype("int64"):
+        # the leg's doc filter is d % 10 == 4, so d is always even —
+        # derive qp/mode from d // 10 or odd QPs and prediction modes
+        # 1/3 would never be exercised
         h, w = 32 + 16 * int(d % 2), 48
-        qp = 24 + int(d % 12)          # 24..35
-        mode = int(d % 4)
+        qp = 24 + int(d // 10 % 12)    # 24..35, odd and even
+        mode = int(d // 10 % 4)        # all four 16x16 modes
         yy, xx = np.mgrid[0:h, 0:w]
         img = (128 + 60 * np.sin(yy / 9.0 + d)
                + 50 * np.cos(xx / 11.0)).clip(0, 255).astype(np.uint8)
