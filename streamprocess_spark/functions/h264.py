@@ -153,6 +153,13 @@ def _ebsp_to_rbsp(ebsp: bytes) -> bytes:
 
 def split_annexb(raw: bytes) -> list[tuple[int, bytes]]:
     """Split an Annex B stream into (nal_unit_type, RBSP payload)."""
+    return [(t, rbsp) for _ref, t, rbsp in split_annexb_hdr(raw)]
+
+
+def split_annexb_hdr(raw: bytes) -> list[tuple[int, int, bytes]]:
+    """Split an Annex B stream into (nal_ref_idc, nal_unit_type, RBSP).
+    nal_ref_idc decides whether a non-IDR slice header carries
+    dec_ref_pic_marking (spec 7.3.3 / 7.4.1)."""
     starts = []
     i = 0
     while i < len(raw) - 3:
@@ -175,7 +182,9 @@ def split_annexb(raw: bytes) -> list[tuple[int, bytes]]:
         header = unit[0]
         if header & 0x80:
             raise ValueError("forbidden_zero_bit set")
-        nals.append((header & 0x1F, _ebsp_to_rbsp(unit[1:])))
+        nals.append(
+            ((header >> 5) & 0x3, header & 0x1F, _ebsp_to_rbsp(unit[1:]))
+        )
     return nals
 
 
@@ -224,12 +233,14 @@ def _parse_sps(r: _BitReader) -> dict:
             f"H.264 profile {profile}: high-profile SPS extensions "
             "(chroma_format_idc, scaling lists) not in the I_PCM subset"
         )
-    r.ue()  # log2_max_frame_num_minus4
+    log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
+    delta_poc_always_zero = True
     if poc_type == 0:
-        r.ue()
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
-        r.u(1)
+        delta_poc_always_zero = bool(r.u(1))
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -251,6 +262,11 @@ def _parse_sps(r: _BitReader) -> dict:
         "width": 16 * mb_w - 2 * (crop_l + crop_r),
         "height": 16 * mb_h - 2 * (crop_t + crop_b),
         "crop": (2 * crop_l, 2 * crop_r, 2 * crop_t, 2 * crop_b),
+        # slice-header geometry: u(v) field widths + POC layout (7.4.3)
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "delta_poc_always_zero": delta_poc_always_zero,
     }
 
 
@@ -284,7 +300,7 @@ def _parse_pps(r: _BitReader) -> dict:
             "CABAC entropy coding: normative context tables (spec 9.3) "
             "not in the I_PCM subset"
         )
-    r.u(1)
+    bottom_field_poc = r.u(1)
     n_groups = r.ue()
     if n_groups:
         raise NotImplementedError("slice groups (FMO) unsupported")
@@ -297,8 +313,12 @@ def _parse_pps(r: _BitReader) -> dict:
     r.se()
     dbf_present = r.u(1)
     r.u(1)
-    r.u(1)
-    return {"dbf_present": dbf_present}
+    redundant_present = r.u(1)
+    return {
+        "dbf_present": dbf_present,
+        "bottom_field_poc": bottom_field_poc,
+        "redundant_present": redundant_present,
+    }
 
 
 # ---------------------------------------------------------------------------

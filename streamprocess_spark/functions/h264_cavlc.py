@@ -53,6 +53,8 @@ checks cannot catch; flagged here as residual risk.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 # --------------------------------------------------------------------------
 # Table 9-5 (coeff_token), head rows (TotalCoeff <= 2), per nC context.
 # Key: (TotalCoeff, TrailingOnes) -> bitstring.
@@ -121,6 +123,7 @@ RUN_BEFORE = {
 }
 
 
+@lru_cache(maxsize=None)
 def _run_before_codes(zeros_left: int) -> list[str]:
     """Codeword list (index = run_before) for a zerosLeft column.
     zerosLeft > 6: 3-bit FLC for runs 0..6 (111 down to 001), then the
@@ -132,9 +135,12 @@ def _run_before_codes(zeros_left: int) -> list[str]:
     return codes
 
 
+@lru_cache(maxsize=None)
 def coeff_token_table(nc: int) -> dict:
     """The (TotalCoeff, TrailingOnes) -> bits map for an nC context.
-    nC >= 8 is the 6-bit FLC built by formula."""
+    nC >= 8 is the 6-bit FLC built by formula. Cached so _read_vlc's
+    id-keyed reverse-map memo sees one stable object per context
+    (callers treat the returned dict as read-only)."""
     if nc == -1:
         return COEFF_TOKEN_CHROMA_DC
     if nc < 2:
@@ -190,16 +196,30 @@ class BitCursor:
         return n
 
 
+# reverse {bits: key} maps memoized per table object. Keyed by id():
+# every table reaching _read_vlc is either a module-level constant or
+# an lru_cache-stable return of coeff_token_table/_run_before_codes,
+# and the cache value holds the table itself so its id can't be
+# recycled. Rebuilding this map per decoded codeword dominated the
+# pandas-UDF parity legs (one ~60-entry dict per coefficient token).
+_VLC_REVERSE: dict[int, tuple[object, dict, int]] = {}
+
+
 def _read_vlc(cur: BitCursor, table: dict | list) -> object:
     """Prefix-decode one codeword from a {key: bits} dict or a list
     (index = value)."""
-    items = (
-        list(enumerate(table)) if isinstance(table, list)
-        else [(k, v) for k, v in table.items()]
-    )
-    by_bits = {bits: key for key, bits in items}
+    hit = _VLC_REVERSE.get(id(table))
+    if hit is None:
+        items = (
+            list(enumerate(table)) if isinstance(table, list)
+            else [(k, v) for k, v in table.items()]
+        )
+        by_bits = {bits: key for key, bits in items}
+        max_len = max(len(b) for b in by_bits)
+        _VLC_REVERSE[id(table)] = (table, by_bits, max_len)
+    else:
+        _, by_bits, max_len = hit
     acc = ""
-    max_len = max(len(b) for b in by_bits)
     while len(acc) <= max_len:
         acc += cur.take(1)
         if acc in by_bits:

@@ -52,7 +52,7 @@ from streamprocess_spark.functions.h264 import (
     _parse_pps,
     _parse_sps,
     _write_sps,
-    split_annexb,
+    split_annexb_hdr,
 )
 from streamprocess_spark.functions.h264_cavlc import (
     decode_residual_block,
@@ -486,7 +486,7 @@ def np_decode_h264_islice(raw: bytes) -> list[np.ndarray]:
     raise ValueError."""
     sps = pps = None
     frames: list[np.ndarray] = []
-    for nal_type, rbsp in split_annexb(raw):
+    for ref_idc, nal_type, rbsp in split_annexb_hdr(raw):
         if nal_type == NAL_SPS:
             sps = _parse_sps(_BitReader(rbsp))
         elif nal_type == NAL_PPS:
@@ -503,17 +503,55 @@ def np_decode_h264_islice(raw: bytes) -> list[np.ndarray]:
                 )
             if first_mb != 0:
                 raise NotImplementedError("multi-slice pictures unsupported")
-            r.ue()            # pps id
-            r.u(4)            # frame_num
+            # slice header, I-slice field order per spec 7.3.3: every
+            # u(v) width comes from the SPS, every conditional from the
+            # SPS/PPS flags — a third-party conformant stream parses
+            # exactly, never by lucky fixed widths
+            r.ue()                            # pps id
+            r.u(sps["log2_max_frame_num"])    # frame_num, u(v)
             if nal_type == NAL_IDR:
-                r.ue()        # idr_pic_id
-                r.u(1)
-                r.u(1)
+                r.ue()                        # idr_pic_id
+            if sps["poc_type"] == 0:
+                r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb, u(v)
+                if pps["bottom_field_poc"]:
+                    r.se()                    # delta_pic_order_cnt_bottom
+            elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
+                r.se()                        # delta_pic_order_cnt[0]
+                if pps["bottom_field_poc"]:
+                    r.se()                    # delta_pic_order_cnt[1]
+            if pps["redundant_present"] and r.ue() != 0:
+                raise NotImplementedError(
+                    "redundant coded pictures (redundant_pic_cnt > 0)"
+                )
+            if nal_type == NAL_IDR:
+                r.u(1)                        # no_output_of_prior_pics
+                r.u(1)                        # long_term_reference_flag
+            elif ref_idc != 0:
+                # dec_ref_pic_marking, non-IDR reference slice (7.3.3.3)
+                if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                    while True:
+                        mmco = r.ue()
+                        if mmco == 0:
+                            break
+                        if mmco in (1, 3):
+                            r.ue()  # difference_of_pic_nums_minus1
+                        if mmco == 2:
+                            r.ue()  # long_term_pic_num
+                        if mmco in (3, 6):
+                            r.ue()  # long_term_frame_idx
+                        if mmco == 4:
+                            r.ue()  # max_long_term_frame_idx_plus1
             qp = 26 + r.se()  # slice_qp_delta on pic_init_qp 26
+            # in-loop deblocking (8.7): active unless the slice turns it
+            # off. The filter itself is not implemented; see the MB-loop
+            # guard below for why all-I_PCM pictures are still exact.
+            filter_active = True
             if pps["dbf_present"]:
                 if r.ue() != 1:
                     r.se()
                     r.se()
+                else:
+                    filter_active = False
             mb_w, mb_h = sps["mb_w"], sps["mb_h"]
             plane = np.zeros((16 * mb_h, 16 * mb_w), dtype=np.int64)
             tc_grid = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64)
@@ -532,6 +570,20 @@ def np_decode_h264_islice(raw: bytes) -> list[np.ndarray]:
                         raise NotImplementedError(
                             f"mb_type {mb_type}: I_NxN needs the 4x4 "
                             "intra-mode predictor machinery (spec 8.3.1)"
+                        )
+                    if filter_active:
+                        # I_PCM MBs are exact either way (QPy=0 for
+                        # deblocking => alpha/beta thresholds 0, no edge
+                        # filtered), but a residual-coded Intra_16x16 MB
+                        # at working QPs WOULD be filtered by a
+                        # conformant decoder — decoding it unfiltered
+                        # silently diverges, so refuse instead
+                        # (dead-letter-on-unrepresentable convention).
+                        raise NotImplementedError(
+                            "in-loop deblocking filter (spec 8.7) not "
+                            "implemented: slice leaves the loop filter "
+                            "enabled and contains residual-coded "
+                            "macroblocks"
                         )
                     m = mb_type - 1
                     pred_mode = m % 4

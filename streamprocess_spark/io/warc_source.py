@@ -115,7 +115,11 @@ class WarcStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         cap = int(options.get("max_files_per_batch", 0))
         self.max_per_batch = cap if cap > 0 else None
-        self._seen: list[str] = []  # planned progress across triggers
+        # files already planned into a batch; advanced only in
+        # partitions() so repeated latestOffset() calls between plans
+        # (no-progress triggers) stay idempotent and the per-batch cap
+        # holds no matter how often the engine polls
+        self._planned: list[str] = []
 
     def _listing(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -128,18 +132,20 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        seen = set(self._seen)
-        new = [n for n in self._listing() if n not in seen]
+        # pure function of (_planned, directory listing) — no state
+        # commit here, so N polls before a plan still admit at most
+        # max_per_batch files into the next batch
+        planned = set(self._planned)
+        new = [n for n in self._listing() if n not in planned]
         if self.max_per_batch is not None:
             new = new[: self.max_per_batch]
-        self._seen = sorted(seen | set(new))
-        return {"files": list(self._seen)}
+        return {"files": sorted(planned | set(new))}
 
     def partitions(self, start: dict, end: dict):
         # re-anchor after checkpoint restart: never re-plan below start
         done = set(start.get("files", []))
         target = set(end.get("files", []))
-        self._seen = sorted(set(self._seen) | target | done)
+        self._planned = sorted(set(self._planned) | target | done)
         todo = sorted(target - done)
         return [
             WarcFilePartition(os.path.join(self.path, n)) for n in todo
