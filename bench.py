@@ -133,10 +133,102 @@ def ensure_deep_dir(sf_dir: str, factor: int = DEEP_FACTOR) -> str:
     return dst
 
 
+# ---------------------------------------------------------------------------
+# scale soak (round-6 verdict ask #1): the dedup/ANN family's "bucketed,
+# never all-pairs" claims were plan-shape arguments; this measures them.
+# Each query runs at deep x10 AND x100 and the x100/x10 runtime ratio is
+# gated at SOAK_MAX_RATIO — near-linear (~10x work) must stay ~10x time;
+# a quadratic (all-pairs) regression would show ~100x and flag.
+# ---------------------------------------------------------------------------
+
+SOAK_FACTOR = int(os.environ.get("SPARK_GRAFT_SOAK_FACTOR", "100"))
+SOAK_MAX_RATIO = 15.0
+SOAK_QUERIES = (
+    "q45_minhash_lsh",
+    "q103_semdedup",
+    "q122_incremental_dedup",
+    "q135_cdc_dedup",
+)
+
+
+def ensure_soak_dir(sf_dir: str, factor: int = SOAK_FACTOR) -> str:
+    """x{factor} upscale of ONLY documents + embeddings (the soak
+    queries' inputs), other tables copied x1 — load_tables opens every
+    table's footer eagerly, so all 10 files must exist, but upscaling
+    lineitem x100 would cost ~1 GB of disk for tables the soak never
+    scans."""
+    import duckdb
+
+    dst = os.environ.get(
+        "SPARK_GRAFT_SOAK_DIR",
+        os.path.join(tempfile.gettempdir(), f"spark_graft_soak_x{factor}"),
+    )
+    marker = os.path.join(dst, "_DONE")
+    key = _deep_cache_key(sf_dir)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == key:
+                return dst
+        shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    upscaled = ("documents", "embeddings")
+    for name in os.listdir(sf_dir):
+        if name.endswith(".parquet") \
+                and name.removesuffix(".parquet") not in upscaled:
+            shutil.copy(os.path.join(sf_dir, name), os.path.join(dst, name))
+    con = duckdb.connect()
+    for t in upscaled:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        sql = _DEEP_SQL[t].format(f=factor).replace("src", repr(src))
+        con.execute(
+            f"COPY ({sql}) TO '{os.path.join(dst, t + '.parquet')}' "
+            f"(FORMAT PARQUET)"
+        )
+    with open(marker, "w") as f:
+        f.write(key)
+    return dst
+
+
+def _bench_soak(spark, sf_dir: str) -> dict:
+    from streamprocess_spark.plans import QUERIES
+
+    lo_dir = ensure_deep_dir(sf_dir)            # x10
+    t0 = time.perf_counter()
+    hi_dir = ensure_soak_dir(sf_dir)            # x100
+    print(f"# soak x{SOAK_FACTOR} data ready in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    out: dict[str, dict] = {}
+    for name in SOAK_QUERIES:
+        if name not in QUERIES:
+            continue
+        lo = float("inf")
+        for _ in range(2):   # min-of-2 at x10: the short leg is the
+            t0 = time.perf_counter()           # noise-sensitive one
+            QUERIES[name].builder(spark, lo_dir).count()
+            lo = min(lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()               # single run at x100: at
+        rows_hi = QUERIES[name].builder(spark, hi_dir).count()  # ~1 min
+        hi = time.perf_counter() - t0          # scale, noise is ~few %
+        ratio = hi / lo
+        out[name] = {
+            "lo_sec": round(lo, 4), "hi_sec": round(hi, 4),
+            "rows_hi": int(rows_hi), "ratio": round(ratio, 2),
+        }
+        print(f"# soak {name}: x{DEEP_FACTOR} {lo:.3f}s -> "
+              f"x{SOAK_FACTOR} {hi:.3f}s (ratio {ratio:.1f}x, "
+              f"{rows_hi} rows)", file=sys.stderr)
+    return {
+        "factor_lo": DEEP_FACTOR, "factor_hi": SOAK_FACTOR,
+        "max_ratio": SOAK_MAX_RATIO, "queries": out,
+    }
+
+
 N_STREAMS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_STREAMS", "100"))
 
 
-def _bench_flagship(spark, sf_dir: str) -> dict:
+def _flagship_once(spark, chunks, label: str) -> dict:
+    """Enqueue one chunk workload and time the queue -> sessionizer ->
+    result-store pipeline end to end (min of 2 fresh runs)."""
     from pyspark.sql import functions as F
 
     from streamprocess_spark.io.queue_source import (
@@ -144,17 +236,13 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
         register_queue_source,
     )
     from streamprocess_spark.io.result_sink import register_result_sink
-    from streamprocess_spark.io.tables import load_tables
     from streamprocess_spark.streaming.sessionizer import (
         DEFAULT_CONFIG,
-        chunks_from_events,
         sessionize_batch,
         sessionize_stream,
     )
 
     qdir = tempfile.mkdtemp(prefix="spbenchq_")
-    ev = load_tables(spark, sf_dir)["events"]
-    chunks = chunks_from_events(ev, DEFAULT_CONFIG, max_users=N_STREAMS)
     expected_n = sessionize_batch(chunks, DEFAULT_CONFIG).count()
 
     prios = ("realtime", "high", "normal", "low")
@@ -254,8 +342,9 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
         el_i, delivered_i = _one_run()
         if el_i < el:
             el, delivered = el_i, delivered_i
+    n_streams = chunks.select("session_id").distinct().count()
     out = {
-        "streams": N_STREAMS,
+        "streams": int(n_streams),
         "input_chunks": int(n_chunks),
         "segments": int(delivered),
         "expected_segments": int(expected_n),
@@ -263,12 +352,43 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
         "chunks_per_sec": round(n_chunks / el, 1),
     }
     print(
-        f"# flagship queue->sessionizer->sink: {el:.3f}s "
+        f"# flagship[{label}] queue->sessionizer->sink: {el:.3f}s "
         f"({out['chunks_per_sec']} chunks/s, "
-        f"{delivered}/{expected_n} segments)",
+        f"{delivered}/{expected_n} segments, {n_streams} streams)",
         file=sys.stderr,
     )
     shutil.rmtree(qdir, ignore_errors=True)
+    return out
+
+
+def _bench_flagship(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.streaming.sessionizer import (
+        DEFAULT_CONFIG,
+        chunks_from_events,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    chunks = chunks_from_events(ev, DEFAULT_CONFIG, max_users=N_STREAMS)
+    out = _flagship_once(spark, chunks, "even")
+
+    # Skewed leg (round-6 verdict ask #6): real session traffic is
+    # Zipfian, not even. Merge ~30% of the users into one hot session
+    # BEFORE chunks_from_events so the hot stream gets consistent
+    # seq/offset numbering, then run the identical pipeline. Per-key
+    # sessionizer state is bounded (segments emit and are discarded),
+    # so the hot key should cost only its share — gated at within 2x
+    # of the even figure in _regression_gate.
+    ev_skew = ev.filter(F.col("user_id") < N_STREAMS).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 < 3, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    chunks_skew = chunks_from_events(ev_skew, DEFAULT_CONFIG)
+    out["skew"] = _flagship_once(spark, chunks_skew, "skew")
     return out
 
 
@@ -381,6 +501,12 @@ def main() -> None:
             "queries": deep_timings,
         }
 
+    # scale soak: dedup/ANN family at x10 vs x100 — measured evidence
+    # for the near-linear claims. Runs after deep (reuses its x10 dir),
+    # before flagship (so flagship heap churn can't contaminate it).
+    if not os.environ.get("SPARK_GRAFT_SKIP_SOAK"):
+        result["soak"] = _bench_soak(spark, sf_dir)
+
     # flagship stateful path: priority-queue DataSource -> sessionizer
     # (applyInPandasWithState) -> result-store sink, the reference's
     # 100-concurrent-streams serving shape (README.md:34). Reported as
@@ -403,7 +529,8 @@ def main() -> None:
     # its flag; a burst artifact clears. Throughput sections are not
     # retried (a full flagship/streaming rerun is not noise-shaped).
     per_query = [k for k in result["regression_gate"]["flagged"]
-                 if not k.startswith(("flagship:", "streaming:"))]
+                 if not k.startswith(("flagship", "streaming:", "soak:"))]
+    retried: dict[str, dict] = {}
     if per_query:
         deep_dir_r = None if os.environ.get("SPARK_GRAFT_SKIP_DEEP") \
             else ensure_deep_dir(sf_dir)
@@ -423,12 +550,17 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             print(f"# gate retry {key}: {target[q]:.3f}s -> {best:.3f}s",
                   file=sys.stderr)
+            # round-6 verdict #1: the retry must not erase the flagged
+            # measurement — record both so a flagged-then-cleared query
+            # is machine-readable round-over-round
+            retried[key] = {"first": target[q], "retry": round(best, 4)}
             target[q] = round(best, 4)
         if "deep" in result:
             result["deep"]["value"] = round(
                 sum(result["deep"]["queries"].values()), 4)
         result["value"] = round(sum(result["queries"].values()), 4)
         result["regression_gate"] = _regression_gate(result)
+    result["regression_gate"]["retried"] = retried
     print(json.dumps(result))
     spark.stop()
 
@@ -489,6 +621,28 @@ def _regression_gate(result: dict) -> dict:
                             "ratio": round(now_v / ref_v, 2)}
             print(f"# REGRESSION {key}: {ref_v} -> {now_v} "
                   f"({now_v / ref_v:.2f}x)", file=sys.stderr)
+    # scale-soak gate: absolute (x100/x10 runtime ratio), not
+    # round-over-round — a super-linear blowup is a scale bug whatever
+    # last round measured
+    for q, s in ((result.get("soak") or {}).get("queries") or {}).items():
+        if s["ratio"] > SOAK_MAX_RATIO:
+            key = f"soak:{q}"
+            flagged[key] = {"now": s["hi_sec"], "prev": s["lo_sec"],
+                            "ratio": s["ratio"]}
+            print(f"# SCALE REGRESSION {key}: x10 {s['lo_sec']}s -> "
+                  f"x100 {s['hi_sec']}s ({s['ratio']}x > "
+                  f"{SOAK_MAX_RATIO}x)", file=sys.stderr)
+    # skew gate: the hot-session flagship leg must stay within 2x of
+    # the even leg (bounded per-key state claim, round-6 ask #6)
+    fs = result.get("flagship") or {}
+    skew_v = (fs.get("skew") or {}).get("chunks_per_sec")
+    even_v = fs.get("chunks_per_sec")
+    if skew_v and even_v and skew_v < even_v / 2.0:
+        flagged["flagship_skew:chunks_per_sec"] = {
+            "now": skew_v, "prev": even_v,
+            "ratio": round(skew_v / even_v, 2)}
+        print(f"# SKEW REGRESSION flagship: even {even_v} -> "
+              f"skew {skew_v} chunks/s", file=sys.stderr)
     return {"baseline_round": prior_n, "threshold": _GATE_RATIO,
             "flagged": flagged}
 
