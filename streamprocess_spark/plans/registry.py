@@ -126,7 +126,9 @@ TOP50: tuple[str, ...] = (
     "q24_topn_per_key",
     "q25_ordered_concat",
     "q26_latency_percentiles",
-    "q_autoscale_plan",          # q27 + q28 + capacity model
+    "q148_autoscaler_blend",     # full capacity+PID+predictive blend;
+                                 # supersedes q_autoscale_plan's tags
+                                 # (q27/q28 stay checked below slot 50)
     "q_worker_metrics",          # q29 + q30
     "q84_funnel",
     # LLM data pipeline

