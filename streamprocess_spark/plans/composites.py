@@ -2479,12 +2479,115 @@ def dsp_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-only diagnostic twin of q_dsp_parity (round-5 verdict #7):
     the same legs, projecting the quantized boundary margins m1..m3
     (floor(1e6 * normalized margin), ok_i == (m_i >= 0)) instead of the
-    booleans. Not oracle-registered — the margins are float-derived by
-    construction. tests/test_dsp_margins.py asserts every margin is
-    non-negative, so a flipped invariant names its leg, doc_id, and
-    distance past the boundary in one pytest run."""
-    return _dsp_leg_frames(
-        spark, sf_dir, ("n_int", "m1", "m2", "m3")
+    booleans. Round-6 ask #7 extends the report beyond the DSP parity
+    kernels to the media legs of q_media_invariants (q59 audio
+    preprocess bands, q67 enhance endpoints, q128 deskew bounds), so
+    EVERY leg of that driver slot now names its doc_id and boundary
+    distance on a flip. Not oracle-registered — the margins are
+    float-derived by construction. tests/test_dsp_margins.py asserts
+    every margin is non-negative."""
+    from streamprocess_spark.plans.registry import _ensure_loaded
+
+    _ensure_loaded()  # the media legs reuse registered q59/q67 builders
+    return (
+        _dsp_leg_frames(spark, sf_dir, ("n_int", "m1", "m2", "m3"))
+        .unionByName(_audio_margin_leg(spark, sf_dir))
+        .unionByName(_enhance_margin_leg(spark, sf_dir))
+        .unionByName(_deskew_margin_leg(spark, sf_dir))
+    )
+
+
+def _q6m(col):
+    """floor(1e6 * normalized margin) -> bigint, the report's unit."""
+    return F.floor(col * F.lit(1e6)).cast("bigint")
+
+
+def _band_margin(col, lo: float, hi: float):
+    """Distance to the nearer edge of an accept band, normalized by the
+    half-width (band center -> 1e6, edges -> 0, outside -> negative)."""
+    return _q6m(
+        F.least(col - F.lit(lo), F.lit(hi) - col) / F.lit((hi - lo) / 2.0)
+    )
+
+
+def _log_band_margin(col, lo: float, hi: float):
+    """Band margin on a log scale — for multiplicative bands like the
+    AGC's rms in (0.01, 0.5), which spans 50x: a linear half-width
+    normalization would report a healthy rms of 1.2x the lower bound
+    as <1% headroom. Sign still flips exactly at the band edges."""
+    import math as _math
+
+    half = _math.log(hi / lo) / 2.0
+    return _q6m(
+        F.least(F.log(col / F.lit(lo)), F.log(F.lit(hi) / col))
+        / F.lit(half)
+    )
+
+
+def _audio_margin_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59's measured physics bands (the audio_preprocess rows of
+    q_media_invariants) as margins."""
+    q = QUERIES["q59_audio_preprocess"].builder(spark, sf_dir)
+    return q.select(
+        F.lit("audio_preprocess").alias("modality"),
+        "doc_id",
+        F.col("n_out").cast("bigint").alias("n_int"),
+        _log_band_margin(F.col("rms"), 0.01, 0.5).alias("m1"),
+        _band_margin(F.col("centroid"), 1000.0, 5000.0).alias("m2"),
+        _band_margin(F.col("rolloff"), 2500.0, 8000.0).alias("m3"),
+    )
+
+
+def _enhance_margin_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67's exact endpoint mapping (image_enhance rows): 0 when the
+    stretch hits 0/255 exactly, negative by the pixel deviation
+    normalized to full range otherwise."""
+    q = QUERIES["q67_image_enhance"].builder(spark, sf_dir)
+    return q.select(
+        F.lit("image_enhance").alias("modality"),
+        "doc_id",
+        F.col("n_px").cast("bigint").alias("n_int"),
+        _q6m(-F.abs(F.col("out_min")) / F.lit(255.0)).alias("m1"),
+        _q6m(-F.abs(F.lit(255) - F.col("out_max")) / F.lit(255.0))
+        .alias("m2"),
+        F.lit(0).cast("bigint").alias("m3"),
+    )
+
+
+def _deskew_margin_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q128's bounds (image_deskew rows): m1 = sharpness-gain headroom
+    over the structural bound (exact 0 for unskewed pages, where the
+    identity argmax gives gain exactly 1), m2 = PCA-error headroom
+    under 1.5 deg, m3 = exact half-degree recovery (0 iff the grid
+    search returns the negated injection)."""
+    from streamprocess_spark.plans.multimodal import _deskew_grid_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    expect = (F.lit(-2) * ((F.col("doc_id") % 9) - F.lit(4))).cast("bigint")
+    half = (F.col("r.applied_deg") * 2).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 10 >= 2)
+        .withColumn(
+            "inject", ((F.col("doc_id") % 9) - F.lit(4)).cast("double")
+        )
+        .withColumn("r", _deskew_grid_udf(F.col("doc_id"), F.col("inject")))
+        .select(
+            F.lit("image_deskew").alias("modality"),
+            "doc_id",
+            half.alias("n_int"),
+            _q6m(
+                F.when(
+                    F.col("inject") == 0,
+                    F.col("r.sharp_gain") - F.lit(1.0),
+                ).otherwise(
+                    (F.col("r.sharp_gain") - F.lit(1.2)) / F.lit(1.2)
+                )
+            ).alias("m1"),
+            _q6m((F.lit(1.5) - F.col("r.pca_err")) / F.lit(1.5)).alias("m2"),
+            (-F.abs(half - expect) * F.lit(1000000)).cast("bigint")
+            .alias("m3"),
+        )
     )
 
 

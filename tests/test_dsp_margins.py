@@ -54,7 +54,7 @@ def test_margin_headroom_report(spark):
         )
         .collect()
     )
-    assert len(rows) == 12
+    assert len(rows) == 15  # 12 dsp legs + 3 media legs (round-6 #7)
     # (modality, column) pairs whose margin is an exact-equality /
     # discrete count: 0 is the healthy value, not a warning sign
     exact = {
@@ -67,6 +67,13 @@ def test_margin_headroom_report(spark):
         ("exif_autorotate", "m1"), ("exif_autorotate", "m2"),
         ("exif_autorotate", "m3"),
         ("h264_i16", "m1"), ("h264_i16", "m3"),
+        # media legs: enhance endpoints are exact 0/255 mappings;
+        # deskew m1's unskewed pages sit at gain exactly 1 (identity
+        # argmax) and m3 is the exact half-degree recovery; the
+        # enhance m3 slot is a structural constant
+        ("image_enhance", "m1"), ("image_enhance", "m2"),
+        ("image_enhance", "m3"),
+        ("image_deskew", "m1"), ("image_deskew", "m3"),
     }
     weak = []
     for r in rows:
