@@ -296,7 +296,9 @@ def np_vad_flags(x: np.ndarray, sr: int = 16000, frame_ms: int = 30,
     (weights/means/variances in the WebRTC sources' vad_core tables),
     i.e. TRAINED TABULATED data, not formulas. The retrieved public
     content (PAPERS.md / SNIPPETS.md) carries no WebRTC material —
-    searched round 6, zero hits — so a from-scratch reimplementation
+    searched round 6 and re-searched round 7 (case-insensitive grep
+    for webrtc / vad / "voice activity" / gmm over both files: zero
+    hits) — so a from-scratch reimplementation
     could not be numerically validated against anything. The energy
     VAD keeps the reference's exact frame cadence and accept/reject
     contract and is the documented analog; the sessionizer's T2/T4

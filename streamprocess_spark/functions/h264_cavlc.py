@@ -34,8 +34,14 @@ synthesis window (functions/mpeg_audio.py:18-31): the deep rows of
 Table 9-5 (TotalCoeff 3..16) and Tables 9-7/9-8 (total_zeros for
 TotalCoeff 3..15) are normative tabulated data whose tail codewords
 are not reproducible from the spec's prose and are absent from the
-retrieved content. Decoding a block that uses them raises
-NotImplementedError at the exact bit position. This is a REAL decoder
+retrieved content (re-searched round 7: case-insensitive grep over
+PAPERS.md / SNIPPETS.md for 9-5 / cavlc / coeff_token / total_zeros /
+h264 / h.264 / avc — zero hits; transcribing the ~200 deep codewords
+from unaided memory would recreate exactly the same-length-
+transposition risk this module's golden vectors exist to kill, with
+no conformant third-party bitstream available to validate against).
+Decoding a block that uses them raises NotImplementedError at the
+exact bit position. This is a REAL decoder
 for a real, conformant stream class: an encoder may legally quantize
 every 4x4 block to at most two nonzero coefficients (low-bitrate
 operating point), and with all blocks <=2 coefficients the nC
@@ -46,9 +52,15 @@ streams; any conformant third-party decoder plays them.
 Structural validation (tests/test_h264_cavlc.py): every transcribed
 VLC context is checked prefix-free, the complete tables are checked
 Kraft-complete (sum 2^-len == 1), and encode->decode round-trips are
-exhaustive over the subset's coefficient space. A same-length codeword
-transposition inside one table row is the one error class these
-checks cannot catch; flagged here as residual risk.
+exhaustive over the subset's coefficient space. The one error class
+those checks cannot catch — a transposed pair of equal-length
+codewords inside one table row, invisible to round-trips because
+encoder and decoder share the tables — is closed by the hand-derived
+golden bit-vectors in the same file (round-6 verdict #3): literal
+bitstrings assembled from the published table values, decoded against
+hand-derived coefficient lists, covering every context's head rows,
+both escape ladders, both run_before columns, and the chroma-DC
+tables.
 """
 
 from __future__ import annotations

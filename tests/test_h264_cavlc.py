@@ -239,3 +239,89 @@ def test_chroma_dc_token_lengths():
             (2, 2): 3, (3, 0): 6, (3, 1): 7, (3, 2): 7, (3, 3): 6,
             (4, 0): 6, (4, 1): 8, (4, 2): 8, (4, 3): 7}
     assert {k: len(v) for k, v in COEFF_TOKEN_CHROMA_DC.items()} == want
+
+
+# ------------------------------------------------- golden bit-vectors
+#
+# Round-6 verdict ask #3: the encode->decode round-trips share the
+# transcribed tables, so a transposed pair of EQUAL-LENGTH codewords
+# inside one table row would survive every structural check and every
+# round-trip. These vectors close that hole: the bits below are
+# hand-assembled from the spec's published table values and coding
+# formulas (clause 9.2) — written out literally, NOT produced by the
+# repo's encoder — and the decoder must reproduce the hand-derived
+# coefficient lists from them. A future table transposition now fails
+# here even if encoder and decoder stay mutually consistent.
+#
+# Derivations (scan-ordered coefficient lists; '|' marks field splits):
+#   g1  nC=0 empty block: coeff_token(0,0)='1'.
+#   g2  nC=0 one +1 at pos 0: token(1,1)='01' | sign '0' |
+#       total_zeros tc1 val0 = '1'.
+#   g3  nC=0 [5,0,-1]: token(2,1)='000100' | T1 sign '-'='1' |
+#       level 5 first-coeff-adjusted to 4 -> levelCode 6 -> '0000001' |
+#       total_zeros tc2 val1 = '110' | run_before zl1 run1 = '0'.
+#   g4  nC=0 one +9 at pos 0 (prefix-14 escape): token(1,0)='000101' |
+#       adj 8 -> levelCode 14 -> 14 zeros,'1',4-bit suffix '0000' |
+#       total_zeros tc1 val0 = '1'.
+#   g5  nC=0 one +17 at pos 0 (prefix-15 escape, 12-bit suffix):
+#       token(1,0)='000101' | adj 16 -> levelCode 30 -> 15 zeros,'1',
+#       '000000000000' | total_zeros '1'.
+#   g6  nC=0 [-6,4]: token(2,0)='00000111' | level 4 adj 3 ->
+#       levelCode 4 suffix_len 0 -> '00001', suffix_len adapts 0->2 |
+#       level -6 -> levelCode 11, sl=2 -> prefix 2 suffix '11' ->
+#       '00111' | total_zeros tc2 val0 = '111' | no zeros left.
+#   g7  nC=2 one +1 at pos 0: token(1,1)='10' | '0' | tz '1'.
+#   g8  nC=4 [+1,-1]: token(2,2)='1101' | signs '10' | tz tc2 val0
+#       '111'.
+#   g9  nC=8 FLC [3,1]: codeNum 4*(2-1)+1=5 -> '000101' | sign '0' |
+#       level 3 adj 2 -> levelCode 2 -> '001' | tz '111'.
+#   g10 nC=0 [0,2,0,0,0,0,0,0,1]: token(2,1)='000100' | sign '0' |
+#       level 2 adj 1 -> levelCode 0 -> '1' | total_zeros tc2 val7 =
+#       '0011' | run_before zl7 run6 (FLC column) = '001'.
+#   g11 nC=0 [1,0,0,0,0,0,0,0,1]: token(2,2)='001' | signs '00' |
+#       total_zeros tc2 val7 = '0011' | run_before zl7 run7 (unary
+#       tail) = '0001'.
+#   g12 chroma DC [0,0,-1,0]: token(1,1)='1' | sign '1' |
+#       chroma total_zeros tc1 val2 = '001'.
+#   g13 chroma DC [1,-1,1,-1] (full block, tc=4,t1s=3):
+#       token(4,3)='0000000' | signs '101' | level +1 (t1s==3: no
+#       adjust) -> levelCode 0 -> '1' | tc==max: no total_zeros.
+
+_GOLDEN = [
+    ("g1", 0, 16, "1", [0] * 16),
+    ("g2", 0, 16, "01" "0" "1", [1] + [0] * 15),
+    ("g3", 0, 16, "000100" "1" "0000001" "110" "0",
+     [5, 0, -1] + [0] * 13),
+    ("g4", 0, 16, "000101" + "0" * 14 + "1" + "0000" + "1",
+     [9] + [0] * 15),
+    ("g5", 0, 16, "000101" + "0" * 15 + "1" + "0" * 12 + "1",
+     [17] + [0] * 15),
+    ("g6", 0, 16, "00000111" "00001" "00111" "111",
+     [-6, 4] + [0] * 14),
+    ("g7", 2, 16, "10" "0" "1", [1] + [0] * 15),
+    ("g8", 4, 16, "1101" "10" "111", [1, -1] + [0] * 14),
+    ("g9", 8, 16, "000101" "0" "001" "111", [3, 1] + [0] * 14),
+    ("g10", 0, 16, "000100" "0" "1" "0011" "001",
+     [0, 2, 0, 0, 0, 0, 0, 0, 1] + [0] * 7),
+    ("g11", 0, 16, "001" "00" "0011" "0001",
+     [1, 0, 0, 0, 0, 0, 0, 0, 1] + [0] * 7),
+    ("g12", -1, 4, "1" "1" "001", [0, 0, -1, 0]),
+    ("g13", -1, 4, "0000000" "101" "1", [1, -1, 1, -1]),
+]
+
+
+@pytest.mark.parametrize("name,nc,mx,bits,coeffs", _GOLDEN,
+                         ids=[g[0] for g in _GOLDEN])
+def test_golden_bitstring_decodes(name, nc, mx, bits, coeffs):
+    cur = BitCursor(bits)
+    assert decode_residual_block(cur, nc, mx) == coeffs
+    # the vector must consume the bitstring exactly
+    assert cur.pos == len(bits)
+
+
+@pytest.mark.parametrize("name,nc,mx,bits,coeffs", _GOLDEN,
+                         ids=[g[0] for g in _GOLDEN])
+def test_golden_bitstring_encodes(name, nc, mx, bits, coeffs):
+    # the encoder picks the same (shortest legal) encoding the hand
+    # derivation does, so the literal bits also pin the encode side
+    assert encode_residual_block(coeffs, nc, mx) == bits
