@@ -501,12 +501,6 @@ def main() -> None:
             "queries": deep_timings,
         }
 
-    # scale soak: dedup/ANN family at x10 vs x100 — measured evidence
-    # for the near-linear claims. Runs after deep (reuses its x10 dir),
-    # before flagship (so flagship heap churn can't contaminate it).
-    if not os.environ.get("SPARK_GRAFT_SKIP_SOAK"):
-        result["soak"] = _bench_soak(spark, sf_dir)
-
     # flagship stateful path: priority-queue DataSource -> sessionizer
     # (applyInPandasWithState) -> result-store sink, the reference's
     # 100-concurrent-streams serving shape (README.md:34). Reported as
@@ -516,6 +510,15 @@ def main() -> None:
     # Runs LAST so its heap churn cannot contaminate the query timings.
     if not os.environ.get("SPARK_GRAFT_SKIP_FLAGSHIP"):
         result["flagship"] = _bench_flagship(spark, sf_dir)
+
+    # scale soak: dedup/ANN family at x10 vs x100 — measured evidence
+    # for the near-linear claims. Runs LAST: its x100 legs churn the
+    # heap hard, and the soak metric is a ratio of two runs in the
+    # same JVM state, so ordering cannot bias it the way it would the
+    # absolute flagship/headline figures (first measured run: flagship
+    # dropped 16% when the soak preceded it).
+    if not os.environ.get("SPARK_GRAFT_SKIP_SOAK"):
+        result["soak"] = _bench_soak(spark, sf_dir)
 
     if result_stream is not None:
         result["streaming"] = result_stream
