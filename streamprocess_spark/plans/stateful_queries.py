@@ -337,6 +337,12 @@ _BL_LAG_COLS = ", ".join(
     f"lag(tr, {j}) OVER wl AS t{j}, lag(rate, {j}) OVER wl AS r{j}"
     for j in range(1, _BL_LAGS + 1)
 )
+
+# per-worker-type controller wiring (controller.py:120-135), the same
+# odd/even name-length assignment as autoscaler.profile_for: odd ->
+# stt (kp 2.0, ki 0.1, kd 0.05, sr 2.0), even -> ocr (1.5/0.08/0.03/1.0)
+_BL_ODD = "length(o.worker_type) % 2 = 1"
+_BL_SR = f"CASE WHEN {_BL_ODD} THEN 2.0 ELSE 1.0 END"
 _BL_NPTS = _bl_fold(
     [f"CASE WHEN {_bl_incl(j)} THEN 1 ELSE 0 END"
      for j in range(_BL_LAGS, 0, -1)] + ["1"]
@@ -441,14 +447,14 @@ _BLEND_ORACLE = f"""
                 FROM (
                     SELECT *,
                            CASE WHEN dt <= 0 THEN 0.0
-                                ELSE (1.0 * err
-                                      + 0.1 * (s_integral + err * dt))
-                                     + (0.05 * (err - s_last_err)) / dt
+                                ELSE (kp * err
+                                      + ki * (s_integral + err * dt))
+                                     + (kd * (err - s_last_err)) / dt
                                 END AS pid_out,
-                           ceil(rate / 0.7 / 2.0) AS cap_t,
+                           ceil(rate / 0.7 / sr) AS cap_t,
                            CASE WHEN pred_rate IS NULL OR pred_rate <= 0
                                 THEN cast(s_replicas AS DOUBLE)
-                                ELSE ceil(pred_rate / 0.7 / 2.0)
+                                ELSE ceil(pred_rate / 0.7 / sr)
                                 END AS pred_t
                     FROM (
                         SELECT o.worker_type AS worker_type, o.rn AS rn,
@@ -458,11 +464,20 @@ _BLEND_ORACLE = f"""
                                s.last_scale AS s_last_scale,
                                s.integral AS s_integral,
                                s.last_err AS s_last_err,
+                               CASE WHEN {_BL_ODD} THEN 2.0
+                                    ELSE 1.5 END AS kp,
+                               CASE WHEN {_BL_ODD} THEN 0.1
+                                    ELSE 0.08 END AS ki,
+                               CASE WHEN {_BL_ODD} THEN 0.05
+                                    ELSE 0.03 END AS kd,
+                               {_BL_SR} AS sr,
                                CASE WHEN s.last_t < 0 THEN o.ws
                                     ELSE s.last_t END AS lt0,
                                (o.ws - s.last_scale < 300.0) AS cd,
-                               o.rate / (s.replicas * 2.0) AS util,
-                               0.7 - o.rate / (s.replicas * 2.0) AS err,
+                               o.rate / (s.replicas * ({_BL_SR}))
+                                   AS util,
+                               0.7 - o.rate / (s.replicas * ({_BL_SR}))
+                                   AS err,
                                o.ws - CASE WHEN s.last_t < 0 THEN o.ws
                                            ELSE s.last_t END AS dt
                         FROM sim s JOIN reg2 o
@@ -520,8 +535,12 @@ def _blend_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("A10", "A11", "P5-adjacent", "M-ops", "§3-control"),
     doc="Full reference scaling decision: 0.4*capacity + 0.3*PID + "
         "0.3*predictive blend with confidence "
-        "(src/autoscaler/controller.py:283-312), PID kp=1.0/ki=0.1/"
-        "kd=0.05 integral/derivative recurrence (controller.py:67-110), "
+        "(src/autoscaler/controller.py:283-312), the PID integral/"
+        "derivative recurrence (controller.py:67-110) under the "
+        "CONSTRUCTED per-worker-type gains and service rates "
+        "(controller.py:120-135: stt kp=2.0/ki=0.1/kd=0.05 sr=2.0, "
+        "ocr kp=1.5/ki=0.08/kd=0.03 sr=1.0 — both profiles exercised "
+        "via the odd/even name-length assignment), "
         "least-squares arrival-rate trend extrapolated warmup_time=90s "
         "ahead (controller.py:330-368), and the UNSCALED 300 s "
         "autoscale_cooldown_seconds (config.py:148). Runs as "

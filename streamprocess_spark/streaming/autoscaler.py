@@ -40,6 +40,13 @@ _NEG_INF = -1.0e12
 
 # --- full-blend controller constants (reference defaults, untouched) ---
 KP, KI, KD = 1.0, 0.1, 0.05   # PIDController defaults (controller.py:70)
+# Constructed per-worker-type controller wiring overrides the class
+# defaults (controller.py:120-123) and pairs with per-type service
+# rates (controller.py:131-135): (kp, ki, kd, service_rate).
+PROFILES = {
+    "stt": (2.0, 0.1, 0.05, 2.0),
+    "ocr": (1.5, 0.08, 0.03, 1.0),
+}
 REF_COOLDOWN_S = 300.0        # autoscale_cooldown_seconds (config.py:148)
 WARMUP_S = 90.0               # autoscale_warmup_time_seconds (config.py:147)
 PREDICT_WINDOW_S = 600.0      # _calculate_predictive_target window
@@ -147,8 +154,9 @@ def autoscaler_stream_decisions(metrics_stream: DataFrame) -> DataFrame:
 # Full three-target blend controller (round-6 verdict ask #2): the
 # reference combines 0.4*capacity + 0.3*PID + 0.3*predictive with a
 # confidence score (src/autoscaler/controller.py:283-312), where the PID
-# is the kp=1.0/ki=0.1/kd=0.05 integral/derivative recurrence
-# (controller.py:67-110) and the predictive leg is a least-squares
+# is the integral/derivative recurrence (controller.py:67-110) under
+# the constructed per-worker-type gains + service rates (PROFILES
+# above, controller.py:120-135) and the predictive leg is a least-squares
 # arrival-rate trend over the trailing 600 s extrapolated warmup_time
 # ahead (controller.py:330-368). Determinization choices, documented:
 #   - pid.last_time seeds at the worker's FIRST metric window (the
@@ -183,6 +191,16 @@ BLEND_SCHEMA = T.StructType([
 ])
 
 _PRED_LAGS = 5  # 600 s window at 120 s cadence -> current + 5 lags
+
+
+def profile_for(worker_type: str) -> tuple[float, float, float, float]:
+    """Per-worker-type (kp, ki, kd, service_rate). The synthetic metric
+    stream's worker types are event names, not the reference's literal
+    'stt'/'ocr' keys; parity requires exercising BOTH constructed
+    controller profiles (controller.py:120-135), so assignment is by a
+    rule both engines compute exactly the same way: odd-length names
+    take the stt profile, even-length names the ocr profile."""
+    return PROFILES["stt" if len(worker_type) % 2 == 1 else "ocr"]
 
 
 def _predicted_rate(hist: list[tuple[float, float]]) -> float | None:
@@ -251,17 +269,18 @@ def blended_controller_step(
                          "replicas": replicas, "action": "no_change",
                          "conf_q": _q6(1.0)})
             continue
+        kp, ki, kd, sr = profile_for(str(r.worker_type))
         # capacity leg (controller.py:315-330; rate > 0 by construction)
-        cap_t = float(math.ceil(r.rate / TARGET_UTIL / SERVICE_RATE))
-        # PID leg (controller.py:67-110 + 332-345)
-        util = r.rate / (replicas * SERVICE_RATE)
+        cap_t = float(math.ceil(r.rate / TARGET_UTIL / sr))
+        # PID leg (controller.py:67-110 + 332-345), per-type gains
+        util = r.rate / (replicas * sr)
         err = TARGET_UTIL - util
         dt = ws - last_t
         if dt <= 0:
             pid_out = 0.0
         else:
             integral = integral + err * dt
-            pid_out = KP * err + KI * integral + KD * (err - last_err) / dt
+            pid_out = kp * err + ki * integral + kd * (err - last_err) / dt
             last_err = err
             last_t = ws
         pid_t = max(1.0, replicas + pid_out * 2)
@@ -270,7 +289,7 @@ def blended_controller_step(
         if pr is None or pr <= 0:
             pred_t = float(replicas)
         else:
-            pred_t = float(math.ceil(pr / TARGET_UTIL / SERVICE_RATE))
+            pred_t = float(math.ceil(pr / TARGET_UTIL / sr))
         # blend + clamp (controller.py:283-295); int() truncates, and
         # the sum is positive, so floor == the reference's int()
         target = int(0.4 * cap_t + 0.3 * pid_t + 0.3 * pred_t)

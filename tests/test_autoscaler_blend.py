@@ -132,6 +132,30 @@ def test_blend_clamps_to_reference_worker_bounds():
     assert out["target"].min() >= 1
 
 
+def test_per_worker_type_profiles():
+    """controller.py:120-135: the constructed controllers override the
+    class defaults per worker type. Odd-length names run the stt
+    profile (kp=2.0/ki=0.1/kd=0.05, sr=2.0), even-length the ocr one
+    (kp=1.5/ki=0.08/kd=0.03, sr=1.0) — the same metric stream must
+    yield different capacity targets (service rate) and different PID
+    targets (gains + utilization error)."""
+    rows = [(_BASE, 9.0, 1), (_BASE + 400.0, 2.0, 1)]
+    stt_out, _ = blended_controller_step(_metrics(rows), *_fresh_state())
+    pdf = _metrics(rows)
+    pdf["worker_type"] = "xx"          # even length -> ocr profile
+    ocr_out, _ = blended_controller_step(pdf, *_fresh_state())
+    # capacity: ceil(9/0.7/2.0) = 7 vs ceil(9/0.7/1.0) = 13
+    assert stt_out.loc[0, "cap_q"] == 7_000_000
+    assert ocr_out.loc[0, "cap_q"] == 13_000_000
+    # blend lands on different replica counts
+    assert stt_out.loc[0, "replicas"] != ocr_out.loc[0, "replicas"]
+    # row 2: both PID legs are live (err > 0, un-saturated) and the
+    # gain sets separate them
+    assert stt_out.loc[1, "pid_q"] > 1_000_000
+    assert ocr_out.loc[1, "pid_q"] > 1_000_000
+    assert stt_out.loc[1, "pid_q"] != ocr_out.loc[1, "pid_q"]
+
+
 def test_confidence_discount_branches():
     """util near target -> x0.5; empty queue on a scale-up -> x0.3."""
     # rate 1.4 at 1 replica -> util = 0.7 exactly -> |diff| < 0.1
