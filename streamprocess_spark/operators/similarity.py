@@ -432,6 +432,223 @@ def semdedup(
     )
 
 
+# ---------------------------------------------------------------------------
+# scale-mode SemDeDup: coarse sign-LSH partition + per-group k-means
+# ---------------------------------------------------------------------------
+
+# plane-hash namespace for the coarse partition code — disjoint from
+# lsh_buckets' table ids (0..n_tables-1) so the coarse split is
+# statistically independent of the q49 ANN tables
+COARSE_TABLE = 9001
+
+
+def coarse_codes(
+    emb: DataFrame,
+    bits: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Single-table sign-LSH code of ``bits`` planes — the coarse,
+    similarity-preserving partition key for :func:`semdedup_scaled`.
+    Map-only (fixed-point dot signs, codegen, no Python); bits=0 puts
+    the whole corpus in group 0."""
+    code = F.lit(0).cast("bigint")
+    for p in range(bits):
+        plane = F.array(
+            *[F.lit(_plane_component(COARSE_TABLE, p, j)) for j in range(dim)]
+        )
+        code = code + F.when(
+            _dot(F.col(vec_col), plane) > 0, F.lit(1 << p)
+        ).otherwise(0).cast("bigint")
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        code.alias("coarse"),
+    )
+
+
+def _kmeans_assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-group nearest centroid: the grp equi-join against the
+    broadcast centroid table means each vector scores ONLY its own
+    group's k centroids — scored rows stay N·k regardless of how many
+    groups exist. Same determinism discipline as _kmeans_assign."""
+    vn = F.sqrt(_self_dot(F.col("embedding")))
+    cn = F.sqrt(_self_dot(F.col("cent")))
+    scored = v.join(F.broadcast(cents), "coarse").select(
+        "coarse",
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(_dot(F.col("embedding"), F.col("cent")) / (vn * cn), 6).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("coarse", "vec_id", "embedding", F.col("cent_id").alias("bucket"), "s")
+    )
+
+
+def kmeans_fit_grouped(
+    v: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means run independently inside every ``coarse`` group of
+    ``v`` (columns: coarse, vec_id, embedding) — the grouped twin of
+    :func:`kmeans_fit` with the same fixed-point/tie-break discipline.
+
+    Scale shape: with G groups of k centroids each, assignment is a
+    broadcast equi-join on the group key (G·k centroid rows broadcast;
+    each vector scores only k candidates → N·k scored rows, independent
+    of G), and the update is one keyed shuffle on (coarse, bucket).
+    Total cost is O(N·k) per iteration however large G grows — this is
+    what lets the centroid count track the corpus while the plan stays
+    linear.
+
+    Deterministic init: the k lowest vec_ids of each group, cent_id =
+    rank-1 (reduces to kmeans_fit's vec_id<k convention for bits=0 over
+    dense ids)."""
+    w0 = Window.partitionBy("coarse").orderBy("vec_id")
+    cents = (
+        v.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= k)
+        .select(
+            "coarse",
+            (F.col("rn") - 1).cast("bigint").alias("cent_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent"),
+        )
+    )
+    for _ in range(n_iter):
+        assigned = _kmeans_assign_grouped(v, cents)
+        sums = assigned.groupBy("coarse", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.col("embedding")[i].cast("double") * F.lit(MEAN_SCALE)
+                    ).cast("bigint")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = sums.select(
+            "coarse",
+            F.col("bucket").alias("cent_id"),
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double")
+                    / (F.lit(MEAN_SCALE) * F.col("cnt").cast("double"))
+                    for i in range(dim)
+                ]
+            ).alias("cent_new"),
+        )
+        cents = (
+            cents.join(new, ["coarse", "cent_id"], "left")
+            .select(
+                "coarse",
+                "cent_id",
+                F.coalesce(F.col("cent_new"), F.col("cent")).alias("cent"),
+            )
+        )
+    return _kmeans_assign_grouped(v, cents), cents
+
+
+def semdedup_scaled(
+    emb: DataFrame,
+    bits: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """:func:`semdedup` in its at-scale configuration: a coarse
+    sign-LSH partition (2^bits similarity-preserving groups) followed
+    by per-group k-means, so the TOTAL cluster count (2^bits · k)
+    tracks the corpus while every stage stays linear in N.
+
+    Why this exists: plain semdedup at fixed k has sum(|cluster|²)
+    within-cluster pair cost — 10× the corpus means ~100× the pairs
+    (the bench soak measures exactly this degradation). Growing k
+    directly instead makes exact Lloyd assignment N·k ∝ N² — the paper
+    sidesteps it with GPU faiss. The coarse-partition form is the
+    engine-native fix: bits is a deployment knob sized to the corpus
+    (bits ≈ log2(N / (target_cluster_size · k))), giving
+      - coarse codes: map-only, N·bits;
+      - k-means: N·k per iteration (grouped broadcast join — see
+        kmeans_fit_grouped);
+      - pair enumeration: equi-join on (coarse, bucket), ~N·target
+        pairs.
+    The recall trade is the standard LSH one — a near-dup pair split by
+    a coarse hyperplane is missed, the same contract as lsh_buckets /
+    minhash bands (amplify with bands there; here dedup needs single
+    assignment, so the boundary costs a few % recall and is documented
+    rather than hidden).
+
+    bits=0 reduces exactly to semdedup(k=k) over dense vec_ids (tested).
+    Returns per-cluster stats keyed (coarse, bucket)."""
+    v = coarse_codes(emb, bits, dim=dim)
+    assigned, _ = kmeans_fit_grouped(v, k=k, n_iter=n_iter, dim=dim)
+    a = with_norm(assigned.select("coarse", "vec_id", "embedding", "bucket", "s"))
+    x, y = a.alias("x"), a.alias("y")
+    pairs = (
+        x.join(
+            y,
+            on=[
+                F.col("x.coarse") == F.col("y.coarse"),
+                F.col("x.bucket") == F.col("y.bucket"),
+                F.col("x.vec_id") < F.col("y.vec_id"),
+            ],
+        )
+        .select(
+            F.col("x.coarse").alias("coarse"),
+            F.col("x.bucket").alias("bucket"),
+            F.col("x.vec_id").alias("vx"),
+            F.col("y.vec_id").alias("vy"),
+            F.col("x.s").alias("sx"),
+            F.col("y.s").alias("sy"),
+            F.round(
+                _dot(F.col("x.embedding"), F.col("y.embedding"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    members = a.groupBy("coarse", "bucket").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    dup_pairs = pairs.groupBy("coarse", "bucket").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    pruned = (
+        pairs.select(
+            "coarse",
+            "bucket",
+            F.when(F.col("sx") > F.col("sy"), F.col("vx"))
+            .when(F.col("sy") > F.col("sx"), F.col("vy"))
+            .otherwise(F.greatest("vx", "vy"))
+            .alias("vec_id"),
+        )
+        .distinct()
+        .groupBy("coarse", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_pruned"))
+    )
+    return (
+        members.join(dup_pairs, ["coarse", "bucket"], "left")
+        .join(pruned, ["coarse", "bucket"], "left")
+        .select(
+            "coarse",
+            "bucket",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        )
+    )
+
+
 def _dot_fp(a, b):
     """Fixed-point dot WITHOUT the final division — a bigint, safe to
     re-sum across subspaces order-independently (divide once at the

@@ -1348,6 +1348,173 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, k=8, n_iter=2, dim=64, threshold=0.35)
 
 
+# oracle fragment: one grouped Lloyd assignment — nearest of the k
+# centroids WITHIN each coarse group (centroid table {C} is keyed
+# (coarse, cent_id)); same fixed-point dots / round-6 / cent_id
+# tie-break as _km_assign_cte. Assignment CTE is named a{T}.
+def _kmg_assign_cte(C: str, T: str) -> str:
+    return f"""
+    cn{T} AS (
+        SELECT coarse, cent_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT coarse, cent_id, unnest(cent)::DOUBLE AS a FROM {C})
+        GROUP BY coarse, cent_id
+    ), p{T} AS (
+        SELECT t.vec_id, t.coarse, c.cent_id,
+               unnest(t.embedding)::DOUBLE AS a,
+               unnest(c.cent)::DOUBLE AS b
+        FROM v t JOIN {C} c ON c.coarse = t.coarse
+    ), d{T} AS (
+        SELECT vec_id, coarse, cent_id, {_DOT_FP} AS dot
+        FROM p{T} GROUP BY vec_id, coarse, cent_id
+    ), s{T} AS (
+        SELECT d.vec_id, d.coarse, d.cent_id,
+               round(d.dot / (vn.nrm * cn{T}.nrm), 6) AS s
+        FROM d{T} d JOIN vn ON vn.vec_id = d.vec_id
+                    JOIN cn{T} ON cn{T}.coarse = d.coarse
+                              AND cn{T}.cent_id = d.cent_id
+    ), a{T} AS (
+        SELECT coarse, vec_id, cent_id AS bucket, s
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, cent_id) AS rn
+              FROM s{T})
+        WHERE rn = 1
+    )"""
+
+
+# oracle fragment: one grouped Lloyd update — per-(coarse, bucket)
+# fixed-point means; emptied clusters keep the previous centroid.
+def _kmg_update_cte(A: str, CPREV: str, CNEXT: str, T: str) -> str:
+    return f"""
+    m{T} AS (
+        SELECT a.coarse, a.bucket, r.i,
+               sum(floor(t.embedding[r.i + 1]::DOUBLE
+                         * 1000000000.0)::BIGINT) AS sfp,
+               count(*) AS cnt
+        FROM {A} a JOIN v t USING (vec_id), range(0, 64) r(i)
+        GROUP BY a.coarse, a.bucket, r.i
+    ), {CNEXT}m AS (
+        SELECT coarse, bucket AS cent_id,
+               list((sfp::DOUBLE) / (1000000000.0 * cnt) ORDER BY i) AS cent
+        FROM m{T} GROUP BY coarse, bucket
+    ), {CNEXT} AS (
+        SELECT {CPREV}.coarse, {CPREV}.cent_id,
+               coalesce({CNEXT}m.cent, {CPREV}.cent) AS cent
+        FROM {CPREV} LEFT JOIN {CNEXT}m USING (coarse, cent_id)
+    )"""
+
+
+_Q149_BITS, _Q149_K = 2, 4
+
+
+@register(
+    "q149_semdedup_scale",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+    cplanes AS (
+        SELECT r2.p, r3.j,
+               (((('0x' || substr(md5(9001 || ':' || r2.p || ':' || r3.j),
+                    1, 15))::BIGINT % 1000000007) % 2001) - 1000) / 1000.0
+                   AS comp
+        FROM range(0, {_Q149_BITS}) r2(p), range(0, 64) r3(j)
+    ), cdots AS (
+        SELECT e.vec_id, pl.p,
+               cast(sum(cast(floor(e.embedding[pl.j + 1]::DOUBLE * pl.comp
+                                   * 1000000000000.0) AS BIGINT)) AS BIGINT)
+                   AS dfp
+        FROM v0 e, cplanes pl
+        GROUP BY 1, 2
+    ), codes AS (
+        SELECT vec_id,
+               cast(sum(CASE WHEN dfp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                    AS BIGINT) AS coarse
+        FROM cdots GROUP BY vec_id
+    ), v AS (
+        SELECT e.vec_id, e.embedding, c.coarse
+        FROM v0 e JOIN codes c USING (vec_id)
+    ),
+    vn AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM v0)
+        GROUP BY vec_id
+    ),
+    c0 AS (
+        SELECT coarse, rn - 1 AS cent_id, cent FROM (
+            SELECT coarse,
+                   row_number() OVER (PARTITION BY coarse
+                                      ORDER BY vec_id) AS rn,
+                   list_transform(embedding, x -> x::DOUBLE) AS cent
+            FROM v) WHERE rn <= {_Q149_K}
+    ),
+    {{km}},
+    pp AS (
+        SELECT x.coarse, x.bucket, x.vec_id AS vx, y.vec_id AS vy,
+               x.s AS sx, y.s AS sy,
+               unnest(ex.embedding)::DOUBLE AS a,
+               unnest(ey.embedding)::DOUBLE AS b
+        FROM a2 x JOIN a2 y ON x.coarse = y.coarse AND x.bucket = y.bucket
+                           AND x.vec_id < y.vec_id
+             JOIN v0 ex ON ex.vec_id = x.vec_id
+             JOIN v0 ey ON ey.vec_id = y.vec_id
+    ),
+    pd AS (
+        SELECT coarse, bucket, vx, vy, min(sx) AS sx, min(sy) AS sy,
+               {_DOT_FP} AS dot
+        FROM pp GROUP BY coarse, bucket, vx, vy
+    ),
+    dup AS (
+        SELECT p.coarse, p.bucket, p.vx, p.vy, p.sx, p.sy
+        FROM pd p JOIN vn nx ON nx.vec_id = p.vx
+                  JOIN vn ny ON ny.vec_id = p.vy
+        WHERE round(p.dot / (nx.nrm * ny.nrm), 6) >= 0.35
+    ),
+    mem AS (SELECT coarse, bucket, count(*)::BIGINT AS n_members
+            FROM a2 GROUP BY 1, 2),
+    dp AS (SELECT coarse, bucket, count(*)::BIGINT AS n_dup_pairs
+           FROM dup GROUP BY 1, 2),
+    pr AS (
+        SELECT coarse, bucket, count(*)::BIGINT AS n_pruned FROM (
+            SELECT DISTINCT coarse, bucket,
+                   CASE WHEN sx > sy THEN vx
+                        WHEN sy > sx THEN vy
+                        ELSE greatest(vx, vy) END AS vec_id
+            FROM dup
+        ) GROUP BY coarse, bucket
+    )
+    SELECT m.coarse, m.bucket, m.n_members,
+           coalesce(dp.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+           coalesce(pr.n_pruned, 0)::BIGINT AS n_pruned
+    FROM mem m LEFT JOIN dp USING (coarse, bucket)
+               LEFT JOIN pr USING (coarse, bucket)
+    """.format(km=",\n    ".join([
+        _kmg_assign_cte("c0", "0").strip().lstrip(),
+        _kmg_update_cte("a0", "c0", "c1", "0").strip().lstrip(),
+        _kmg_assign_cte("c1", "1").strip().lstrip(),
+        _kmg_update_cte("a1", "c1", "c2", "1").strip().lstrip(),
+        _kmg_assign_cte("c2", "2").strip().lstrip(),
+    ])),
+    covers=("§2.13-dedup", "§2.13-similarity"),
+    doc="SemDeDup in its at-scale configuration "
+        "(operators/similarity.py:semdedup_scaled): a coarse sign-LSH "
+        "partition (md5-seeded hyperplanes, the q49 family, namespace "
+        "9001) splits the corpus into 2^bits similarity-preserving "
+        "groups, then the SAME k-means + within-cluster prune runs "
+        "independently per group. Total cluster count (2^bits·k) "
+        "tracks the corpus while every stage stays linear: coarse "
+        "codes are map-only, grouped Lloyd assignment is a broadcast "
+        "equi-join on the group key (N·k scored rows regardless of "
+        "group count), pairs stay within (coarse, bucket). Fixed-k "
+        "semdedup (q103) degrades quadratically in cluster size as "
+        "the corpus grows — the bench soak measures both side by "
+        "side. Oracle replays plane generation, group codes, BOTH "
+        "grouped Lloyd iterations, and the pairwise prune bit-for-bit.",
+)
+def q149_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.semdedup_scaled(
+        emb, bits=_Q149_BITS, k=_Q149_K, n_iter=2, dim=64, threshold=0.35
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filter (§2.13 text quality)
 # ---------------------------------------------------------------------------

@@ -103,3 +103,67 @@ def test_pq_adc_recall_vs_exact(spark):
     a = {(r.qid, r.cid) for r in pq}
     recall = len(e & a) / len(e)
     assert recall >= 0.1, f"ADC recall collapsed: {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# scale-mode SemDeDup (q149): coarse sign-LSH partition + grouped k-means
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_scaled_bits0_reduces_to_semdedup(spark):
+    """bits=0 puts the whole corpus in coarse group 0, and the grouped
+    init (k lowest vec_ids per group, cent_id = rank-1) coincides with
+    kmeans_fit's vec_id<k convention over the dense embedding ids — so
+    semdedup_scaled must reproduce semdedup EXACTLY, row for row."""
+    import streamprocess_spark.operators.similarity as S
+    from streamprocess_spark.io.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    plain = {tuple(r) for r in
+             S.semdedup(emb, k=8, n_iter=2, dim=64, threshold=0.35).collect()}
+    scaled = S.semdedup_scaled(
+        emb, bits=0, k=8, n_iter=2, dim=64, threshold=0.35).collect()
+    assert all(r.coarse == 0 for r in scaled)
+    assert {tuple(r)[1:] for r in scaled} == plain
+
+
+def test_semdedup_scaled_partition_accounting(spark):
+    """Every vector lands in exactly one (coarse, bucket): member
+    counts over the scaled stats must sum to the corpus size, groups
+    must stay within 2^bits, and per-group cluster ids within k."""
+    import streamprocess_spark.operators.similarity as S
+    from streamprocess_spark.io.tables import load_tables
+
+    bits, k = 2, 4
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    rows = S.semdedup_scaled(
+        emb, bits=bits, k=k, n_iter=2, dim=64, threshold=0.35).collect()
+    assert sum(r.n_members for r in rows) == emb.count()
+    assert {r.coarse for r in rows} <= set(range(1 << bits))
+    assert all(0 <= r.bucket < k for r in rows)
+    assert all(r.n_pruned <= r.n_dup_pairs for r in rows)
+    # the coarse split must actually divide the corpus (not collapse
+    # into one group — a broken plane hash would do that silently)
+    assert len({r.coarse for r in rows}) >= 2
+
+
+def test_semdedup_scaled_pair_work_is_bounded_by_partitioning(spark):
+    """The linearity witness: at fixed target cluster size, doubling
+    bits (4x groups) must cut the within-cluster pair count roughly
+    proportionally — sum(|cluster| choose 2) is the actual work the
+    coarse partition exists to bound."""
+    import streamprocess_spark.operators.similarity as S
+    from streamprocess_spark.io.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+
+    def pair_work(bits):
+        rows = S.semdedup_scaled(
+            emb, bits=bits, k=4, n_iter=1, dim=64, threshold=2.0).collect()
+        return sum(r.n_members * (r.n_members - 1) // 2 for r in rows)
+
+    w0, w2 = pair_work(0), pair_work(2)
+    # 4x more clusters must reduce candidate pairs by at least 2x
+    # (exact factor depends on balance; collapse to ~1x would mean the
+    # coarse codes are not partitioning)
+    assert w2 * 2 <= w0, (w0, w2)
