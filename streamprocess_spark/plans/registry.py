@@ -93,19 +93,22 @@ _LOADED = False
 # Composites stand in for their constituent thin queries inside the
 # top 50; the constituents stay registered below slot 50 so the repo
 # parity suite still checks each one individually.
+#
+# Round-8 rotation (round-7 verdict #7): 167 registered queries, 50
+# driver slots — eight slots long-green since round <=3 (q4, q7, q8,
+# q10, q31, q32, q69, q70; each with >=2 consecutive driver-green
+# rounds in CORRECTNESS_r06/r07) rotate below slot 50 in favour of
+# queries that never had driver-grade evidence (q99/q111/q122/q135/
+# q139/q149 + the z-order/compaction layout planners). The rotated-out
+# base ids (§2.8, O5, J4, R7, §2.10-builtins, free-rollup/-distinct/
+# -cube) keep full oracle parity in the repo suite every run.
 TOP50: tuple[str, ...] = (
     # relational core
     "q1_pricing_summary",
     "q2_shipping_priority",
     "q3_local_supplier_volume",
-    "q4_rollup_acctbal",
     "q_semi_anti_join",          # q5 + q6
-    "q7_set_ops",
-    "q8_distinct_counts",
     "q102_bm25_search",          # O4/W3 carried by q24/q15; adds §2.13 search
-    "q10_substr_truncate",
-    "q31_cube_order_stats",
-    "q32_time_functions",
     # dataflow / queue engine
     "q_queue_admin",             # q11 + q12 + q13
     "q14_json_envelope",
@@ -115,8 +118,6 @@ TOP50: tuple[str, ...] = (
     "q18_zip_explode",
     "q19_batch_formation",
     "q68_region_blocks",
-    "q69_config_broadcast",
-    "q70_config_gate",
     "q71_salted_agg",
     "q90_queue_source_counts",
     # windows / analytics
@@ -141,6 +142,15 @@ TOP50: tuple[str, ...] = (
     "q103_semdedup",             # same tags as q72 + the SemDeDup pipeline
     "q73_ann_ivf_topk",
     "q_corpus_suite",            # q74 + q75 + q85 + q87 + q88
+    # round-8 rotation: first driver-grade evidence for these
+    "q99_ann_ivf_trained",
+    "q111_pq_ann",
+    "q122_incremental_dedup",
+    "q135_cdc_dedup",
+    "q139_substring_spans",
+    "q149_semdedup_scale",
+    "q109_zorder_layout",
+    "q119_compaction_plan",
     # multimodal
     "q_audio_suite",             # q50 + q51 + q52 + q57 + q58 + WAV
     "q_image_suite",             # q54 + q60..q64 + q66

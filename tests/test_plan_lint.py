@@ -58,6 +58,24 @@ _ALLOWED_NESTED_LOOP = {
 }
 _ALLOWED_ROW_PYTHON = {"q78_segment_udtf"}
 
+# Max distinct `Scan parquet` nodes per BASE TABLE per query plan
+# (round-7 verdict #2): the lineage-blowup class — an iterative
+# operator whose uncached loop chains a corpus-wide subtree into every
+# downstream reference — shows up as the same parquet file scanned
+# 15-40x (q103/q149 measured 40 before the round-8 fix, now 3). A
+# legitimate plan re-reads a table only for self-joins / multi-branch
+# aggregations, bounded by the number of branches, so 8 is generous.
+_MAX_SCANS_PER_TABLE = 8
+
+# Exempt: union-of-independent-legs diagnostic suites. Each leg is a
+# map-only kernel scanning `documents` once over a pruned projection
+# (14/17 legs -> 14/17 scans); the scans are per-leg by construction,
+# not an iterative subtree re-executed, and the per-leg cost is one
+# pruned pass. The operators a 100 TB job would actually run are the
+# individual registered legs (q59/q67/q128/q143/q146/...), each of
+# which IS under the bound.
+_ALLOWED_MANY_SCANS = {"q_dsp_parity", "q_media_invariants"}
+
 _BATCH_QUERIES = sorted(
     n for n in QUERIES if not n.startswith("stream_")
 )
@@ -71,6 +89,23 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _scan_counts_per_table(plan: str) -> dict[str, int]:
+    """Distinct `Scan parquet` nodes per base table: formatted explain
+    prints each scan once in the tree and once as a `(N) Scan parquet`
+    detail block whose Location line carries the file path — count the
+    detail blocks, keyed by file stem."""
+    import re
+
+    counts: dict[str, int] = {}
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if not block.startswith("Scan parquet"):
+            continue
+        m = re.search(r"Location:.*?([A-Za-z0-9_]+)\.parquet", block)
+        table = m.group(1) if m else "<unknown>"
+        counts[table] = counts.get(table, 0) + 1
+    return counts
+
+
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_no_quadratic_joins_or_row_python(spark, name):
     plan = _plan(spark, name)
@@ -79,6 +114,13 @@ def test_no_quadratic_joins_or_row_python(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
     if name not in _ALLOWED_ROW_PYTHON:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name in _ALLOWED_MANY_SCANS:
+        return
+    for table, n in _scan_counts_per_table(plan).items():
+        assert n <= _MAX_SCANS_PER_TABLE, (
+            f"{name}: {n} scans of {table}.parquet in one plan — "
+            f"uncached iterative lineage? (bound {_MAX_SCANS_PER_TABLE})"
+        )
 
 
 def test_exemption_broadcast_side_is_the_small_side(spark):
@@ -112,7 +154,14 @@ _BELOW_50_ONLY_OK = {
     # q_autoscale_plan)
     "A11-adjacent", "M-ops", "R7-adjacent", "S12-adjacent", "S14-adjacent",
     "free-approx-distinct",
-    "§2.11-stateful", "§2.13-layout", "§3-control",
+    "§2.11-stateful", "§3-control",
+    # round-8 rotation (round-7 verdict #7): these base ids' queries
+    # (q4, q7, q8, q10, q31, q32, q69, q70) were driver-green in BOTH
+    # CORRECTNESS_r06 and r07 and rotated below slot 50 so the driver
+    # samples never-evidenced slots; the repo oracle-parity suite still
+    # checks every one each run
+    "§2.8", "O5", "J4", "R7", "§2.10-builtins",
+    "free-rollup", "free-distinct", "free-cube",
 }
 
 
