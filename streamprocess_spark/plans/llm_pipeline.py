@@ -8,6 +8,8 @@ dot products accumulate in decimal (order-independent, exact).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2380,10 +2382,9 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q123_corpus_admission",
-    oracle=f"""
-    WITH t AS (
+# Shared WITH-body of the corpus-admission decision table: used by
+# q123 and extended (near-dup stage + splits) by the q150 curation DAG.
+_ADMISSION_CTES = f"""t AS (
         SELECT doc_id, {_TOKS} AS toks,
                md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
                    AS fp
@@ -2424,7 +2425,13 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.2 * (1.0 - n_stop / greatest(n, 1.0)))), 6) AS quality,
                (1.0 - n_distinct / greatest(n, 1.0)) > 0.5 AS repetitive
         FROM m
-    )
+    )"""
+
+
+@register(
+    "q123_corpus_admission",
+    oracle=f"""
+    WITH {_ADMISSION_CTES}
     SELECT d.doc_id AS doc_id,
            CASE WHEN d.doc_id < 3 THEN 'eval_holdout'
                 WHEN dup.is_dup THEN 'drop_duplicate'
@@ -3393,6 +3400,47 @@ def q143_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def html_to_text(html) -> "F.Column":
+    """Crawl HTML -> training text, entirely JVM-side (q144's chain,
+    shared with the q150 curation DAG): drop script/style blocks,
+    strip tags to spaces, decode the five basic entities, collapse
+    whitespace, trim. DuckDB runs the identical regexp/replace chain."""
+    return F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.replace(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        F.regexp_replace(
+                                            html,
+                                            r"(?s)<script[^>]*>.*?</script>",
+                                            "",
+                                        ),
+                                        r"(?s)<style[^>]*>.*?</style>",
+                                        "",
+                                    ),
+                                    r"<[^>]+>",
+                                    " ",
+                                ),
+                                F.lit("&amp;"), F.lit("&"),
+                            ),
+                            F.lit("&lt;"), F.lit("<"),
+                        ),
+                        F.lit("&gt;"), F.lit(">"),
+                    ),
+                    F.lit("&quot;"), F.lit('"'),
+                ),
+                F.lit("&#39;"), F.lit("'"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
+
 @register(
     "q144_html_extract",
     oracle="""
@@ -3467,40 +3515,7 @@ def q144_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         paras,
         F.lit("</body></html>"),
     )
-    txt = F.trim(
-        F.regexp_replace(
-            F.replace(
-                F.replace(
-                    F.replace(
-                        F.replace(
-                            F.replace(
-                                F.regexp_replace(
-                                    F.regexp_replace(
-                                        F.regexp_replace(
-                                            html,
-                                            r"(?s)<script[^>]*>.*?</script>",
-                                            "",
-                                        ),
-                                        r"(?s)<style[^>]*>.*?</style>",
-                                        "",
-                                    ),
-                                    r"<[^>]+>",
-                                    " ",
-                                ),
-                                F.lit("&amp;"), F.lit("&"),
-                            ),
-                            F.lit("&lt;"), F.lit("<"),
-                        ),
-                        F.lit("&gt;"), F.lit(">"),
-                    ),
-                    F.lit("&quot;"), F.lit('"'),
-                ),
-                F.lit("&#39;"), F.lit("'"),
-            ),
-            r"\s+",
-            " ",
-        )
-    )
+    txt = html_to_text(html)
     from streamprocess_spark.operators.dedup import MOD
 
     return docs.withColumn("txt", txt).select(
@@ -3746,5 +3761,249 @@ def q147_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.conv(F.substring(F.md5("body"), 1, 15), 16, 10)
                 .cast("bigint") % MOD
             ).cast("bigint").alias("body_md5_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150_curation_dag — the corpus-curation pipeline as ONE composed job
+# (round-7 verdict #5): WARC source -> HTML->text -> exact + near dedup
+# -> contamination -> admission -> splits, with every stage boundary
+# materialized through the txlog table format the way a real 100 TB
+# curation run checkpoints its stages.
+# ---------------------------------------------------------------------------
+
+
+def _stage_curation_warc(sf_dir: str) -> str:
+    """Producer edge for the curation DAG: the documents corpus as 8
+    crawl segment files whose response bodies are the REAL document
+    texts wrapped in HTML boilerplate (empty-title head, a style
+    block, a script block, the text in one <p>) — so the engine-side
+    extraction chain has genuine markup to strip and the recovered
+    text is token-identical to the source document (the oracle replays
+    the downstream signals from `documents` directly; every signal is
+    token-based, so the extraction trim is invisible to it). Driver-
+    side because it IS the crawler's writer edge (the
+    _stage_warc_segments pattern), deterministic, cached by mtime."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from streamprocess_spark.functions.warc import np_build_warc
+    from streamprocess_spark.io.tables import table_path
+
+    src = table_path(sf_dir, "documents")
+    key = src.strip("/").replace("/", "_")
+    wdir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_curation_warc", key
+    )
+    marker = os.path.join(wdir, "_READY")
+    if os.path.exists(marker) \
+            and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return wdir
+    tbl = pq.read_table(src, columns=["doc_id", "source", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    os.makedirs(wdir, exist_ok=True)
+    for b in range(8):
+        recs = [{
+            "warc_type": "warcinfo",
+            "record_id": f"uuid:curation-seg-{b}-info",
+            "target_uri": None,
+            "date": "2024-01-01T00:00:00Z",
+            "body": b"software: streamprocess-crawler\r\n",
+        }]
+        for d, srcname, text in zip(
+            tbl["doc_id"], tbl["source"], tbl["text"]
+        ):
+            d = int(d)
+            if d % 8 != b:
+                continue
+            html = (
+                "<html><head><title></title>"
+                "<style>p {color: red}</style></head><body>"
+                f"<script>var x = {d};</script>"
+                f"<p>{text}</p></body></html>"
+            )
+            recs.append({
+                "warc_type": "response",
+                "record_id": f"uuid:curation-{d}",
+                "target_uri": f"http://ex.com/{srcname}/{d}",
+                "date": "2024-01-01T00:00:00Z",
+                "http_status": 200,
+                "http_content_type": "text/html",
+                "body": html.encode(),
+            })
+        name = f"crawl-{b:02d}.warc" + (".gz" if b % 2 else "")
+        with open(os.path.join(wdir, name), "wb") as f:
+            f.write(np_build_warc(recs, gzip_members=bool(b % 2)))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return wdir
+
+
+@register(
+    "q150_curation_dag",
+    oracle=f"""
+    WITH {_minhash_sig_sql()}, bands AS ({_BANDS_SQL}),
+    near AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {_ADMISSION_CTES},
+    v AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id < 3 THEN 'eval_holdout'
+                    WHEN dup.is_dup THEN 'drop_duplicate'
+                    WHEN near.doc_id IS NOT NULL THEN 'drop_near_dup'
+                    WHEN contam.doc_id IS NOT NULL THEN 'drop_contaminated'
+                    WHEN q.repetitive THEN 'drop_repetitive'
+                    WHEN q.quality < 0.5 THEN 'drop_quality'
+                    WHEN d.doc_id % 4 = 0 THEN 'keep_scrubbed'
+                    ELSE 'keep' END AS verdict
+        FROM documents d
+        JOIN dup USING (doc_id)
+        LEFT JOIN near ON near.doc_id = d.doc_id
+        LEFT JOIN contam ON contam.doc_id = d.doc_id
+        JOIN q USING (doc_id)
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN h < 80 THEN 'train'
+                    WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('split:' || cast(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % {D.MOD} % 100 AS h
+              FROM documents)
+    )
+    SELECT v.verdict AS verdict, s.split AS split,
+           count(*)::BIGINT AS n_docs,
+           cast(sum(v.doc_id) AS BIGINT) AS membership_sum
+    FROM v JOIN s USING (doc_id)
+    WHERE v.verdict LIKE 'keep%'
+    GROUP BY 1, 2
+    """,
+    covers=("§2.13-text", "§2.13-dedup", "S15", "§2.13-layout"),
+    doc="The corpus-curation pipeline run as ONE composed job — the "
+        "shape a real 100 TB curation run has, where stage-boundary "
+        "materialization and shuffle reuse matter (round-7 verdict "
+        "#5). Stage 1 (ingest): crawl segments read through the "
+        "native WARC DataSource (q143/q147 path), HTML bodies "
+        "reduced to training text with the q144 JVM extraction chain "
+        "(script/style drop, tag strip, entity decode — zero Python "
+        "in the extraction), committed to a txlog table (io/txlog.py "
+        "— the Delta-protocol commit layer, so each stage is an "
+        "atomic, reviewable snapshot). Stage 2 (admission): q123's "
+        "decision table extended with a MinHash-LSH near-dup stage "
+        "(q45's banded candidates; verdict precedence eval_holdout > "
+        "exact-dup > near-dup > contamination > repetition > quality "
+        "> PII-scrub > keep), committed as the audit artifact. Stage "
+        "3 (splits): q127's salted-hash 80/10/10 assignment over the "
+        "ADMITTED corpus only, rolled up to (verdict, split) cells "
+        "with membership_sum fingerprinting the exact member sets. "
+        "The oracle replays the WHOLE composed decision — minhash "
+        "bands, admission CTEs, split hash — from `documents` in one "
+        "DuckDB query (the extraction round-trip is token-exact by "
+        "construction, asserted in tests). Scale: the only non-doc-"
+        "keyed shuffle is the LSH band join; each txlog commit is an "
+        "executor-parallel parquet write plus O(#files) driver "
+        "metadata.",
+)
+def q150_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from streamprocess_spark.io.txlog import TxTable
+    from streamprocess_spark.io.warc_source import register_warc_source
+
+    register_warc_source(spark)
+    wdir = _stage_curation_warc(sf_dir)
+    base = tempfile.mkdtemp(prefix="sp_curation_")
+
+    # stage 1: WARC -> HTML -> text, committed
+    recs = spark.read.format("warc").load(wdir)
+    extracted = (
+        recs.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            F.regexp_extract("target_uri", r"http://ex\.com/([^/]+)/", 1)
+            .alias("source"),
+            html_to_text(F.decode("body", "UTF-8")).alias("text"),
+        )
+    )
+    ext = TxTable.create(
+        spark, os.path.join(base, "extracted"), extracted
+    ).read(spark)
+
+    # stage 2: admission decision table (exact dup, near dup,
+    # contamination, repetition, quality), committed
+    t = ext.select("doc_id", X.fingerprint("text").alias("fp"))
+    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dup = t.join(canon, "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
+    )
+    near = (
+        D.minhash_candidates(ext, "doc_id", "text")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    grams = D.doc_shingles(ext, "doc_id", "text", n=4)
+    bench = grams.filter(F.col("doc_id") < 3).select("tok").distinct()
+    contam = (
+        grams.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(bench), "tok")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    toks = X.tokens_col("text")
+    n = F.size(toks).cast("double")
+    q = ext.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        (
+            (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+             / F.greatest(n, F.lit(1.0))) > F.lit(0.5)
+        ).alias("repetitive"),
+    )
+    verdict = (
+        F.when(F.col("doc_id") < 3, "eval_holdout")
+        .when(F.col("is_dup"), "drop_duplicate")
+        .when(F.col("near_dup"), "drop_near_dup")
+        .when(F.col("contaminated"), "drop_contaminated")
+        .when(F.col("repetitive"), "drop_repetitive")
+        .when(F.col("quality") < 0.5, "drop_quality")
+        .when(F.col("doc_id") % 4 == 0, "keep_scrubbed")
+        .otherwise("keep")
+    )
+    admission = (
+        ext.select("doc_id", "source")
+        .join(dup, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(q, "doc_id")
+        .select("doc_id", "source", verdict.alias("verdict"))
+    )
+    adm = TxTable.create(
+        spark, os.path.join(base, "admission"), admission
+    ).read(spark)
+
+    # stage 3: reproducible splits over the ADMITTED corpus
+    h = D.token_hash(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        adm.filter(F.col("verdict").startswith("keep"))
+        .select("verdict", split.alias("split"), "doc_id")
+        .groupBy("verdict", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("membership_sum"),
         )
     )
