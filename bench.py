@@ -261,12 +261,118 @@ def _bench_soak(spark, sf_dir: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# ANN recall at scale (round-7 verdict #6): runtime scaling is soak-
+# measured, but result QUALITY under scale was only tested at sf0.001.
+# recall@5 vs the exact top-k (q48 ground truth) at the bench SF and at
+# the deep x10 corpus, gated at per-query floors. Floors follow the
+# repo test suite (q49 >= 0.4, q111 >= 0.1, tests/test_similarity.py)
+# extended to the IVF pair from the measured sf0.1 values (0.98 / 0.80)
+# with ~2x headroom. Note the deep x10 leg is structurally easier (the
+# key-shifted upscale replicates embedding VALUES, so each query's top-5
+# is its own replicas and any correctly-bucketed index recovers them —
+# recall ~1.0 is the expected healthy reading there; the leg exists to
+# catch bucketing/assignment breakage at scale, the sf leg carries the
+# discriminative floor).
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_FLOORS = {
+    "q49_ann_lsh_topk": 0.4,
+    "q73_ann_ivf_topk": 0.6,
+    "q99_ann_ivf_trained": 0.5,
+    "q111_pq_ann": 0.1,
+}
+
+
+def _bench_ann_recall(spark, sf_dir: str) -> dict:
+    from streamprocess_spark.plans import QUERIES
+
+    legs = {"sf": sf_dir}
+    if not os.environ.get("SPARK_GRAFT_SKIP_DEEP"):
+        legs["deep"] = ensure_deep_dir(sf_dir)
+    out: dict[str, dict] = {}
+    for leg, d in legs.items():
+        exact = {
+            (r["qid"], r["cid"])
+            for r in QUERIES["q48_embedding_topk"].builder(spark, d).collect()
+        }
+        out[leg] = {}
+        for name, floor in ANN_RECALL_FLOORS.items():
+            approx = {
+                (r["qid"], r["cid"])
+                for r in QUERIES[name].builder(spark, d).collect()
+            }
+            rec = round(len(exact & approx) / max(len(exact), 1), 4)
+            out[leg][name] = {"recall_at_5": rec, "floor": floor}
+            print(f"# ann recall[{leg}] {name}: {rec} (floor {floor})",
+                  file=sys.stderr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus-curation DAG (round-7 verdict #5): the pipeline
+# pieces are individually green; this times them as ONE composed job
+# (q150: WARC source -> HTML->text -> dedup -> contamination ->
+# admission -> splits through txlog stage tables) and replays the final
+# admitted-corpus verdict counts in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _bench_curation(spark, sf_dir: str) -> dict:
+    import duckdb
+
+    from streamprocess_spark.plans import QUERIES
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchone()[0]
+    el, rows = float("inf"), None
+    for _ in range(2):     # min-of-2, the headline policy
+        t0 = time.perf_counter()
+        rows = sorted(
+            (r["verdict"], r["split"], r["n_docs"], r["membership_sum"])
+            for r in QUERIES["q150_curation_dag"].builder(spark, sf_dir)
+            .collect()
+        )
+        el = min(el, time.perf_counter() - t0)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    oracle_rows = sorted(
+        tuple(r)
+        for r in con.execute(
+            QUERIES["q150_curation_dag"].oracle_sql()
+        ).fetchall()
+    )
+    verified = rows == oracle_rows
+    out = {
+        "n_docs": int(n_docs),
+        "cells": len(rows),
+        "admitted_docs": int(sum(r[2] for r in rows)),
+        "value": round(el, 4),
+        "docs_per_sec": round(n_docs / el, 1),
+        "verified": bool(verified),
+    }
+    print(
+        f"# curation DAG: {el:.3f}s ({out['docs_per_sec']} docs/s, "
+        f"{out['admitted_docs']}/{n_docs} admitted, "
+        f"replay {'OK' if verified else 'MISMATCH'})",
+        file=sys.stderr,
+    )
+    return out
+
+
 N_STREAMS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_STREAMS", "100"))
+SCALE_STREAMS = int(
+    os.environ.get("SPARK_GRAFT_FLAGSHIP_SCALE_STREAMS", "1000")
+)
 
 
-def _flagship_once(spark, chunks, label: str) -> dict:
+def _flagship_once(spark, chunks, label: str, n_runs: int = 2) -> dict:
     """Enqueue one chunk workload and time the queue -> sessionizer ->
-    result-store pipeline end to end (min of 2 fresh runs)."""
+    result-store pipeline end to end (min of n_runs fresh runs)."""
     from pyspark.sql import functions as F
 
     from streamprocess_spark.io.queue_source import (
@@ -376,7 +482,7 @@ def _flagship_once(spark, chunks, label: str) -> dict:
     # unchanged code — one-off scheduler/GC jitter lands straight in
     # the round delta unless the section is repeated)
     el, delivered = float("inf"), 0
-    for _ in range(2):
+    for _ in range(n_runs):
         el_i, delivered_i = _one_run()
         if el_i < el:
             el, delivered = el_i, delivered_i
@@ -427,6 +533,18 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
     )
     chunks_skew = chunks_from_events(ev_skew, DEFAULT_CONFIG)
     out["skew"] = _flagship_once(spark, chunks_skew, "skew")
+
+    # 1,000-stream leg (round-7 verdict #8): the state-store growth
+    # story — bounded per-key state, T8 reaping — exercised at 10x the
+    # stream count. Single run (the workload is ~10x the even leg's;
+    # chunks/s, not wall time, is the gated figure) and gated within 2x
+    # of the 100-stream throughput like the skew leg.
+    chunks_scale = chunks_from_events(
+        ev, DEFAULT_CONFIG, max_users=SCALE_STREAMS
+    )
+    out["scale"] = _flagship_once(
+        spark, chunks_scale, f"scale-{SCALE_STREAMS}", n_runs=1
+    )
     return out
 
 
@@ -539,6 +657,14 @@ def main() -> None:
             "queries": deep_timings,
         }
 
+    # ANN result quality at scale (round-7 verdict #6)
+    if not os.environ.get("SPARK_GRAFT_SKIP_ANN_RECALL"):
+        result["ann_recall"] = _bench_ann_recall(spark, sf_dir)
+
+    # end-to-end corpus-curation DAG (round-7 verdict #5)
+    if not os.environ.get("SPARK_GRAFT_SKIP_CURATION"):
+        result["curation"] = _bench_curation(spark, sf_dir)
+
     # flagship stateful path: priority-queue DataSource -> sessionizer
     # (applyInPandasWithState) -> result-store sink, the reference's
     # 100-concurrent-streams serving shape (README.md:34). Reported as
@@ -637,24 +763,42 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
         parsed = body.get("parsed", body)
         if isinstance(parsed, dict) and "queries" in parsed:
             rounds.append((int(m.group(1)), parsed))
-    rounds.sort()
+    # key on the round number only: two files parsing to the same round
+    # (BENCH_r7.json + BENCH_r07.json) must not fall through to dict
+    # comparison and TypeError
+    rounds.sort(key=lambda t: t[0])
     if not rounds:
         return {"baseline_round": None, "threshold": _GATE_RATIO,
                 "flagged": {}}
     prior_n, prior = rounds[-1]
     flagged: dict[str, dict] = {}
+    # Per-query timings gate against the MEDIAN of the last <=3 rounds
+    # (round-7 verdict #4): round 7 measured a uniform 7-47% host-state
+    # drift on unchanged plans that brought q1 within noise of the
+    # single-prior-round 1.5x threshold — the same variance class that
+    # already moved the throughput sections to a median window. The
+    # retry+`retried` protocol downstream is unchanged.
     for section in ("queries", "deep"):
         now = result.get(section) or {}
-        ref = prior.get(section) or {}
         if section == "deep":
-            now, ref = now.get("queries") or {}, ref.get("queries") or {}
+            now = now.get("queries") or {}
         for q, t in now.items():
-            t0 = ref.get(q)
-            if t0 and t > _GATE_RATIO * t0 and t > 0.5:
+            hist = []
+            for _, r in rounds[-3:]:
+                ref = r.get(section) or {}
+                if section == "deep":
+                    ref = ref.get("queries") or {}
+                if ref.get(q):
+                    hist.append(ref[q])
+            if not hist:
+                continue
+            t0 = statistics.median(hist)
+            if t > _GATE_RATIO * t0 and t > 0.5:
                 key = q if section == "queries" else f"deep:{q}"
                 flagged[key] = {"now": t, "prev": round(t0, 4),
+                                "window": hist,
                                 "ratio": round(t / t0, 2)}
-                print(f"# REGRESSION {key}: {t0:.3f}s -> {t:.3f}s "
+                print(f"# REGRESSION {key}: median {t0:.3f}s -> {t:.3f}s "
                       f"({t / t0:.2f}x)", file=sys.stderr)
     # throughput sections (round-5 verdict #3): bigger is better, so a
     # regression is now < baseline / _GATE_RATIO. Baseline is the
@@ -664,16 +808,20 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     # chunks/s on unchanged pipeline code), and gating against one
     # lucky round ratchets the bar to its noise peak — a healthy run
     # above the recorded median would flag as a phantom regression.
-    # Per-query timings keep the strict last-round compare (min-of-2
-    # interleaved makes them far more stable, and the retry policy
-    # handles one-off bursts).
+    # (Round 8: per-query timings moved to the same median window —
+    # see the per-query loop above; the retry policy still handles
+    # one-off bursts on top.)
     for section, metric in (("flagship", "chunks_per_sec"),
-                            ("streaming", "rows_per_sec")):
+                            ("streaming", "rows_per_sec"),
+                            ("curation", "docs_per_sec")):
         now_v = (result.get(section) or {}).get(metric)
         hist = [(r.get(section) or {}).get(metric)
                 for _, r in rounds[-3:]]
         hist = [v for v in hist if v]
-        if not (now_v and hist):
+        # skip only when the section is genuinely absent (skipped via
+        # env) or has no history; a metric of 0 with history is a total
+        # collapse — exactly what the gate exists to catch
+        if now_v is None or not hist:
             continue
         ref_v = statistics.median(hist)
         if now_v < ref_v / _GATE_RATIO:
@@ -694,17 +842,35 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
             print(f"# SCALE REGRESSION {key}: x10 {s['lo_sec']}s -> "
                   f"x100 {s['hi_sec']}s ({s['ratio']}x > "
                   f"{SOAK_MAX_RATIO}x)", file=sys.stderr)
-    # skew gate: the hot-session flagship leg must stay within 2x of
-    # the even leg (bounded per-key state claim, round-6 ask #6)
+    # skew + scale gates: the hot-session leg and the 1,000-stream leg
+    # must each stay within 2x of the even leg's throughput (bounded
+    # per-key state claims — round-6 ask #6, round-7 ask #8)
     fs = result.get("flagship") or {}
-    skew_v = (fs.get("skew") or {}).get("chunks_per_sec")
     even_v = fs.get("chunks_per_sec")
-    if skew_v and even_v and skew_v < even_v / 2.0:
-        flagged["flagship_skew:chunks_per_sec"] = {
-            "now": skew_v, "prev": even_v,
-            "ratio": round(skew_v / even_v, 2)}
-        print(f"# SKEW REGRESSION flagship: even {even_v} -> "
-              f"skew {skew_v} chunks/s", file=sys.stderr)
+    for leg in ("skew", "scale"):
+        leg_v = (fs.get(leg) or {}).get("chunks_per_sec")
+        if leg_v and even_v and leg_v < even_v / 2.0:
+            flagged[f"flagship_{leg}:chunks_per_sec"] = {
+                "now": leg_v, "prev": even_v,
+                "ratio": round(leg_v / even_v, 2)}
+            print(f"# {leg.upper()} REGRESSION flagship: even {even_v} -> "
+                  f"{leg} {leg_v} chunks/s", file=sys.stderr)
+    # curation replay + ANN recall floors are absolute gates
+    cur = result.get("curation") or {}
+    if cur and not cur.get("verified", True):
+        flagged["curation:verified"] = {"now": 0, "prev": 1, "ratio": 0.0}
+        print("# CURATION REGRESSION: DuckDB replay mismatch",
+              file=sys.stderr)
+    for leg, queries in (result.get("ann_recall") or {}).items():
+        for q, s in queries.items():
+            if s["recall_at_5"] < s["floor"]:
+                key = f"ann_recall:{leg}:{q}"
+                flagged[key] = {"now": s["recall_at_5"],
+                                "prev": s["floor"],
+                                "ratio": round(
+                                    s["recall_at_5"] / s["floor"], 2)}
+                print(f"# RECALL REGRESSION {key}: {s['recall_at_5']} < "
+                      f"floor {s['floor']}", file=sys.stderr)
     return {"baseline_round": prior_n, "threshold": _GATE_RATIO,
             "flagged": flagged}
 

@@ -3,12 +3,13 @@
 The gate is the only thing standing between a silent round-over-round
 performance regression and a committed BENCH_r{N}.json, so its four
 branches (per-query ratio, throughput-vs-median, scale-soak absolute
-ratio, flagship skew) get direct synthetic-history tests here. The
-median-of-3 throughput baseline exists because the recorded flagship
-history (1173 -> 1055 -> 1993 chunks/s on unchanged pipeline code)
-showed single-round wall-clock noise large enough that gating against
-one lucky round would flag healthy runs; the tests below pin exactly
-that scenario.
+ratio, flagship skew) get direct synthetic-history tests here. BOTH
+per-query timings and the throughput sections baseline against the
+median of the last <=3 rounds: the recorded flagship history
+(1173 -> 1055 -> 1993 chunks/s) and round 7's uniform 7-47% headline
+drift, all on unchanged code, showed single-round noise large enough
+that gating against one lucky round flags healthy runs; the tests
+below pin exactly those scenarios.
 """
 
 import json
@@ -52,6 +53,43 @@ def test_query_regression_flagged_against_last_round(tmp_path):
     assert out["baseline_round"] == 2
     assert set(out["flagged"]) == {"q1"}
     assert out["flagged"]["q1"]["prev"] == 1.0  # r2, not r1
+
+
+def test_query_gate_uses_median_of_last_three(tmp_path):
+    """Round-7 verdict #4: the recorded headline shape — a uniform
+    host-state drift round must not ratchet the per-query bar. q1's
+    history 1.0 -> 1.0 -> 0.6 (one lucky round): 1.2s is 2x the lucky
+    round but only 1.2x the median, so it must NOT flag; a real 1.8s
+    (1.8x the median) must."""
+    for n, v in ((4, 1.0), (5, 1.0), (6, 0.6)):
+        _write_round(tmp_path, n, _base_round(queries={"q1": v}))
+    ok = {"queries": {"q1": 1.2}}
+    assert _regression_gate(ok, here=str(tmp_path))["flagged"] == {}
+    out = _regression_gate({"queries": {"q1": 1.8}}, here=str(tmp_path))
+    fl = out["flagged"]["q1"]
+    assert fl["prev"] == 1.0 and fl["window"] == [1.0, 1.0, 0.6]
+
+
+def test_duplicate_round_numbers_do_not_crash_sort(tmp_path):
+    """BENCH_r7.json + BENCH_r07.json parse to the same round number;
+    the sort must key on the number only, never compare the dicts."""
+    (tmp_path / "BENCH_r7.json").write_text(
+        json.dumps({"parsed": _base_round(queries={"q1": 9.0})}))
+    _write_round(tmp_path, 7, _base_round())
+    out = _regression_gate({"queries": {"q1": 1.05}}, here=str(tmp_path))
+    assert out["baseline_round"] == 7
+
+
+def test_zero_throughput_collapse_is_flagged(tmp_path):
+    """A flagship/streaming metric of 0 with real history is a total
+    collapse — the gate must flag it, not skip it as 'absent'."""
+    _write_round(tmp_path, 1, _base_round())
+    out = _regression_gate(
+        {"flagship": {"chunks_per_sec": 0.0}}, here=str(tmp_path))
+    assert "flagship:chunks_per_sec" in out["flagged"]
+    # a genuinely skipped section (no metric at all) still passes
+    out2 = _regression_gate({"queries": {}}, here=str(tmp_path))
+    assert "flagship:chunks_per_sec" not in out2["flagged"]
 
 
 def test_query_regression_absolute_floor_ignores_warmup_jitter(tmp_path):
@@ -115,6 +153,41 @@ def test_flagship_skew_must_stay_within_2x_of_even(tmp_path):
                        "skew": {"chunks_per_sec": 600.0}}}
     assert "flagship_skew:chunks_per_sec" not in _regression_gate(
         ok, here=str(tmp_path))["flagged"]
+
+
+def test_flagship_scale_leg_gated_like_skew(tmp_path):
+    _write_round(tmp_path, 1, _base_round())
+    bad = {"flagship": {"chunks_per_sec": 1000.0,
+                        "scale": {"chunks_per_sec": 400.0}}}
+    out = _regression_gate(bad, here=str(tmp_path))
+    assert "flagship_scale:chunks_per_sec" in out["flagged"]
+    ok = {"flagship": {"chunks_per_sec": 1000.0,
+                       "scale": {"chunks_per_sec": 600.0}}}
+    assert "flagship_scale:chunks_per_sec" not in _regression_gate(
+        ok, here=str(tmp_path))["flagged"]
+
+
+def test_curation_replay_mismatch_and_throughput_gated(tmp_path):
+    _write_round(tmp_path, 1, _base_round(
+        curation={"docs_per_sec": 1000.0, "verified": True}))
+    bad = {"curation": {"docs_per_sec": 900.0, "verified": False}}
+    out = _regression_gate(bad, here=str(tmp_path))
+    assert "curation:verified" in out["flagged"]
+    slow = {"curation": {"docs_per_sec": 500.0, "verified": True}}
+    out2 = _regression_gate(slow, here=str(tmp_path))
+    assert "curation:docs_per_sec" in out2["flagged"]
+    assert "curation:verified" not in out2["flagged"]
+
+
+def test_ann_recall_floor_flagged(tmp_path):
+    _write_round(tmp_path, 1, _base_round())
+    now = {"ann_recall": {"sf": {
+        "q49": {"recall_at_5": 0.2, "floor": 0.4},
+        "q73": {"recall_at_5": 0.9, "floor": 0.6},
+    }}}
+    out = _regression_gate(now, here=str(tmp_path))
+    assert set(k for k in out["flagged"] if k.startswith("ann_recall")) \
+        == {"ann_recall:sf:q49"}
 
 
 def test_unparseable_history_file_is_skipped(tmp_path):
