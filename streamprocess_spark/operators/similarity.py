@@ -160,6 +160,51 @@ def _exact_rescore_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _packed_centroids(
+    cents: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """One row per group carrying ALL the group's centroids (plus
+    their precomputed norms) as array<struct<cent_id,cent,cnrm>> — the
+    broadcast build side that lets nearest-centroid assignment run as
+    a map-side ARRAY expression: no per-candidate row expansion, no
+    per-vector ranking window. The pre-pack norm also computes each
+    centroid norm once total instead of once per scored pair."""
+    agg = F.collect_list(
+        F.struct(
+            F.col("cent_id"),
+            F.col("cent"),
+            F.sqrt(_self_dot(F.col("cent"))).alias("cnrm"),
+        )
+    ).alias("cents")
+    if group_cols:
+        return cents.groupBy(*group_cols).agg(agg)
+    return cents.groupBy().agg(agg)
+
+
+def _ranked_scores(emb_col, cents_col):
+    """array<struct<s,cent_id>> sorted by (s desc, cent_id asc): the
+    round-6 cosine of `emb_col` against every packed centroid, ordered
+    with the same determinism discipline as the previous window rank
+    (collect_list's nondeterministic packing order is erased by the
+    total-order comparator)."""
+    vn = F.sqrt(_self_dot(emb_col))
+    scored = F.transform(
+        cents_col,
+        lambda c: F.struct(
+            F.round(_dot(emb_col, c["cent"]) / (vn * c["cnrm"]), 6).alias("s"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return F.array_sort(
+        scored,
+        lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
+        .when(x["s"] < y["s"], F.lit(1))
+        .when(x["cent_id"] < y["cent_id"], F.lit(-1))
+        .when(x["cent_id"] > y["cent_id"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -170,26 +215,25 @@ def ivf_assign(
     """IVF coarse quantization: assign each vector to its `probe`
     nearest centroids by cosine (round 6, centroid-id tie-break).
     Returns (vec_id, embedding, bucket) — one row per probe. The
-    centroid set is broadcast; assignment is a map-only pass."""
+    packed centroid row is broadcast and the top-probe selection is a
+    map-side array slice — genuinely zero shuffle (the previous form
+    expanded k rows per vector and ranked them through a per-vector
+    window, i.e. a full-corpus shuffle per assignment)."""
     c = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent")
     )
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    vn = F.sqrt(_self_dot(F.col("embedding")))
-    cn = F.sqrt(_self_dot(F.col("cent")))
-    scored = v.join(F.broadcast(c)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(_dot(F.col("embedding"), F.col("cent")) / (vn * cn), 6).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    ranked = _ranked_scores(F.col("embedding"), F.col("cents"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= probe)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        v.join(F.broadcast(_packed_centroids(c)))
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.slice(ranked, 1, probe)).alias("bk"),
+        )
+        .select("vec_id", "embedding", F.col("bk.cent_id").alias("bucket"))
     )
 
 
@@ -291,21 +335,20 @@ def _materialize_centroids(cents: DataFrame) -> DataFrame:
 
 def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid by cosine: fixed-point dots, round-6 score,
-    centroid-id tie-break — the same determinism discipline as
-    ivf_assign. Centroids (k rows) are broadcast; map-only pass."""
-    vn = F.sqrt(_self_dot(F.col("embedding")))
-    cn = F.sqrt(_self_dot(F.col("cent")))
-    scored = v.join(F.broadcast(cents)).select(
+    centroid-id tie-break. The k centroids arrive as ONE packed
+    broadcast row and the argmax is a map-side array expression —
+    genuinely no shuffle of the corpus (the previous form expanded k
+    rows per vector and ranked them through a per-vector window, a
+    full-corpus shuffle per assignment that contradicted this
+    docstring's own scale claim)."""
+    best = F.element_at(
+        _ranked_scores(F.col("embedding"), F.col("cents")), 1
+    )
+    return v.join(F.broadcast(_packed_centroids(cents))).select(
         "vec_id",
         "embedding",
-        "cent_id",
-        F.round(_dot(F.col("embedding"), F.col("cent")) / (vn * cn), 6).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "s")
+        best["cent_id"].alias("bucket"),
+        best["s"].alias("s"),
     )
 
 
@@ -486,24 +529,22 @@ def coarse_codes(
 
 
 def _kmeans_assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Per-group nearest centroid: the grp equi-join against the
-    broadcast centroid table means each vector scores ONLY its own
-    group's k centroids — scored rows stay N·k regardless of how many
-    groups exist. Same determinism discipline as _kmeans_assign."""
-    vn = F.sqrt(_self_dot(F.col("embedding")))
-    cn = F.sqrt(_self_dot(F.col("cent")))
-    scored = v.join(F.broadcast(cents), "coarse").select(
+    """Per-group nearest centroid: one packed row PER GROUP, broadcast
+    hash equi-join on the group key, so each vector scores only its
+    own group's k centroids and the argmax stays a map-side array
+    expression — per-row work is O(k) however large G grows, and there
+    is no shuffle of the corpus (see _kmeans_assign)."""
+    best = F.element_at(
+        _ranked_scores(F.col("embedding"), F.col("cents")), 1
+    )
+    return v.join(
+        F.broadcast(_packed_centroids(cents, ("coarse",))), "coarse"
+    ).select(
         "coarse",
         "vec_id",
         "embedding",
-        "cent_id",
-        F.round(_dot(F.col("embedding"), F.col("cent")) / (vn * cn), 6).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("coarse", "vec_id", "embedding", F.col("cent_id").alias("bucket"), "s")
+        best["cent_id"].alias("bucket"),
+        best["s"].alias("s"),
     )
 
 
