@@ -13,14 +13,39 @@ oracle (see plans.util for why double and decimal sums both fail).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DOT_SCALE = 1e12
+DIM = 64  # embedding dimensionality of the corpus tables
 
 
 def _dot(a, b):
+    """zip_with/aggregate fixed-point dot. Two flavours exist and the
+    split is a MEASURED codegen boundary, not style:
+
+    - this HOF form is for dots embedded inside other higher-order
+      lambdas (_ranked_scores) or repeated many times in one
+      projection (plane codes): those contexts are interpreted or
+      janino-oversized either way, and the HOF tree keeps Catalyst
+      analysis cheap;
+    - `_dot_unrolled` is for FLAT one-dot-per-row sites (pair
+      scoring, rescoring, cosine top-k): Spark HOFs are
+      CodegenFallback (every element eval is an interpreted lambda
+      binding), which made pair scoring the measured hot loop of the
+      semdedup soak; a single unrolled 64-term dot compiles into the
+      whole-stage-codegen method and runs an order of magnitude
+      faster. (Unrolling EVERYTHING was measured too and is worse:
+      k-candidate argmax expressions overflow janino's 64 KB method
+      limit and fall back to interpreted eval, and deep unrolled
+      withColumn chains make optimizer constraint substitution
+      exponential.)
+
+    Both flavours share the per-term arithmetic (floor(x·y·1e12) as
+    int64, order-independent integer sum), so results are
+    bit-identical to each other and to the DuckDB oracles."""
     prods = F.zip_with(
         a, b,
         lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE))
@@ -32,12 +57,32 @@ def _dot(a, b):
     )
 
 
+def _dot_fp_unrolled(a, b, dim: int = DIM):
+    """Unrolled fixed-point dot WITHOUT the final division (bigint).
+    See _dot for when to use which flavour."""
+    out = None
+    for i in range(dim):
+        t = F.floor(
+            a[i].cast("double") * b[i].cast("double") * F.lit(DOT_SCALE)
+        ).cast("bigint")
+        out = t if out is None else out + t
+    return out
+
+
+def _dot_unrolled(a, b, dim: int = DIM):
+    return _dot_fp_unrolled(a, b, dim).cast("double") / F.lit(DOT_SCALE)
+
+
 def _self_dot(a):
     return _dot(a, a)
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("nrm", F.sqrt(_self_dot(F.col(vec_col))))
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", dim: int = DIM
+) -> DataFrame:
+    return df.withColumn(
+        "nrm", F.sqrt(_dot_unrolled(F.col(vec_col), F.col(vec_col), dim))
+    )
 
 
 def cosine_topk(
@@ -78,7 +123,9 @@ def cosine_topk(
         "qid",
         "cid",
         F.round(
-            _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+            _dot_unrolled(F.col("qe"), F.col("ce"))
+            / (F.col("qnrm") * F.col("cnrm")),
+            6,
         ).alias("cos_sim"),
     )
     w_local = Window.partitionBy(
@@ -145,12 +192,14 @@ def lsh_buckets(
 def _exact_rescore_topk(pairs: DataFrame, k: int) -> DataFrame:
     """Exact cosine rescoring + final rank over a candidate pair set
     carrying (qid, qe, cid, ce)."""
-    qn = F.sqrt(_self_dot(F.col("qe")))
-    cn = F.sqrt(_self_dot(F.col("ce")))
+    qn = F.sqrt(_dot_unrolled(F.col("qe"), F.col("qe")))
+    cn = F.sqrt(_dot_unrolled(F.col("ce"), F.col("ce")))
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(_dot(F.col("qe"), F.col("ce")) / (qn * cn), 6).alias("cos_sim"),
+        F.round(
+            _dot_unrolled(F.col("qe"), F.col("ce")) / (qn * cn), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
@@ -160,49 +209,133 @@ def _exact_rescore_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _packed_centroids(
-    cents: DataFrame, group_cols: tuple[str, ...] = ()
-) -> DataFrame:
-    """One row per group carrying ALL the group's centroids (plus
-    their precomputed norms) as array<struct<cent_id,cent,cnrm>> — the
-    broadcast build side that lets nearest-centroid assignment run as
-    a map-side ARRAY expression: no per-candidate row expansion, no
-    per-vector ranking window. The pre-pack norm also computes each
-    centroid norm once total instead of once per scored pair."""
-    agg = F.collect_list(
-        F.struct(
-            F.col("cent_id"),
-            F.col("cent"),
-            F.sqrt(_self_dot(F.col("cent"))).alias("cnrm"),
+_SCORE_T = "struct<vnfp:bigint,dots:array<bigint>,cnfps:array<bigint>>"
+
+
+def _collect_centroids(cents: DataFrame, grouped: bool):
+    """Collect the centroid table to the driver — BOUNDED metadata (k,
+    or 2^bits*k <= ~1024 rows; the same class as the txlog's per-file
+    stats), already materialized by _materialize_centroids. Returns
+    {group: (ids, C, cnfps)} with C a float64 matrix and cnfps the
+    exact fixed-point self-dots, ordered by cent_id."""
+    import numpy as np
+
+    out = {}
+    for r in cents.collect():
+        g = r["coarse"] if grouped else 0
+        out.setdefault(g, []).append((int(r["cent_id"]), r["cent"]))
+    packed = {}
+    for g, rows in out.items():
+        rows.sort()
+        ids = [cid for cid, _ in rows]
+        C = np.array([c for _, c in rows], dtype=np.float64)
+        cnfps = (
+            np.floor(C * C * DOT_SCALE).astype(np.int64).sum(axis=1)
         )
-    ).alias("cents")
-    if group_cols:
-        return cents.groupBy(*group_cols).agg(agg)
-    return cents.groupBy().agg(agg)
+        packed[g] = (ids, C, cnfps)
+    return packed
 
 
-def _ranked_scores(emb_col, cents_col):
-    """array<struct<s,cent_id>> sorted by (s desc, cent_id asc): the
-    round-6 cosine of `emb_col` against every packed centroid, ordered
-    with the same determinism discipline as the previous window rank
-    (collect_list's nondeterministic packing order is erased by the
-    total-order comparator)."""
-    vn = F.sqrt(_self_dot(emb_col))
-    scored = F.transform(
-        cents_col,
-        lambda c: F.struct(
-            F.round(_dot(emb_col, c["cent"]) / (vn * c["cnrm"]), 6).alias("s"),
-            c["cent_id"].alias("cent_id"),
-        ),
-    )
-    return F.array_sort(
-        scored,
-        lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
-        .when(x["s"] < y["s"], F.lit(1))
-        .when(x["cent_id"] < y["cent_id"], F.lit(-1))
-        .when(x["cent_id"] > y["cent_id"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
+def _score_udf(packed, dim: int, grouped: bool):
+    """Arrow-vectorized centroid scorer: for each row, the EXACT
+    fixed-point dot of the embedding against every centroid of its
+    group, plus the embedding's own fixed-point self-dot. Every output
+    is an int64 produced by floor(x*y*1e12) products and integer sums
+    — IEEE float64 multiplies are bit-identical between numpy and the
+    JVM, so these integers equal what the JVM expressions computed,
+    and ALL value-shaping (the /1e12 casts, sqrt, round-6, argmax
+    tie-breaks) stays in Spark expressions with unchanged semantics.
+
+    Why a pandas UDF at all: this is the measured hot loop of the
+    whole k-means/ANN family. Spark HOF dots are interpreted
+    (~0.25 ms/row); every Catalyst unrolled-codegen variant either
+    overflows janino's 64 KB method limit (falling back to interpreted
+    for the whole stage) or bloats plan-build by seconds per query.
+    The numpy batch matmul shape does the same arithmetic at memory
+    bandwidth, and the centroids ride in the closure so assignment is
+    a pure MAP stage — no join, no broadcast, no shuffle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _score_block(E, ids_C_cn):
+        _, C, cnfps = ids_C_cn
+        dots = (
+            np.floor(E[:, None, :] * C[None, :, :] * DOT_SCALE)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        return dots, cnfps
+
+    if grouped:
+
+        @pandas_udf(_SCORE_T)
+        def score(emb: pd.Series, coarse: pd.Series) -> pd.DataFrame:
+            E = np.array(emb.tolist(), dtype=np.float64)
+            g = coarse.to_numpy()
+            vnfp = np.floor(E * E * DOT_SCALE).astype(np.int64).sum(axis=1)
+            dots_col = [None] * len(g)
+            cn_col = [None] * len(g)
+            for gv in np.unique(g):
+                m = np.nonzero(g == gv)[0]
+                dots, cnfps = _score_block(E[m], packed[int(gv)])
+                for j, row in zip(m, dots):
+                    dots_col[j] = row
+                    cn_col[j] = cnfps
+            return pd.DataFrame(
+                {"vnfp": vnfp, "dots": dots_col, "cnfps": cn_col}
+            )
+
+    else:
+        ids_C_cn = packed[0]
+
+        @pandas_udf(_SCORE_T)
+        def score(emb: pd.Series) -> pd.DataFrame:
+            E = np.array(emb.tolist(), dtype=np.float64)
+            vnfp = np.floor(E * E * DOT_SCALE).astype(np.int64).sum(axis=1)
+            dots, cnfps = _score_block(E, ids_C_cn)
+            return pd.DataFrame(
+                {
+                    "vnfp": vnfp,
+                    "dots": list(dots),
+                    "cnfps": [cnfps] * len(vnfp),
+                }
+            )
+
+    return score
+
+
+def _best_from_scores(sc, ids, k: int, probe: int = 1):
+    """probe best struct(s, negid) from a _SCORE_T column: s_i =
+    round((dots[i]/1e12) / (vn * cn_i), 6) — the EXACT expression
+    shape (and hence values, rounding, tie-breaks) of the previous
+    join-based scorer, but over k scalar array lookups, so every
+    expression is tiny and codegen-clean. ids supplies the centroid
+    ids (grouped groups share ids 0..k-1 by construction; greatest()
+    ignores the NULL candidates of groups holding fewer than k
+    centroids)."""
+    vn = F.sqrt(sc["vnfp"].cast("double") / F.lit(DOT_SCALE))
+    cands = []
+    for i in range(k):
+        cn = F.sqrt(sc["cnfps"][i].cast("double") / F.lit(DOT_SCALE))
+        s_i = F.round(
+            (sc["dots"][i].cast("double") / F.lit(DOT_SCALE)) / (vn * cn), 6
+        )
+        cands.append(
+            F.when(
+                F.size(sc["dots"]) > i,
+                F.struct(s_i.alias("s"), F.lit(-ids[i]).alias("negid")),
+            )
+        )
+    best = cands[0] if k == 1 else F.greatest(*cands)
+    out = [best]
+    if probe > 1:
+        masked = [
+            F.when(c == best, F.lit(None).cast("struct<s:double,negid:bigint>"))
+            .otherwise(c)
+            for c in cands
+        ]
+        out.append(masked[0] if k == 1 else F.greatest(*masked))
+    return out
 
 
 def ivf_assign(
@@ -225,15 +358,19 @@ def ivf_assign(
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    ranked = _ranked_scores(F.col("embedding"), F.col("cents"))
+    packed = _collect_centroids(c, grouped=False)
+    ids, C, _ = packed[0]
+    scored = v.withColumn(
+        "_sc", _score_udf(packed, C.shape[1], grouped=False)(F.col("embedding"))
+    )
+    picks = _best_from_scores(F.col("_sc"), ids, len(ids), probe)
     return (
-        v.join(F.broadcast(_packed_centroids(c)))
-        .select(
+        scored.select(
             "vec_id",
             "embedding",
-            F.explode(F.slice(ranked, 1, probe)).alias("bk"),
+            F.explode(F.array_compact(F.array(*picks))).alias("bk"),
         )
-        .select("vec_id", "embedding", F.col("bk.cent_id").alias("bucket"))
+        .select("vec_id", "embedding", (-F.col("bk.negid")).alias("bucket"))
     )
 
 
@@ -341,13 +478,16 @@ def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     rows per vector and ranked them through a per-vector window, a
     full-corpus shuffle per assignment that contradicted this
     docstring's own scale claim)."""
-    best = F.element_at(
-        _ranked_scores(F.col("embedding"), F.col("cents")), 1
+    packed = _collect_centroids(cents, grouped=False)
+    ids, C, _ = packed[0]
+    scored = v.withColumn(
+        "_sc", _score_udf(packed, C.shape[1], grouped=False)(F.col("embedding"))
     )
-    return v.join(F.broadcast(_packed_centroids(cents))).select(
+    best = _best_from_scores(F.col("_sc"), ids, len(ids))[0]
+    return scored.select(
         "vec_id",
         "embedding",
-        best["cent_id"].alias("bucket"),
+        (-best["negid"]).alias("bucket"),
         best["s"].alias("s"),
     )
 
@@ -464,7 +604,7 @@ def semdedup(
             F.col("x.s").alias("sx"),
             F.col("y.s").alias("sy"),
             F.round(
-                _dot(F.col("x.embedding"), F.col("y.embedding"))
+                _dot_unrolled(F.col("x.embedding"), F.col("y.embedding"))
                 / (F.col("x.nrm") * F.col("y.nrm")),
                 6,
             ).alias("cos"),
@@ -511,21 +651,46 @@ def coarse_codes(
 ) -> DataFrame:
     """Single-table sign-LSH code of ``bits`` planes — the coarse,
     similarity-preserving partition key for :func:`semdedup_scaled`.
-    Map-only (fixed-point dot signs, codegen, no Python); bits=0 puts
-    the whole corpus in group 0."""
-    code = F.lit(0).cast("bigint")
-    for p in range(bits):
-        plane = F.array(
-            *[F.lit(_plane_component(COARSE_TABLE, p, j)) for j in range(dim)]
-        )
-        code = code + F.when(
-            _dot(F.col(vec_col), plane) > 0, F.lit(1 << p)
-        ).otherwise(0).cast("bigint")
-    return emb.select(
+    Map-only; bits=0 puts the whole corpus in group 0.
+
+    The plane dots run in an Arrow-vectorized scorer with the plane
+    matrix in the closure (the same exact fixed-point integer
+    arithmetic as _score_udf — floor(x*y*1e12) int64 products are
+    bit-identical between numpy and the JVM, and the sign test / bit
+    packing are integer ops): the coded corpus re-executes with every
+    reference (init + each Lloyd iteration + the final assignment),
+    and bits chained zip_with plane dots were the measured dominant
+    interpreted cost of semdedup_scaled once assignment moved to the
+    vectorized scorer."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        code.alias("coarse"),
     )
+    if bits == 0:
+        return base.withColumn("coarse", F.lit(0).cast("bigint"))
+    P = np.array(
+        [
+            [_plane_component(COARSE_TABLE, p, j) for j in range(dim)]
+            for p in range(bits)
+        ],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf("bigint")
+    def code(e: pd.Series) -> pd.Series:
+        E = np.array(e.tolist(), dtype=np.float64)
+        D = (
+            np.floor(E[:, None, :] * P[None, :, :] * DOT_SCALE)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        return pd.Series(((D > 0) * weights[None, :]).sum(axis=1))
+
+    return base.withColumn("coarse", code(F.col("embedding")))
 
 
 def _kmeans_assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
@@ -534,16 +699,21 @@ def _kmeans_assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
     own group's k centroids and the argmax stays a map-side array
     expression — per-row work is O(k) however large G grows, and there
     is no shuffle of the corpus (see _kmeans_assign)."""
-    best = F.element_at(
-        _ranked_scores(F.col("embedding"), F.col("cents")), 1
+    packed = _collect_centroids(cents, grouped=True)
+    k_max = max(len(ids) for ids, _, _ in packed.values())
+    dim_g = next(iter(packed.values()))[1].shape[1]
+    scored = v.withColumn(
+        "_sc",
+        _score_udf(packed, dim_g, grouped=True)(
+            F.col("embedding"), F.col("coarse")
+        ),
     )
-    return v.join(
-        F.broadcast(_packed_centroids(cents, ("coarse",))), "coarse"
-    ).select(
+    best = _best_from_scores(F.col("_sc"), list(range(k_max)), k_max)[0]
+    return scored.select(
         "coarse",
         "vec_id",
         "embedding",
-        best["cent_id"].alias("bucket"),
+        (-best["negid"]).alias("bucket"),
         best["s"].alias("s"),
     )
 
@@ -668,7 +838,7 @@ def semdedup_scaled(
             F.col("x.s").alias("sx"),
             F.col("y.s").alias("sy"),
             F.round(
-                _dot(F.col("x.embedding"), F.col("y.embedding"))
+                _dot_unrolled(F.col("x.embedding"), F.col("y.embedding"))
                 / (F.col("x.nrm") * F.col("y.nrm")),
                 6,
             ).alias("cos"),
@@ -694,18 +864,6 @@ def semdedup_scaled(
         F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
         F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
     )
-
-
-def _dot_fp(a, b):
-    """Fixed-point dot WITHOUT the final division — a bigint, safe to
-    re-sum across subspaces order-independently (divide once at the
-    end)."""
-    prods = F.zip_with(
-        a, b,
-        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE))
-        .cast("bigint"),
-    )
-    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def pq_ann_topk(
@@ -769,8 +927,10 @@ def pq_ann_topk(
             "qid",
             "sub",
             F.col("cent_id").alias("code"),
-            _dot_fp(
-                F.slice("q", F.col("sub") * sub_dim + 1, sub_dim), F.col("cent")
+            _dot_fp_unrolled(
+                F.slice("q", F.col("sub") * sub_dim + 1, sub_dim),
+                F.col("cent"),
+                sub_dim,
             ).alias("pd_fp"),
         )
     )

@@ -37,15 +37,14 @@ _ensure_loaded()
 _ALLOWED_NESTED_LOOP = {
     "q48_embedding_topk",
     "q72_embedding_neardup",
-    "q73_ann_ivf_topk",
-    "q97_kmeans",          # broadcast of k=8 centroids — the Lloyd assign
-    "q99_ann_ivf_trained",  # same broadcast-centroid assignment shape
+    # (round 8: q73/q97/q99/q103 dropped — centroid assignment moved to
+    # an Arrow scorer with closure centroids, so those plans carry no
+    # nested loop at all anymore)
     # q102: the (N, avgdl) corpus-stats single ROW is broadcast to the
     # bounded tf table (|hits| ≤ docs × |query terms|); Catalyst folds
     # the constant-key equi-join to a condition-free BNLJ with a 1-row
     # build side — O(n·1), not a quadratic join.
     "q102_bm25_search",
-    "q103_semdedup",       # broadcast of k=8 centroids — the Lloyd assign
     "q111_pq_ann",         # broadcast codebooks (m·k_sub = 16 rows) + the
                            # n_q×m×k_sub ADC table — both constant-size
     "q112_bpe_train",      # per-round 1-ROW best-pair broadcast to the vocab
