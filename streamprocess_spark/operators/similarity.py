@@ -23,29 +23,33 @@ DIM = 64  # embedding dimensionality of the corpus tables
 
 
 def _dot(a, b):
-    """zip_with/aggregate fixed-point dot. Two flavours exist and the
-    split is a MEASURED codegen boundary, not style:
+    """zip_with/aggregate fixed-point dot — the ONE per-row dot form,
+    after a measured round-8 A/B history worth keeping:
 
-    - this HOF form is for dots embedded inside other higher-order
-      lambdas (_ranked_scores) or repeated many times in one
-      projection (plane codes): those contexts are interpreted or
-      janino-oversized either way, and the HOF tree keeps Catalyst
-      analysis cheap;
-    - `_dot_unrolled` is for FLAT one-dot-per-row sites (pair
-      scoring, rescoring, cosine top-k): Spark HOFs are
-      CodegenFallback (every element eval is an interpreted lambda
-      binding), which made pair scoring the measured hot loop of the
-      semdedup soak; a single unrolled 64-term dot compiles into the
-      whole-stage-codegen method and runs an order of magnitude
-      faster. (Unrolling EVERYTHING was measured too and is worse:
-      k-candidate argmax expressions overflow janino's 64 KB method
-      limit and fall back to interpreted eval, and deep unrolled
-      withColumn chains make optimizer constraint substitution
-      exponential.)
+    Spark HOFs are CodegenFallback (every element eval is an
+    interpreted lambda binding), so unrolled 64-term expressions were
+    tried at every flat one-dot-per-row site. They LOST everywhere
+    once nearest-centroid assignment moved to the Arrow scorer
+    (_score_udf): q48 exact top-k regressed 1.1s -> 4.5s with the
+    unrolled dot (plan-build + codegen cost dwarfs eval for a
+    broadcast-probe-sized score set), and the semdedup pair site was
+    ~10% SLOWER at the soak x100 corpus (34.5/23.7s unrolled vs
+    31.4/21.2s HOF) because within-cluster pair counts are small by
+    construction — clustering exists to bound them. Unrolling
+    k-candidate argmax expressions was also measured and worse:
+    janino's 64 KB method limit overflows (silent whole-stage
+    interpreted fallback) and deep unrolled chains make optimizer
+    constraint substitution exponential. The true per-row hot loops
+    (centroid assignment, coarse codes) live in Arrow-vectorized
+    scorers; everything that stays in Catalyst uses this HOF form,
+    which keeps analysis cheap. `_dot_fp_unrolled` survives solely
+    for the PQ ADC table build, which needs the undivided bigint form
+    over a <=n_queries*m*ksub-row frame.
 
-    Both flavours share the per-term arithmetic (floor(x·y·1e12) as
-    int64, order-independent integer sum), so results are
-    bit-identical to each other and to the DuckDB oracles."""
+    Per-term arithmetic everywhere (HOF, unrolled, Arrow scorer):
+    floor(x*y*1e12) as int64, order-independent integer sum — so
+    results are bit-identical across forms and to the DuckDB
+    oracles."""
     prods = F.zip_with(
         a, b,
         lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE))
@@ -59,7 +63,7 @@ def _dot(a, b):
 
 def _dot_fp_unrolled(a, b, dim: int = DIM):
     """Unrolled fixed-point dot WITHOUT the final division (bigint).
-    See _dot for when to use which flavour."""
+    Sole remaining use: the PQ ADC table build (see _dot)."""
     out = None
     for i in range(dim):
         t = F.floor(
@@ -69,10 +73,6 @@ def _dot_fp_unrolled(a, b, dim: int = DIM):
     return out
 
 
-def _dot_unrolled(a, b, dim: int = DIM):
-    return _dot_fp_unrolled(a, b, dim).cast("double") / F.lit(DOT_SCALE)
-
-
 def _self_dot(a):
     return _dot(a, a)
 
@@ -80,9 +80,7 @@ def _self_dot(a):
 def with_norm(
     df: DataFrame, vec_col: str = "embedding", dim: int = DIM
 ) -> DataFrame:
-    return df.withColumn(
-        "nrm", F.sqrt(_dot_unrolled(F.col(vec_col), F.col(vec_col), dim))
-    )
+    return df.withColumn("nrm", F.sqrt(_self_dot(F.col(vec_col))))
 
 
 def cosine_topk(
@@ -123,9 +121,7 @@ def cosine_topk(
         "qid",
         "cid",
         F.round(
-            _dot_unrolled(F.col("qe"), F.col("ce"))
-            / (F.col("qnrm") * F.col("cnrm")),
-            6,
+            _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
         ).alias("cos_sim"),
     )
     w_local = Window.partitionBy(
@@ -192,14 +188,12 @@ def lsh_buckets(
 def _exact_rescore_topk(pairs: DataFrame, k: int) -> DataFrame:
     """Exact cosine rescoring + final rank over a candidate pair set
     carrying (qid, qe, cid, ce)."""
-    qn = F.sqrt(_dot_unrolled(F.col("qe"), F.col("qe")))
-    cn = F.sqrt(_dot_unrolled(F.col("ce"), F.col("ce")))
+    qn = F.sqrt(_self_dot(F.col("qe")))
+    cn = F.sqrt(_self_dot(F.col("ce")))
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(
-            _dot_unrolled(F.col("qe"), F.col("ce")) / (qn * cn), 6
-        ).alias("cos_sim"),
+        F.round(_dot(F.col("qe"), F.col("ce")) / (qn * cn), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
@@ -604,7 +598,7 @@ def semdedup(
             F.col("x.s").alias("sx"),
             F.col("y.s").alias("sy"),
             F.round(
-                _dot_unrolled(F.col("x.embedding"), F.col("y.embedding"))
+                _dot(F.col("x.embedding"), F.col("y.embedding"))
                 / (F.col("x.nrm") * F.col("y.nrm")),
                 6,
             ).alias("cos"),
@@ -838,7 +832,7 @@ def semdedup_scaled(
             F.col("x.s").alias("sx"),
             F.col("y.s").alias("sy"),
             F.round(
-                _dot_unrolled(F.col("x.embedding"), F.col("y.embedding"))
+                _dot(F.col("x.embedding"), F.col("y.embedding"))
                 / (F.col("x.nrm") * F.col("y.nrm")),
                 6,
             ).alias("cos"),

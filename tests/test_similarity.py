@@ -167,3 +167,73 @@ def test_semdedup_scaled_pair_work_is_bounded_by_partitioning(spark):
     # (exact factor depends on balance; collapse to ~1x would mean the
     # coarse codes are not partitioning)
     assert w2 * 2 <= w0, (w0, w2)
+
+
+# ---------------------------------------------------------------------------
+# Arrow scorer exactness (round 8): the assignment UDF's load-bearing
+# assumption is that numpy's floor(x*y*1e12) int64 fixed-point products
+# equal the JVM expression's, bit for bit. Pin it differentially.
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_scorer_matches_jvm_fixed_point(spark):
+    """Compute the fixed-point dot of every corpus vector against a
+    centroid set BOTH ways — the JVM zip_with/aggregate expression and
+    the Arrow scorer's int64 output — and require exact equality, for
+    the self-dot too. Any IEEE divergence between numpy and the JVM
+    (or a drifted DOT_SCALE/floor semantics) fails this directly
+    instead of surfacing as a mysterious oracle hash mismatch."""
+    from pyspark.sql import functions as F
+
+    import streamprocess_spark.operators.similarity as S
+    from streamprocess_spark.io.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    cents = S._materialize_centroids(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            .alias("cent"),
+        )
+    )
+    packed = S._collect_centroids(cents, grouped=False)
+    ids, C, cnfps = packed[0]
+    scored = emb.select(
+        "vec_id",
+        S._score_udf(packed, C.shape[1], grouped=False)(
+            F.col("embedding")
+        ).alias("sc"),
+    )
+    jvm_dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in C[i]]),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(S.DOT_SCALE)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"jd{i}")
+        for i in range(len(ids))
+    ]
+    jvm_self = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("embedding"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(S.DOT_SCALE)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).alias("jself")
+    both = scored.join(
+        emb.select("vec_id", *jvm_dots, jvm_self), "vec_id"
+    ).collect()
+    assert both
+    for r in both:
+        assert r["sc"]["vnfp"] == r["jself"], r["vec_id"]
+        for i in range(len(ids)):
+            assert r["sc"]["dots"][i] == r[f"jd{i}"], (r["vec_id"], i)
+        assert list(r["sc"]["cnfps"]) == [int(x) for x in cnfps]
