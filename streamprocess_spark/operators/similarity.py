@@ -717,6 +717,7 @@ def kmeans_fit_grouped(
     k: int = 8,
     n_iter: int = 2,
     dim: int = 64,
+    init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means run independently inside every ``coarse`` group of
     ``v`` (columns: coarse, vec_id, embedding) — the grouped twin of
@@ -732,17 +733,25 @@ def kmeans_fit_grouped(
 
     Deterministic init: the k lowest vec_ids of each group, cent_id =
     rank-1 (reduces to kmeans_fit's vec_id<k convention for bits=0 over
-    dense ids)."""
-    w0 = Window.partitionBy("coarse").orderBy("vec_id")
-    cents = _materialize_centroids(
-        v.withColumn("rn", F.row_number().over(w0))
-        .filter(F.col("rn") <= k)
-        .select(
-            "coarse",
-            (F.col("rn") - 1).cast("bigint").alias("cent_id"),
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent"),
+    dense ids). Callers whose groups all contain the same dense id set
+    (PQ subspaces) pass ``init`` (columns: coarse, cent_id 0..k-1,
+    cent as double array) built from a plain filter — same centroids,
+    but skips the full window shuffle of v that the rank-based default
+    needs."""
+    if init is None:
+        w0 = Window.partitionBy("coarse").orderBy("vec_id")
+        init = (
+            v.withColumn("rn", F.row_number().over(w0))
+            .filter(F.col("rn") <= k)
+            .select(
+                "coarse",
+                (F.col("rn") - 1).cast("bigint").alias("cent_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("cent"),
+            )
         )
-    )
+    cents = _materialize_centroids(init)
     for _ in range(n_iter):
         assigned = _kmeans_assign_grouped(v, cents)
         sums = assigned.groupBy("coarse", "bucket").agg(
@@ -875,41 +884,67 @@ def pq_ann_topk(
     (asymmetric distance computation) — a table lookup per subspace
     instead of a full-dimension scan.
 
-    Scale shape: training reuses kmeans_fit per subspace (broadcast
-    assign, one keyed shuffle per update); the corpus is stored as
-    (vec_id, subspace, code) — m ints per vector instead of dim
-    floats, the 16-64x memory compression that lets 100 TB of
-    embeddings fit an index; query time joins the code stream against
-    a BROADCAST table of n_queries x m x ksub partial dots, so scoring
-    is a map-side hash join + one keyed sum shuffle — the corpus
-    embeddings themselves are never touched after encoding.
+    Scale shape: ALL m codebooks train in one corpus pass per Lloyd
+    iteration — each row explodes map-side into its m subspace slices
+    keyed by the subspace index, and kmeans_fit_grouped runs the m
+    independent Lloyd problems as groups of that key (broadcast
+    assign, one keyed (sub, bucket) shuffle per update). Per-subspace
+    kmeans_fit was the previous form and cost m corpus scans per
+    iteration for identical arithmetic — the exploded rows carry the
+    same total element count, so compute is unchanged and the corpus
+    is read once. The corpus is stored as (vec_id, subspace, code) —
+    m ints per vector instead of dim floats, the 16-64x memory
+    compression that lets 100 TB of embeddings fit an index; query
+    time joins the code stream against a BROADCAST table of
+    n_queries x m x ksub partial dots, so scoring is a map-side hash
+    join + one keyed sum shuffle — the corpus embeddings themselves
+    are never touched after encoding.
 
     Determinism: subspace assignment is kmeans_fit's round-6 cosine
-    with id tie-breaks; ADC partials stay bigint fixed-point until one
-    final division, so the cross-subspace sum is order-independent.
+    with id tie-breaks (init = vec_id < ksub per subspace, bit-equal
+    to the per-subspace form, oracle-pinned); ADC partials stay bigint
+    fixed-point until one final division, so the cross-subspace sum is
+    order-independent.
     """
     sub_dim = dim // m
     v = emb.select("vec_id", "embedding")
 
-    code_parts = []
-    books = []
-    for s in range(m):
-        sub = v.select(
-            "vec_id", F.slice("embedding", s * sub_dim + 1, sub_dim).alias("embedding")
-        )
-        assigned, cents = kmeans_fit(sub, k=ksub, n_iter=n_iter, dim=sub_dim)
-        code_parts.append(
-            assigned.select(
-                "vec_id", F.lit(s).alias("sub"), F.col("bucket").alias("code")
+    vg = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("coarse"),
+                        F.slice(
+                            "embedding", s * sub_dim + 1, sub_dim
+                        ).alias("emb"),
+                    )
+                    for s in range(m)
+                ]
             )
-        )
-        books.append(cents.select(F.lit(s).alias("sub"), "cent_id", "cent"))
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
-    book = books[0]
-    for b in books[1:]:
-        book = book.unionByName(b)
+        ).alias("se"),
+    ).select(
+        F.col("se.coarse").alias("coarse"),
+        "vec_id",
+        F.col("se.emb").alias("embedding"),
+    )
+    init = vg.filter(F.col("vec_id") < ksub).select(
+        "coarse",
+        F.col("vec_id").alias("cent_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "cent"
+        ),
+    )
+    assigned, cents = kmeans_fit_grouped(
+        vg, k=ksub, n_iter=n_iter, dim=sub_dim, init=init
+    )
+    codes = assigned.select(
+        "vec_id", F.col("coarse").alias("sub"), F.col("bucket").alias("code")
+    )
+    book = cents.select(
+        F.col("coarse").alias("sub"), "cent_id", "cent"
+    )
 
     queries = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q")

@@ -1889,8 +1889,8 @@ def _pq_sub_ctes(s: int) -> str:
     covers=("§2.13-similarity",),
     doc="Product-quantization ANN with ADC search (Jégou et al. 2011, "
         "operators/similarity.py:pq_ann_topk): 4 subspaces x 4-entry "
-        "codebooks trained by the SAME Lloyd trainer as q97 on sliced "
-        "vectors; the corpus is stored as 4 small ints per vector "
+        "codebooks, all trained in ONE corpus pass per Lloyd iteration "
+        "(map-side explode into subspace slices + the grouped trainer, bit-equal to per-subspace q97 training); the corpus is stored as 4 small ints per vector "
         "(16x compression — what makes a 100 TB embedding index fit); "
         "queries precompute a broadcastable n_q x m x k_sub "
         "partial-dot table and scoring is a map-side hash join on "
