@@ -99,6 +99,127 @@ def sniff_format(raw: bytes) -> tuple[str, str, str]:
     return "UNKNOWN", "unsupported_media", "low"
 
 
+# ---------------------------------------------------------------------------
+# Engine-expressible form of the sniffer decision table (S4 evidence).
+#
+# sniff_format's PREFIX rules — the _SNIFFERS table plus the PNM
+# whitespace guard, the RIFF WAVE/AVI discrimination, the WARC version
+# line, and the offset-4 ftyp — are pure byte-prefix predicates, so the
+# whole decision table can run as a Catalyst CASE chain (and a DuckDB
+# oracle) over hex-encoded payloads. q151_sniffer_verdicts uses this to
+# give the upload edge driver-grade cross-engine evidence. The three
+# CONTENT heuristics (gzip-member WARC peek, H.264 Annex-B NAL walk,
+# MPEG frame sync) need real decoding and deliberately stay Python-only;
+# the differential test masks them and pins everything else bit-equal
+# to sniff_format (tests/test_ingest.py).
+# ---------------------------------------------------------------------------
+
+# hex codes of bytes accepted by bytes.isspace() — the PNM guard
+_WS_HEX = ("20", "09", "0a", "0d", "0b", "0c")
+
+
+def _sniff_rules() -> list[tuple[list[tuple[int, tuple[str, ...]]], str, str, str]]:
+    """The sniffer decision table as data: ordered rows of
+    (checks, fmt, job_type, priority) where each check is
+    (1-based hex-char position, acceptable hex values). Generated from
+    the production _SNIFFERS tuple so the engine-expressible form can
+    never drift from sniff_format's magic table."""
+    rules = []
+    for magic, fmt, jtype, prio in _SNIFFERS:
+        head = (1, (magic.hex(),))
+        if fmt == "WAV":
+            # RIFF subtype at bytes 9..12: WAVE -> WAV, 'AVI ' -> AVI,
+            # anything else falls through (sniff_format's continue)
+            rules.append(([head, (17, ("57415645",))], "WAV", jtype, prio))
+            rules.append(([head, (17, ("41564920",))], "AVI", "video_batch", "low"))
+        elif fmt == "PNM":
+            rules.append(([head, (5, _WS_HEX)], fmt, jtype, prio))
+        else:
+            rules.append(([head], fmt, jtype, prio))
+    rules.append(([(1, (b"WARC/".hex(),))], "WARC", "text_batch", "normal"))
+    rules.append(([(9, (b"ftyp".hex(),))], "MP4", "video_batch", "low"))
+    return rules
+
+
+_SNIFF_UNKNOWN = ("UNKNOWN", "unsupported_media", "low")
+
+
+def sniff_case_hex(col):
+    """Spark struct(fmt, job_type, priority) CASE chain replaying the
+    sniffer decision table over a lowercase-hex payload column."""
+    from pyspark.sql import functions as F
+
+    def _check(pos: int, values: tuple[str, ...]):
+        sub = F.substring(col, pos, len(values[0]))
+        return sub.isin(*values) if len(values) > 1 else sub == F.lit(values[0])
+
+    def _verdict(fmt: str, jtype: str, prio: str):
+        return F.struct(
+            F.lit(fmt).alias("fmt"),
+            F.lit(jtype).alias("job_type"),
+            F.lit(prio).alias("priority"),
+        )
+
+    expr = None
+    for checks, fmt, jtype, prio in _sniff_rules():
+        cond = None
+        for pos, values in checks:
+            c = _check(pos, values)
+            cond = c if cond is None else cond & c
+        v = _verdict(fmt, jtype, prio)
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr.otherwise(_verdict(*_SNIFF_UNKNOWN))
+
+
+def sniff_case_sql(payload: str) -> dict[str, str]:
+    """The same decision table as three DuckDB CASE expressions keyed
+    fmt / job_type / priority, over a hex payload SQL expression."""
+    conds = []
+    for checks, fmt, jtype, prio in _sniff_rules():
+        parts = []
+        for pos, values in checks:
+            n = len(values[0])
+            if len(values) > 1:
+                opts = ", ".join(f"'{v}'" for v in values)
+                parts.append(f"substr({payload}, {pos}, {n}) IN ({opts})")
+            else:
+                parts.append(f"substr({payload}, {pos}, {n}) = '{values[0]}'")
+        conds.append((" AND ".join(parts), (fmt, jtype, prio)))
+    out = {}
+    for i, key in enumerate(("fmt", "job_type", "priority")):
+        whens = "\n".join(
+            f"WHEN {c} THEN '{verdict[i]}'" for c, verdict in conds
+        )
+        out[key] = f"CASE {whens} ELSE '{_SNIFF_UNKNOWN[i]}' END"
+    return out
+
+
+def sniff_fixture_heads() -> list[str]:
+    """Deterministic payload heads (hex) covering every decision row:
+    one matching head per _SNIFFERS row (with the WAVE subtype / PNM
+    whitespace completions), plus the edge rows — RIFF/AVI, RIFF with
+    neither subtype (falls through to UNKNOWN), PNM magic without the
+    whitespace guard (UNKNOWN), the WARC version line, offset-4 ftyp,
+    and a plain UNKNOWN."""
+    heads = []
+    for magic, fmt, _jtype, _prio in _SNIFFERS:
+        if fmt == "WAV":
+            heads.append((magic + b"\x24\x08\x00\x00" + b"WAVE").hex())
+        elif fmt == "PNM":
+            heads.append((magic + b"\x0a").hex())
+        else:
+            heads.append(magic.hex())
+    heads += [
+        (b"RIFF" + b"\x10\x00\x00\x00" + b"AVI ").hex(),
+        (b"RIFF" + b"\x10\x00\x00\x00" + b"JUNK").hex(),
+        b"P5Q".hex(),
+        b"WARC/1.1\r\n".hex(),
+        (b"\x00\x00\x00\x18ftypisom").hex(),
+        b"ZZZZ".hex(),
+    ]
+    return heads
+
+
 def _validate(raw: bytes, fmt: str) -> tuple[bool, str]:
     """Run the payload through the real decoder — an envelope should
     never carry bytes the pipeline will later crash on (the upload

@@ -2760,3 +2760,99 @@ def q140_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.rms_mean").between(0.05, 0.8).alias("ok_rms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151: the upload-edge sniffer decision table, cross-engine (S4)
+# ---------------------------------------------------------------------------
+
+
+def _sniffer_verdicts_oracle() -> str:
+    from streamprocess_spark.io.ingest import (
+        sniff_case_sql,
+        sniff_fixture_heads,
+    )
+
+    heads = sniff_fixture_heads()
+    whens = "\n".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(heads)
+    )
+    cases = sniff_case_sql("payload_hex")
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               (CASE CAST(doc_id % {len(heads)} AS INT)
+                {whens}
+                END) || md5(text) AS payload_hex
+        FROM documents
+    ), v AS (
+        SELECT doc_id, payload_hex,
+               {cases["fmt"]} AS fmt,
+               {cases["job_type"]} AS job_type,
+               {cases["priority"]} AS priority
+        FROM p
+    )
+    SELECT fmt, job_type, priority,
+           count(*) AS n_docs,
+           count(DISTINCT payload_hex) AS n_payloads,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+           min(payload_hex) AS p_min,
+           max(payload_hex) AS p_max
+    FROM v
+    GROUP BY fmt, job_type, priority
+    """
+
+
+@register(
+    "q151_sniffer_verdicts",
+    oracle=_sniffer_verdicts_oracle,
+    covers=("S4",),
+    doc="The upload edge's format-sniffing decision table as a hashed "
+        "cross-engine query (io/ingest.py:_sniff_rules — generated "
+        "from the PRODUCTION _SNIFFERS tuple, so the evidence tracks "
+        "the real magic table; reference: AudioEncoding/image "
+        "sniffing at api/main.py:146-218). Deterministic payloads "
+        "cover every decision row — each magic (with the RIFF "
+        "WAVE/AVI subtype split and the PNM whitespace guard), the "
+        "fall-through edges (RIFF with neither subtype, PNM magic "
+        "without whitespace), the WARC version line, offset-4 ftyp, "
+        "and UNKNOWN — built map-side as hex strings from the "
+        "documents table (head template by doc_id mod T, md5(text) "
+        "tail), classified by a Catalyst CASE chain, and aggregated "
+        "per (fmt, job_type, priority) verdict with payload "
+        "fingerprints. Map-only + one keyed agg shuffle; the three "
+        "content heuristics (gzip-WARC peek, H.264 NAL walk, MPEG "
+        "frame sync) need real decoding, stay Python-side, and are "
+        "differentially masked (tests/test_ingest.py).",
+)
+def q151_sniffer_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.io.ingest import (
+        sniff_case_hex,
+        sniff_fixture_heads,
+    )
+
+    heads = sniff_fixture_heads()
+    docs = load_tables(spark, sf_dir)["documents"]
+    payload = F.concat(
+        F.element_at(
+            F.array(*[F.lit(h) for h in heads]),
+            (F.pmod(F.col("doc_id"), F.lit(len(heads))) + 1).cast("int"),
+        ),
+        F.md5("text"),
+    )
+    v = sniff_case_hex(payload)
+    return (
+        docs.select("doc_id", payload.alias("payload_hex"), v.alias("v"))
+        .groupBy(
+            F.col("v.fmt").alias("fmt"),
+            F.col("v.job_type").alias("job_type"),
+            F.col("v.priority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("payload_hex").alias("n_payloads"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.min("payload_hex").alias("p_min"),
+            F.max("payload_hex").alias("p_max"),
+        )
+    )

@@ -122,7 +122,10 @@ TOP50: tuple[str, ...] = (
     "q90_queue_source_counts",
     # windows / analytics
     "q20_tumbling_window",
-    "q21_sliding_window",
+    # q21_sliding_window rotated below 50 late round 8 (T3/W1 both
+    # covered by q20/stream_window_suite; driver-green since round 1)
+    # in favour of first driver-grade S4 evidence:
+    "q151_sniffer_verdicts",
     "q_session_islands",         # q22 + q23
     "q24_topn_per_key",
     "q25_ordered_concat",

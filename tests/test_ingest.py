@@ -463,3 +463,84 @@ def test_archive_explodes_into_member_jobs():
 
     corrupt = explode_archive(_zip_flip(), name="bad.zip")
     assert [m["type"] for m in corrupt] == ["corrupt_media"]
+
+
+# ---------------------------------------------------------------------------
+# q151 S4 evidence glue: the Catalyst CASE chain (sniff_case_hex) and
+# the DuckDB CASE (sniff_case_sql) must both agree with the REAL
+# Python sniffer on its prefix-decidable surface. The three content
+# heuristics (gzip-member WARC peek, H.264 NAL walk, MPEG frame sync)
+# are deliberately absent from the hex form and masked here.
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_case_hex_matches_python_sniffer(spark):
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from streamprocess_spark.functions.h264 import looks_like_annexb_h264
+    from streamprocess_spark.functions.mpeg_audio import looks_like_mpeg_audio
+    from streamprocess_spark.io.ingest import (
+        sniff_case_hex,
+        sniff_case_sql,
+        sniff_fixture_heads,
+    )
+
+    rng = random.Random(151)
+    heads = sniff_fixture_heads()
+    payloads = []
+    # every fixture head (the q151 corpus, several tails each), then
+    # random heads to probe rule boundaries the fixtures don't hit
+    for i in range(4 * len(heads)):
+        payloads.append(
+            bytes.fromhex(heads[i % len(heads)])
+            + bytes(rng.randrange(256) for _ in range(16))
+        )
+    for _ in range(400):
+        payloads.append(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 20)))
+        )
+    rows, masked = [], 0
+    for i, p in enumerate(payloads):
+        if (
+            p[:2] == b"\x1f\x8b"
+            or looks_like_annexb_h264(p)
+            or looks_like_mpeg_audio(p)
+        ):
+            masked += 1
+            continue
+        fmt, jtype, prio = sniff_format(p)
+        rows.append((i, p.hex(), fmt, jtype, prio))
+    # the masked heuristic surface must stay a small minority — if it
+    # grows, the hex form no longer evidences the decision table
+    assert masked < len(payloads) * 0.2, masked
+    assert len(rows) > 4 * len(heads)
+
+    df = spark.createDataFrame(
+        rows, "i int, hexp string, fmt string, jtype string, prio string"
+    )
+    got = df.select(
+        "i", "fmt", "jtype", "prio",
+        sniff_case_hex(F.col("hexp")).alias("v"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert (
+            r["v"]["fmt"], r["v"]["job_type"], r["v"]["priority"]
+        ) == (r["fmt"], r["jtype"], r["prio"]), (r["i"], r["v"])
+
+    # and the DuckDB rendering of the same table agrees row-for-row
+    cases = sniff_case_sql("hexp")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (i INT, hexp VARCHAR, fmt VARCHAR, "
+        "jtype VARCHAR, prio VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    bad = con.execute(
+        f"SELECT i FROM t WHERE {cases['fmt']} <> fmt "
+        f"OR {cases['job_type']} <> jtype OR {cases['priority']} <> prio"
+    ).fetchall()
+    assert bad == [], bad
