@@ -571,3 +571,19 @@ def envelope_stream(spark, land_dir: str):
     return src.select(
         _envelope_udf(F.col("path"), F.col("content")).alias("e")
     ).select("e.*")
+
+
+def oneof_route_rules() -> dict:
+    """The DocumentRequest-oneof dispatch decision as data, derived
+    from the PRODUCTION state of this module: resolve_document_job's
+    oneof precedence and dead-letter constants, fetch_document's
+    scheme parse, and the LIVE _FETCHERS registry keys. Only the
+    engine-expressible surface — which branch a job takes and which
+    fetcher would be dispatched; fetch EXECUTION (file I/O, network)
+    stays Python-side (tests/test_ingest.py::
+    test_document_url_oneof_round_trip)."""
+    return {
+        "schemes": tuple(sorted(_FETCHERS)),
+        "malformed": ("malformed_job", "low"),
+        "failed": ("fetch_failed", "low"),
+    }

@@ -2856,3 +2856,139 @@ def q151_sniffer_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("payload_hex").alias("p_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q152: DocumentRequest-oneof dispatch routing, cross-engine (S13)
+# ---------------------------------------------------------------------------
+
+
+def _oneof_routing_oracle() -> str:
+    from streamprocess_spark.io.ingest import oneof_route_rules
+
+    r = oneof_route_rules()
+    schemes = ", ".join(f"'{s}'" for s in r["schemes"])
+    return f"""
+    WITH j AS (
+        SELECT doc_id,
+               CAST(doc_id % 8 AS INT) AS shape,
+               md5(text) AS h
+        FROM documents
+    ), u AS (
+        SELECT doc_id, shape,
+               CASE shape
+                   WHEN 1 THEN 'file:///data/' || h || '.bin'
+                   WHEN 2 THEN 's3://corpus-bucket/' || h || '.bin'
+                   WHEN 3 THEN 'http://upload-host/' || h || '.bin'
+                   WHEN 4 THEN 'relative/' || h || '.bin'
+                   WHEN 7 THEN 'FILE:///mnt/' || h || '.bin'
+               END AS url,
+               shape IN (0, 5) AS has_inline,
+               shape IN (1, 2, 3, 4, 5, 7) AS has_url
+        FROM j
+    ), v AS (
+        SELECT doc_id, url,
+               CASE WHEN url IS NOT NULL AND position('://' IN url) > 0
+                    THEN lower(split_part(url, '://', 1)) ELSE '' END AS scheme,
+               has_inline, has_url
+        FROM u
+    ), routed AS (
+        SELECT doc_id,
+               CASE
+                   WHEN has_inline = has_url THEN '{r["malformed"][0]}'
+                   WHEN has_inline THEN 'inline_envelope'
+                   WHEN scheme IN ({schemes}) THEN 'dispatch:' || scheme
+                   ELSE '{r["failed"][0]}'
+               END AS route,
+               CASE
+                   WHEN has_inline = has_url THEN '{r["malformed"][1]}'
+                   WHEN has_inline THEN NULL
+                   WHEN scheme IN ({schemes}) THEN NULL
+                   ELSE '{r["failed"][1]}'
+               END AS priority,
+               CASE WHEN has_inline <> has_url AND NOT has_inline
+                    THEN scheme END AS scheme,
+               CASE WHEN has_inline <> has_url AND NOT has_inline
+                         AND scheme NOT IN ({schemes})
+                    THEN substr(md5(url), 1, 16) END AS failed_job_id
+        FROM v
+    )
+    SELECT route, priority, scheme,
+           count(*) AS n_jobs,
+           count(DISTINCT failed_job_id) AS n_failed_ids,
+           min(failed_job_id) AS fid_min,
+           max(failed_job_id) AS fid_max
+    FROM routed
+    GROUP BY route, priority, scheme
+    """
+
+
+@register(
+    "q152_oneof_routing",
+    oracle=_oneof_routing_oracle,
+    covers=("S13",),
+    doc="DocumentRequest-oneof dispatch (io/ingest.py:"
+        "resolve_document_job / fetch_document; reference proto "
+        "stream_process.proto:199-206, the URL branch ocr_worker.py:"
+        "296-300 left unimplemented): oneof precedence (neither/both "
+        "-> malformed_job low), inline vs URL split, scheme parse "
+        "(lowercased, '' when absent), and fetcher-registry dispatch "
+        "with the scheme set read from the LIVE production _FETCHERS "
+        "registry — unregistered schemes dead-letter as fetch_failed "
+        "low with job_id = md5(url)[:16], replayed in both engines. "
+        "Eight deterministic job shapes per doc_id mod 8 cover every "
+        "branch incl. uppercase-scheme normalization. Fetch EXECUTION "
+        "(file I/O) stays Python-side (round-trip test). Map-only + "
+        "one keyed agg shuffle.",
+)
+def q152_oneof_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.io.ingest import oneof_route_rules
+
+    r = oneof_route_rules()
+    docs = load_tables(spark, sf_dir)["documents"]
+    shape = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    h = F.md5("text")
+    url = (
+        F.when(shape == 1, F.concat(F.lit("file:///data/"), h, F.lit(".bin")))
+        .when(shape == 2, F.concat(F.lit("s3://corpus-bucket/"), h, F.lit(".bin")))
+        .when(shape == 3, F.concat(F.lit("http://upload-host/"), h, F.lit(".bin")))
+        .when(shape == 4, F.concat(F.lit("relative/"), h, F.lit(".bin")))
+        .when(shape == 7, F.concat(F.lit("FILE:///mnt/"), h, F.lit(".bin")))
+    )
+    has_inline = shape.isin(0, 5)
+    has_url = shape.isin(1, 2, 3, 4, 5, 7)
+    scheme = F.when(
+        url.isNotNull() & url.contains("://"),
+        F.lower(F.substring_index(url, "://", 1)),
+    ).otherwise(F.lit(""))
+    registered = scheme.isin(*r["schemes"])
+    route = (
+        F.when(has_inline == has_url, F.lit(r["malformed"][0]))
+        .when(has_inline, F.lit("inline_envelope"))
+        .when(registered, F.concat(F.lit("dispatch:"), scheme))
+        .otherwise(F.lit(r["failed"][0]))
+    )
+    # production fixes priority only for the dead-letter branches; a
+    # dispatched/inline job's priority comes from the downstream sniff
+    priority = (
+        F.when(has_inline == has_url, F.lit(r["malformed"][1]))
+        .when(has_inline | registered, F.lit(None).cast("string"))
+        .otherwise(F.lit(r["failed"][1]))
+    )
+    url_branch = (has_inline != has_url) & ~has_inline
+    failed_id = F.when(
+        url_branch & ~registered, F.substring(F.md5(url), 1, 16)
+    )
+    routed = docs.select(
+        "doc_id",
+        route.alias("route"),
+        priority.alias("priority"),
+        F.when(url_branch, scheme).alias("scheme"),
+        failed_id.alias("failed_job_id"),
+    )
+    return routed.groupBy("route", "priority", "scheme").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.countDistinct("failed_job_id").alias("n_failed_ids"),
+        F.min("failed_job_id").alias("fid_min"),
+        F.max("failed_job_id").alias("fid_max"),
+    )

@@ -119,7 +119,10 @@ TOP50: tuple[str, ...] = (
     "q19_batch_formation",
     "q68_region_blocks",
     "q71_salted_agg",
-    "q90_queue_source_counts",
+    # q90_queue_source_counts rotated below 50 late round 8 (R1 covered
+    # by q_queue_admin, S6/S7 by stream_state_suite; driver-green since
+    # round 2) in favour of first driver-grade S13 evidence:
+    "q152_oneof_routing",
     # windows / analytics
     "q20_tumbling_window",
     # q21_sliding_window rotated below 50 late round 8 (T3/W1 both

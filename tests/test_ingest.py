@@ -544,3 +544,50 @@ def test_sniff_case_hex_matches_python_sniffer(spark):
         f"OR {cases['job_type']} <> jtype OR {cases['priority']} <> prio"
     ).fetchall()
     assert bad == [], bad
+
+
+def test_oneof_route_rules_match_resolver(tmp_path):
+    """q152's engine-expressible dispatch table must agree with the
+    REAL resolve_document_job on every branch: oneof violations,
+    inline, registered-scheme dispatch (a real file:// fetch),
+    unregistered schemes and scheme-less URLs (fetch_failed with
+    job_id = md5(url)[:16])."""
+    import hashlib as _hl
+
+    from streamprocess_spark.io.ingest import (
+        oneof_route_rules,
+        resolve_document_job,
+    )
+
+    r = oneof_route_rules()
+    assert "file" in r["schemes"]
+
+    f = tmp_path / "doc.wav"
+    f.write_bytes(_wav())
+    cases = [
+        # (job, expected engine route)
+        ({"image_content": _wav()}, "inline_envelope"),
+        ({"document_url": f"file://{f}"}, "dispatch:file"),
+        ({"document_url": f"FILE://{f}"}, "dispatch:file"),
+        ({"document_url": "s3://bucket/x.bin"}, "fetch_failed"),
+        ({"document_url": "http://host/x.bin"}, "fetch_failed"),
+        ({"document_url": "relative/x.bin"}, "fetch_failed"),
+        ({"image_content": _wav(), "document_url": "file:///x"},
+         "malformed_job"),
+        ({}, "malformed_job"),
+    ]
+    for job, route in cases:
+        env = resolve_document_job(dict(job))
+        if route == "malformed_job":
+            assert env["type"] == r["malformed"][0], job
+            assert env["priority"] == r["malformed"][1]
+        elif route == "fetch_failed":
+            assert env["type"] == r["failed"][0], job
+            assert env["priority"] == r["failed"][1]
+            url = job["document_url"]
+            assert env["job_id"] == _hl.md5(url.encode()).hexdigest()[:16]
+        else:
+            # dispatch/inline: the resolver produced a REAL envelope
+            # (priority comes from the sniff, not the routing layer)
+            assert env["type"] not in (r["malformed"][0], r["failed"][0]), job
+            assert env["payload"]["format"] == "WAV"
