@@ -2902,12 +2902,14 @@ def _oneof_routing_oracle() -> str:
                END AS route,
                CASE
                    WHEN has_inline = has_url THEN '{r["malformed"][1]}'
-                   WHEN has_inline THEN NULL
-                   WHEN scheme IN ({schemes}) THEN NULL
+                   -- dispatched/inline jobs get priority from the
+                   -- downstream sniff, not the routing layer
+                   WHEN has_inline THEN '(sniffed)'
+                   WHEN scheme IN ({schemes}) THEN '(sniffed)'
                    ELSE '{r["failed"][1]}'
                END AS priority,
                CASE WHEN has_inline <> has_url AND NOT has_inline
-                    THEN scheme END AS scheme,
+                    THEN scheme ELSE '-' END AS scheme,
                CASE WHEN has_inline <> has_url AND NOT has_inline
                          AND scheme NOT IN ({schemes})
                     THEN substr(md5(url), 1, 16) END AS failed_job_id
@@ -2916,8 +2918,8 @@ def _oneof_routing_oracle() -> str:
     SELECT route, priority, scheme,
            count(*) AS n_jobs,
            count(DISTINCT failed_job_id) AS n_failed_ids,
-           min(failed_job_id) AS fid_min,
-           max(failed_job_id) AS fid_max
+           coalesce(min(failed_job_id), '-') AS fid_min,
+           coalesce(max(failed_job_id), '-') AS fid_max
     FROM routed
     GROUP BY route, priority, scheme
     """
@@ -2972,7 +2974,7 @@ def q152_oneof_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dispatched/inline job's priority comes from the downstream sniff
     priority = (
         F.when(has_inline == has_url, F.lit(r["malformed"][1]))
-        .when(has_inline | registered, F.lit(None).cast("string"))
+        .when(has_inline | registered, F.lit("(sniffed)"))
         .otherwise(F.lit(r["failed"][1]))
     )
     url_branch = (has_inline != has_url) & ~has_inline
@@ -2983,12 +2985,12 @@ def q152_oneof_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         route.alias("route"),
         priority.alias("priority"),
-        F.when(url_branch, scheme).alias("scheme"),
+        F.when(url_branch, scheme).otherwise(F.lit("-")).alias("scheme"),
         failed_id.alias("failed_job_id"),
     )
     return routed.groupBy("route", "priority", "scheme").agg(
         F.count(F.lit(1)).alias("n_jobs"),
         F.countDistinct("failed_job_id").alias("n_failed_ids"),
-        F.min("failed_job_id").alias("fid_min"),
-        F.max("failed_job_id").alias("fid_max"),
+        F.coalesce(F.min("failed_job_id"), F.lit("-")).alias("fid_min"),
+        F.coalesce(F.max("failed_job_id"), F.lit("-")).alias("fid_max"),
     )
