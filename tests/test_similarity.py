@@ -86,7 +86,7 @@ def test_kmeans_inertia_decreases_and_deterministic(spark):
 
 
 def test_pq_adc_recall_vs_exact(spark):
-    """PQ/ADC (q111) is a coarse quantization (m=4, k_sub=4 → 256
+    """PQ/ADC (q111) is a coarse quantization (m=4, k_sub=8 → 4096
     distinct code words): it must still place a meaningful share of
     the exact top-5 in its top-5 (recall floor), and every query must
     return exactly 5 ranked rows."""
