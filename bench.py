@@ -854,7 +854,11 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     even_v = fs.get("chunks_per_sec")
     for leg in ("skew", "scale"):
         leg_v = (fs.get(leg) or {}).get("chunks_per_sec")
-        if leg_v and even_v and leg_v < even_v / 2.0:
+        # `is not None`, not truthiness: a leg that ran and delivered 0
+        # chunks/s is a total collapse and must flag (the same falsy-0
+        # class the section-metric loop above already closes); only a
+        # genuinely absent leg skips
+        if leg_v is not None and even_v and leg_v < even_v / 2.0:
             flagged[f"flagship_{leg}:chunks_per_sec"] = {
                 "now": leg_v, "prev": even_v,
                 "ratio": round(leg_v / even_v, 2)}

@@ -77,9 +77,7 @@ def _self_dot(a):
     return _dot(a, a)
 
 
-def with_norm(
-    df: DataFrame, vec_col: str = "embedding", dim: int = DIM
-) -> DataFrame:
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("nrm", F.sqrt(_self_dot(F.col(vec_col))))
 
 
@@ -230,7 +228,7 @@ def _collect_centroids(cents: DataFrame, grouped: bool):
     return packed
 
 
-def _score_udf(packed, dim: int, grouped: bool):
+def _score_udf(packed, grouped: bool):
     """Arrow-vectorized centroid scorer: for each row, the EXACT
     fixed-point dot of the embedding against every centroid of its
     group, plus the embedding's own fixed-point self-dot. Every output
@@ -271,7 +269,17 @@ def _score_udf(packed, dim: int, grouped: bool):
             cn_col = [None] * len(g)
             for gv in np.unique(g):
                 m = np.nonzero(g == gv)[0]
-                dots, cnfps = _score_block(E[m], packed[int(gv)])
+                blk = packed.get(int(gv))
+                if blk is None:
+                    # group without centroids: emit empty score arrays
+                    # so every candidate is NULL and the caller drops
+                    # the row — the previous equi-join's drop
+                    # semantics, not an executor KeyError crash
+                    for j in m:
+                        dots_col[j] = []
+                        cn_col[j] = []
+                    continue
+                dots, cnfps = _score_block(E[m], blk)
                 for j, row in zip(m, dots):
                     dots_col[j] = row
                     cn_col[j] = cnfps
@@ -320,15 +328,22 @@ def _best_from_scores(sc, ids, k: int, probe: int = 1):
                 F.struct(s_i.alias("s"), F.lit(-ids[i]).alias("negid")),
             )
         )
-    best = cands[0] if k == 1 else F.greatest(*cands)
-    out = [best]
-    if probe > 1:
-        masked = [
+    # iterative masking: round r's best is removed (negid is unique, so
+    # struct equality masks exactly one candidate) and the next
+    # greatest() is pick r+1 — honors any probe, where the first cut of
+    # this expression silently truncated probe >= 3 to two picks. Picks
+    # beyond a row's available centroids come out NULL (callers
+    # array_compact / filter them), matching the old row_number form.
+    out = []
+    cur = cands
+    for _ in range(min(probe, k)):
+        best = cur[0] if k == 1 else F.greatest(*cur)
+        out.append(best)
+        cur = [
             F.when(c == best, F.lit(None).cast("struct<s:double,negid:bigint>"))
             .otherwise(c)
-            for c in cands
+            for c in cur
         ]
-        out.append(masked[0] if k == 1 else F.greatest(*masked))
     return out
 
 
@@ -353,9 +368,9 @@ def ivf_assign(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     packed = _collect_centroids(c, grouped=False)
-    ids, C, _ = packed[0]
+    ids, _, _ = packed[0]
     scored = v.withColumn(
-        "_sc", _score_udf(packed, C.shape[1], grouped=False)(F.col("embedding"))
+        "_sc", _score_udf(packed, grouped=False)(F.col("embedding"))
     )
     picks = _best_from_scores(F.col("_sc"), ids, len(ids), probe)
     return (
@@ -473,9 +488,9 @@ def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     full-corpus shuffle per assignment that contradicted this
     docstring's own scale claim)."""
     packed = _collect_centroids(cents, grouped=False)
-    ids, C, _ = packed[0]
+    ids, _, _ = packed[0]
     scored = v.withColumn(
-        "_sc", _score_udf(packed, C.shape[1], grouped=False)(F.col("embedding"))
+        "_sc", _score_udf(packed, grouped=False)(F.col("embedding"))
     )
     best = _best_from_scores(F.col("_sc"), ids, len(ids))[0]
     return scored.select(
@@ -694,11 +709,22 @@ def _kmeans_assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
     expression — per-row work is O(k) however large G grows, and there
     is no shuffle of the corpus (see _kmeans_assign)."""
     packed = _collect_centroids(cents, grouped=True)
+    # the argmax expression labels buckets by POSITION (one shared
+    # candidate list across groups), so every group's cent_ids must be
+    # exactly 0..k_g-1 — true for both production inits (rank-1, and
+    # vec_id<k over dense ids). A non-dense init would otherwise make
+    # the Lloyd update join miss every (coarse, cent_id) key and
+    # silently freeze the centroids; fail loudly instead.
+    for g, (ids, _, _) in packed.items():
+        if ids != list(range(len(ids))):
+            raise ValueError(
+                f"grouped k-means needs per-group cent_ids 0..k-1; "
+                f"group {g} has {ids}"
+            )
     k_max = max(len(ids) for ids, _, _ in packed.values())
-    dim_g = next(iter(packed.values()))[1].shape[1]
     scored = v.withColumn(
         "_sc",
-        _score_udf(packed, dim_g, grouped=True)(
+        _score_udf(packed, grouped=True)(
             F.col("embedding"), F.col("coarse")
         ),
     )
@@ -709,7 +735,7 @@ def _kmeans_assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
         "embedding",
         (-best["negid"]).alias("bucket"),
         best["s"].alias("s"),
-    )
+    ).filter(F.col("bucket").isNotNull())
 
 
 def kmeans_fit_grouped(

@@ -2382,6 +2382,59 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _admission_signals(docs: DataFrame):
+    """Shared Spark side of the q123/q150 admission decision table
+    (the oracles already share _ADMISSION_CTES; this keeps the Spark
+    builders from drifting the same way): exact-dup flag against the
+    canonical-fingerprint survivor, eval-set 4-gram contamination
+    flag, and quality + repetition scores. Returns (dup, contam, q)
+    keyed by doc_id; `docs` needs (doc_id, text)."""
+    t = docs.select("doc_id", X.fingerprint("text").alias("fp"))
+    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dup = t.join(canon, "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
+    )
+    grams = D.doc_shingles(docs, "doc_id", "text", n=4)
+    bench = grams.filter(F.col("doc_id") < 3).select("tok").distinct()
+    contam = (
+        grams.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(bench), "tok")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    toks = X.tokens_col("text")
+    n = F.size(toks).cast("double")
+    q = docs.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        (
+            (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+             / F.greatest(n, F.lit(1.0))) > F.lit(0.5)
+        ).alias("repetitive"),
+    )
+    return dup, contam, q
+
+
+def _admission_verdict(near_dup: bool = False):
+    """The precedence-ordered verdict CASE shared by q123 and q150;
+    q150 inserts its MinHash near-dup stage between the exact-dup and
+    contamination branches."""
+    v = (
+        F.when(F.col("doc_id") < 3, "eval_holdout")
+        .when(F.col("is_dup"), "drop_duplicate")
+    )
+    if near_dup:
+        v = v.when(F.col("near_dup"), "drop_near_dup")
+    return (
+        v.when(F.col("contaminated"), "drop_contaminated")
+        .when(F.col("repetitive"), "drop_repetitive")
+        .when(F.col("quality") < 0.5, "drop_quality")
+        .when(F.col("doc_id") % 4 == 0, "keep_scrubbed")
+        .otherwise("keep")
+    )
+
+
 # Shared WITH-body of the corpus-admission decision table: used by
 # q123 and extended (near-dup stage + splits) by the q150 curation DAG.
 _ADMISSION_CTES = f"""t AS (
@@ -2462,49 +2515,13 @@ _ADMISSION_CTES = f"""t AS (
 )
 def q123_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    t = docs.select(
-        "doc_id",
-        X.tokens_col("text").alias("toks"),
-        X.fingerprint("text").alias("fp"),
-    )
-    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    dup = t.join(canon, "fp").select(
-        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
-    )
-    grams = D.doc_shingles(docs, "doc_id", "text", n=4)
-    bench = grams.filter(F.col("doc_id") < 3).select("tok").distinct()
-    contam = (
-        grams.filter(F.col("doc_id") >= 3)
-        .join(F.broadcast(bench), "tok")
-        .select("doc_id")
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
-    toks2 = X.tokens_col("text")
-    n = F.size(toks2).cast("double")
-    q = docs.select(
-        "doc_id",
-        X.quality_score("text").alias("quality"),
-        (
-            (F.lit(1.0) - F.size(F.array_distinct(toks2)).cast("double")
-             / F.greatest(n, F.lit(1.0))) > F.lit(0.5)
-        ).alias("repetitive"),
-    )
-    verdict = (
-        F.when(F.col("doc_id") < 3, "eval_holdout")
-        .when(F.col("is_dup"), "drop_duplicate")
-        .when(F.col("contaminated"), "drop_contaminated")
-        .when(F.col("repetitive"), "drop_repetitive")
-        .when(F.col("quality") < 0.5, "drop_quality")
-        .when(F.col("doc_id") % 4 == 0, "keep_scrubbed")
-        .otherwise("keep")
-    )
+    dup, contam, q = _admission_signals(docs)
     return (
         docs.select("doc_id")
         .join(dup, "doc_id")
         .join(contam, "doc_id", "left")
         .join(q, "doc_id")
-        .select("doc_id", verdict.alias("verdict"), "quality")
+        .select("doc_id", _admission_verdict().alias("verdict"), "quality")
     )
 
 
@@ -3794,8 +3811,10 @@ def _stage_curation_warc(sf_dir: str) -> str:
 
     src = table_path(sf_dir, "documents")
     key = src.strip("/").replace("/", "_")
+    # v2: bodies are entity-escaped (cache key bumped so stale
+    # unescaped segment dirs are never reused)
     wdir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_curation_warc", key
+        tempfile.gettempdir(), "spark_graft_curation_warc_v2", key
     )
     marker = os.path.join(wdir, "_READY")
     if os.path.exists(marker) \
@@ -3818,11 +3837,27 @@ def _stage_curation_warc(sf_dir: str) -> str:
             d = int(d)
             if d % 8 != b:
                 continue
+            # escape the five entities html_to_text decodes, in
+            # &-first order, so markup characters in corpus text
+            # round-trip token-exactly through the production
+            # extraction chain instead of being eaten by the
+            # tag-strip / entity-decode. (Residual hazard, accepted
+            # and documented: source text containing a LITERAL
+            # entity string like '&lt;' double-decodes — the
+            # sequential-replace decoder's classic limit.)
+            esc = (
+                str(text)
+                .replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+                .replace('"', "&quot;")
+                .replace("'", "&#39;")
+            )
             html = (
                 "<html><head><title></title>"
                 "<style>p {color: red}</style></head><body>"
                 f"<script>var x = {d};</script>"
-                f"<p>{text}</p></body></html>"
+                f"<p>{esc}</p></body></html>"
             )
             recs.append({
                 "warc_type": "response",
@@ -3919,7 +3954,18 @@ def q150_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_warc_source(spark)
     wdir = _stage_curation_warc(sf_dir)
-    base = tempfile.mkdtemp(prefix="sp_curation_")
+    # fixed per-process scratch, wiped on reuse: the txlog stage tables
+    # ARE the measured work (bench times the DAG end-to-end, so they
+    # must be rebuilt every invocation), but a fresh mkdtemp per call
+    # leaked a full corpus copy per run — now at most one copy persists
+    # per process, and the pid suffix keeps concurrent sessions apart
+    base = os.path.join(
+        tempfile.gettempdir(), f"sp_curation_{os.getpid()}"
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
 
     # stage 1: WARC -> HTML -> text, committed
     recs = spark.read.format("warc").load(wdir)
@@ -3937,47 +3983,15 @@ def q150_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(base, "extracted"), extracted
     ).read(spark)
 
-    # stage 2: admission decision table (exact dup, near dup,
-    # contamination, repetition, quality), committed
-    t = ext.select("doc_id", X.fingerprint("text").alias("fp"))
-    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    dup = t.join(canon, "fp").select(
-        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
-    )
+    # stage 2: admission decision table — q123's shared signals +
+    # verdict (see _admission_signals/_admission_verdict) extended
+    # with the MinHash near-dup stage, committed
+    dup, contam, q = _admission_signals(ext)
     near = (
         D.minhash_candidates(ext, "doc_id", "text")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
-    )
-    grams = D.doc_shingles(ext, "doc_id", "text", n=4)
-    bench = grams.filter(F.col("doc_id") < 3).select("tok").distinct()
-    contam = (
-        grams.filter(F.col("doc_id") >= 3)
-        .join(F.broadcast(bench), "tok")
-        .select("doc_id")
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
-    toks = X.tokens_col("text")
-    n = F.size(toks).cast("double")
-    q = ext.select(
-        "doc_id",
-        X.quality_score("text").alias("quality"),
-        (
-            (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
-             / F.greatest(n, F.lit(1.0))) > F.lit(0.5)
-        ).alias("repetitive"),
-    )
-    verdict = (
-        F.when(F.col("doc_id") < 3, "eval_holdout")
-        .when(F.col("is_dup"), "drop_duplicate")
-        .when(F.col("near_dup"), "drop_near_dup")
-        .when(F.col("contaminated"), "drop_contaminated")
-        .when(F.col("repetitive"), "drop_repetitive")
-        .when(F.col("quality") < 0.5, "drop_quality")
-        .when(F.col("doc_id") % 4 == 0, "keep_scrubbed")
-        .otherwise("keep")
     )
     admission = (
         ext.select("doc_id", "source")
@@ -3985,7 +3999,10 @@ def q150_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(q, "doc_id")
-        .select("doc_id", "source", verdict.alias("verdict"))
+        .select(
+            "doc_id", "source",
+            _admission_verdict(near_dup=True).alias("verdict"),
+        )
     )
     adm = TxTable.create(
         spark, os.path.join(base, "admission"), admission

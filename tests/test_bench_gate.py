@@ -196,3 +196,18 @@ def test_unparseable_history_file_is_skipped(tmp_path):
     out = _regression_gate({"queries": {"q1": 1.05}}, here=str(tmp_path))
     assert out["baseline_round"] == 2
     assert out["flagged"] == {}
+
+
+def test_flagship_leg_zero_throughput_flags(tmp_path):
+    """A skew/scale leg that ran but delivered 0 chunks/s is a total
+    collapse, not a skippable absence — the falsy-0 class must flag
+    (mirrors the section-metric zero test above). A genuinely absent
+    leg still skips."""
+    _write_round(tmp_path, 1, _base_round())
+    dead = {"flagship": {"chunks_per_sec": 1000.0,
+                         "scale": {"chunks_per_sec": 0.0}}}
+    out = _regression_gate(dead, here=str(tmp_path))
+    assert "flagship_scale:chunks_per_sec" in out["flagged"]
+    absent = {"flagship": {"chunks_per_sec": 1000.0}}
+    out2 = _regression_gate(absent, here=str(tmp_path))
+    assert not any(k.startswith("flagship_") for k in out2["flagged"])

@@ -68,3 +68,40 @@ def test_curation_dag_admitted_subset_and_determinism(spark):
         for r in query_map()["q150_curation_dag"](spark, SF_DIR).collect()
     }
     assert rows1 == rows2
+
+
+def test_fixture_escaping_round_trips_markup_text(spark):
+    """Corpus text containing markup characters must survive the
+    build-side entity escaping + the production extraction chain
+    token-exactly — without escaping, the tag-strip would eat
+    '<anything-bracketed>' and entity decode would rewrite '&amp;'
+    shapes (the round-8 review finding). Mirrors the exact template
+    _stage_curation_warc writes."""
+    nasty = [
+        'price < 100 & weight > 5 "quoted" it\'s fine',
+        "a <b>bold</b> claim with </p> inside & an x<y>z tail",
+        "plain text with no markup at all",
+    ]
+    rows = []
+    for i, text in enumerate(nasty):
+        esc = (
+            text.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
+            .replace("'", "&#39;")
+        )
+        html = (
+            "<html><head><title></title>"
+            "<style>p {color: red}</style></head><body>"
+            f"<script>var x = {i};</script>"
+            f"<p>{esc}</p></body></html>"
+        )
+        rows.append((i, text, html))
+    from streamprocess_spark.plans.llm_pipeline import html_to_text
+
+    df = spark.createDataFrame(rows, "i int, text string, html string")
+    got = df.select("i", "text", html_to_text(F.col("html")).alias("out"))
+    for r in got.collect():
+        # token-exact: the invariant every downstream signal relies on
+        assert r["out"].split() == r["text"].split(), (r["i"], r["out"])

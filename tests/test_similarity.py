@@ -200,7 +200,7 @@ def test_arrow_scorer_matches_jvm_fixed_point(spark):
     ids, C, cnfps = packed[0]
     scored = emb.select(
         "vec_id",
-        S._score_udf(packed, C.shape[1], grouped=False)(
+        S._score_udf(packed, grouped=False)(
             F.col("embedding")
         ).alias("sc"),
     )
@@ -237,3 +237,34 @@ def test_arrow_scorer_matches_jvm_fixed_point(spark):
         for i in range(len(ids)):
             assert r["sc"]["dots"][i] == r[f"jd{i}"], (r["vec_id"], i)
         assert list(r["sc"]["cnfps"]) == [int(x) for x in cnfps]
+
+
+def test_ivf_assign_honors_probe_beyond_two(spark):
+    """probe >= 3 regression: the first cut of the array-expression
+    argmax silently truncated every probe above 2 (the old row_number
+    form honored any probe). Each vector must get exactly `probe`
+    DISTINCT buckets, and the probe-2 set must be a prefix of the
+    probe-3 set (same ordering, one more pick)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.operators.similarity import ivf_assign
+
+    emb = load_tables(spark, SF_DIR)["embeddings"].filter(
+        F.col("vec_id") < 200
+    )
+    cents = emb.filter(F.col("vec_id") < 6)
+
+    def buckets(probe):
+        out = defaultdict(list)
+        for r in ivf_assign(emb, cents, probe=probe).collect():
+            out[r["vec_id"]].append(r["bucket"])
+        return out
+
+    b2, b3 = buckets(2), buckets(3)
+    assert set(b2) == set(b3)
+    for vid, bs in b3.items():
+        assert len(bs) == 3 and len(set(bs)) == 3, (vid, bs)
+        assert bs[:2] == b2[vid], (vid, bs, b2[vid])
