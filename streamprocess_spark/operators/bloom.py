@@ -1,0 +1,191 @@
+"""Partitioned Bloom-filter index for incremental corpus admission
+(SURVEY §2.13 dedup family; complements q122's banded-LSH increment).
+
+The daily-run problem at 100 TB: a new batch of documents must be
+admitted iff their content hash is NOT already in the corpus. The
+naive plan — ``new LEFT ANTI JOIN corpus ON content_hash`` — shuffles
+the ENTIRE historical corpus on every run, because the anti join's
+right side can never be broadcast. Spark's own runtime bloom filtering
+(``bloom_filter_agg`` / ``might_contain``) is exactly this reduction,
+but those expressions are internal-only (not in the public
+FunctionRegistry), so this module builds the same thing explicitly
+with the repo's Arrow-scorer pattern:
+
+  - ``bloom_index`` aggregates the corpus's 64-bit key hashes into a
+    BUCKETED bitmap table ``(bucket, bitmap)`` — one row per bucket,
+    each a fixed-size Bloom bitmap. Only the 8-byte hash column is
+    shuffled (once, to build the index), never the documents. The
+    index is an ordinary DataFrame: persistable through ``io/txlog``
+    tables and incrementally maintainable (OR in each admitted batch's
+    bitmaps), so steady-state daily runs do ZERO corpus scans on the
+    fast path.
+  - ``bloom_probe`` routes a batch against the index: rows whose k
+    probe bits are not all set are DEFINITELY absent (no false
+    negatives) and admit immediately; the "maybe" remainder (true dups
+    + the tiny false-positive fraction) is confirmed exactly against
+    the corpus with broadcast-sized joins.
+
+Bucketing is what makes the index cluster-scale: a single closure /
+broadcast bloom caps out at executor memory (10 bits/key over 10^10
+keys is ~12 GB), while the bucketed table spreads the same bits over
+``n_buckets`` rows joined by key — broadcast when small, hash-join
+when not. Determinism: positions derive from xxhash64 (fixed Spark
+seed) via uint64 double hashing; bit-OR is commutative, so the bitmaps
+are partitioning-invariant, and the bloom only ROUTES — the admitted
+result is exact anti-join semantics regardless of filter sizing.
+
+Reference anchor: the reference dedupes re-uploaded jobs by content
+hash at its ingest edge (src/services/document_service.py hash check);
+this operator is that check re-expressed for a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+# Demo sizing (the registered query's constants — results are exact for
+# ANY sizing, only the pruning rate changes): 64 buckets x 2 KiB = 128
+# KiB total, ~4.6 bits/key at the sf0.1 corpus half (~25k keys),
+# k=7 probes -> false-positive rate well under 1e-4. At 100 TB, scale
+# n_buckets with the corpus (keys/bucket roughly constant) and keep
+# bits_per_bucket fixed so each row stays cache-friendly.
+N_BUCKETS = 64
+BITS_PER_BUCKET = 1 << 14
+N_PROBES = 7
+
+_INDEX_T = StructType([
+    StructField("bucket", IntegerType(), False),
+    StructField("bitmap", BinaryType(), False),
+])
+
+
+def _hash_cols(col):
+    """Two independent 64-bit key hashes, JVM-side (xxhash64, Spark's
+    fixed seed 42; the second hashes the (key, 1) tuple)."""
+    return F.xxhash64(col), F.xxhash64(col, F.lit(1))
+
+
+def _bucket_col(h1, n_buckets: int):
+    """Bucket = low bits of h1. Power-of-two masks make the signed
+    int64 (JVM) and uint64 (numpy) views agree bit-for-bit."""
+    return h1.bitwiseAND(F.lit(n_buckets - 1)).cast("int")
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions by uint64 double hashing. The bucket id is
+    the LOW bits of h1, so positions mix from the HIGH half (h1 >> 32)
+    to stay independent of bucket membership; h2 is forced odd so the
+    k probes never collapse to one position. All arithmetic wraps in
+    uint64 — deterministic everywhere numpy runs."""
+    u1 = h1.astype(np.int64).view(np.uint64) >> np.uint64(32)
+    u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(m)).astype(
+        np.int64
+    )
+
+
+def _set_bits(m: int, pos: np.ndarray) -> bytes:
+    bmp = np.zeros(m >> 3, dtype=np.uint8)
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bmp, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+    return bmp.tobytes()
+
+
+def bloom_index(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = N_BUCKETS,
+    bits_per_bucket: int = BITS_PER_BUCKET,
+    k: int = N_PROBES,
+) -> DataFrame:
+    """Build the bucketed bloom index ``(bucket, bitmap)`` over
+    ``df[key_col]`` — one groupBy shuffle of the 8-byte hash column,
+    then eagerly materialized (it IS the persisted artifact of the
+    daily-run story; same bounded-metadata class as the k-means
+    centroid table, n_buckets rows x bits/8 bytes)."""
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    h1, h2 = _hash_cols(F.col(key_col))
+    hashed = df.select(
+        h1.alias("h1"), h2.alias("h2"), _bucket_col(h1, n_buckets).alias("bucket")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = _positions(
+            pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), bits_per_bucket, k
+        )
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bitmap": [_set_bits(bits_per_bucket, pos)],
+            }
+        )
+
+    idx = hashed.groupBy("bucket").applyInPandas(build, _INDEX_T)
+    return idx.localCheckpoint(eager=True)
+
+
+def _probe_udf(bits_per_bucket: int, k: int):
+    @F.pandas_udf(BooleanType())
+    def probe(h1: pd.Series, h2: pd.Series, bitmap: pd.Series) -> pd.Series:
+        n = len(h1)
+        out = np.zeros(n, dtype=bool)  # NULL bitmap (empty bucket) -> False
+        if n == 0:
+            return pd.Series(out)
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), bits_per_bucket, k)
+        # bitmaps repeat per row within a bucket; factorize so each
+        # buffer is materialized once per Arrow batch (None -> code -1,
+        # excluded from uniques and left False)
+        codes, uniques = pd.factorize(bitmap, use_na_sentinel=True)
+        for ci, buf in enumerate(uniques):
+            idx = np.nonzero(codes == ci)[0]
+            bmp = np.frombuffer(buf, dtype=np.uint8)
+            p = pos[idx]
+            hit = (bmp[p >> 3] >> (p & 7)) & 1
+            out[idx] = hit.all(axis=1)
+        return pd.Series(out)
+
+    return probe
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    index: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    bits_per_bucket: int = BITS_PER_BUCKET,
+    k: int = N_PROBES,
+    out_col: str = "maybe_dup",
+) -> DataFrame:
+    """Route ``df`` against a ``bloom_index``: adds ``out_col`` — False
+    means DEFINITELY not in the indexed key set (Bloom guarantee: no
+    false negatives), True means confirm exactly. The index joins by
+    bucket (broadcast here; at 100 TB a hash join on bucket — either
+    way the batch is never shuffled against the corpus itself)."""
+    h1, h2 = _hash_cols(F.col(key_col))
+    probed = (
+        df.withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .withColumn("_bucket", _bucket_col(h1, n_buckets))
+        .join(
+            F.broadcast(index.withColumnRenamed("bucket", "_bucket")),
+            "_bucket",
+            "left",
+        )
+    )
+    maybe = _probe_udf(bits_per_bucket, k)(
+        F.col("_h1"), F.col("_h2"), F.col("bitmap")
+    )
+    return probed.withColumn(out_col, maybe).drop(
+        "_h1", "_h2", "_bucket", "bitmap"
+    )

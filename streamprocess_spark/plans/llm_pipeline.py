@@ -2378,6 +2378,74 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q153: bloom-prefiltered exact admission (the anti-join reduction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q153_bloom_admission",
+    oracle="""
+    WITH c AS (
+        SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+    ),
+    n AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT n.doc_id, n.content_hash
+    FROM n
+    WHERE n.content_hash NOT IN (SELECT content_hash FROM c)
+    """,
+    covers=("§2.13-dedup",),
+    doc="EXACT incremental admission via a partitioned Bloom index "
+        "(operators/bloom.py): the arriving batch (odd doc_ids) is "
+        "admitted iff its content hash is absent from the corpus "
+        "(even doc_ids). The naive `new ANTI JOIN corpus` shuffles "
+        "the WHOLE corpus every daily run (the anti join's right side "
+        "can never broadcast); here the corpus is reduced to a "
+        "bucketed (bucket, bitmap) Bloom table — built with ONE "
+        "shuffle of the 8-byte hash column, persistable and "
+        "incrementally maintainable — the batch routes against it "
+        "map-side (no false negatives), and only the maybe-dup "
+        "remainder (true dups + a ~1e-4 FP fraction) is confirmed "
+        "exactly through broadcast-sized joins. Zero corpus shuffles; "
+        "the result is exact anti-join semantics for ANY filter "
+        "sizing, so the oracle is the plain NOT IN. Spark keeps this "
+        "reduction internal (bloom_filter_agg / might_contain are not "
+        "in the public FunctionRegistry); the operator rebuilds it on "
+        "the repo's Arrow-scorer pattern.",
+)
+def q153_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.operators import bloom as BL
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = BL.bloom_index(corpus, "content_hash")
+    probed = BL.bloom_probe(new, "content_hash", idx)
+    fresh = probed.filter(~F.col("maybe_dup"))
+    maybes = probed.filter(F.col("maybe_dup"))
+    # exact confirm: corpus scanned map-side against the broadcast
+    # maybe-hash set (bounded by the batch); survivors anti-join the
+    # (even smaller) confirmed-hit set
+    hits = (
+        corpus.join(
+            F.broadcast(maybes.select("content_hash").distinct()),
+            "content_hash",
+        )
+        .select("content_hash")
+        .distinct()
+    )
+    cleared = maybes.join(F.broadcast(hits), "content_hash", "left_anti")
+    return fresh.select("doc_id", "content_hash").unionByName(
+        cleared.select("doc_id", "content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q123: corpus admission verdict (the end-to-end curation decision table)
 # ---------------------------------------------------------------------------
 

@@ -137,7 +137,11 @@ TOP50: tuple[str, ...] = (
                                  # supersedes q_autoscale_plan's tags
                                  # (q27/q28 stay checked below slot 50)
     "q_worker_metrics",          # q29 + q30
-    "q84_funnel",
+    # q84_funnel rotated below 50 late round 8 (driver-green r01-r07;
+    # its tags are all -adjacent/free echoes of ids covered above) in
+    # favour of driver-grade evidence for the new bloom-admission
+    # reduction:
+    "q153_bloom_admission",
     # LLM data pipeline
     "q_text_suite",              # q40 + q41 + q42
     "q_doc_signatures",          # q43 + q44 + q46

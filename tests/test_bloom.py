@@ -1,0 +1,100 @@
+"""Partitioned Bloom-index admission (operators/bloom.py, q153).
+
+The operator's contract has three independently checkable parts:
+  1. NO FALSE NEGATIVES — every indexed key must probe True (this is
+     what makes the bloom a sound ROUTER: a false negative would admit
+     a duplicate without confirmation, silently corrupting the corpus);
+  2. determinism — bitmaps are partitioning-invariant (bit-OR is
+     commutative), so the persisted index artifact is reproducible;
+  3. exactness of the COMPOSED query — whatever the filter's FP rate,
+     q153's admitted set equals plain anti-join semantics (the DuckDB
+     oracle in test_oracle_parity re-checks this cross-engine).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from streamprocess_spark.operators import bloom as B
+from streamprocess_spark.plans import query_map
+from tests.conftest import SF_DIR
+
+
+def _corpus(spark, n=1000, start=0):
+    return spark.range(start, start + n).select(
+        F.md5(F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_no_false_negatives(spark):
+    corpus = _corpus(spark)
+    idx = B.bloom_index(corpus, "key")
+    self_probe = B.bloom_probe(corpus, "key", idx)
+    assert self_probe.filter(~F.col("maybe_dup")).count() == 0
+
+
+def test_index_is_partitioning_invariant(spark):
+    corpus = _corpus(spark)
+    a = {r.bucket: bytes(r.bitmap)
+         for r in B.bloom_index(corpus, "key").collect()}
+    b = {r.bucket: bytes(r.bitmap)
+         for r in B.bloom_index(corpus.repartition(7), "key").collect()}
+    assert a == b
+    assert len(a) == B.N_BUCKETS
+    assert all(len(v) == B.BITS_PER_BUCKET // 8 for v in a.values())
+
+
+def test_routing_splits_batch_and_fp_rate_is_tiny(spark):
+    # batch = 500 known members + 500 fresh keys
+    idx = B.bloom_index(_corpus(spark, 1000, 0), "key")
+    batch = _corpus(spark, 1000, 500)
+    probed = B.bloom_probe(batch, "key", idx)
+    n_maybe = probed.filter(F.col("maybe_dup")).count()
+    n_fresh = probed.filter(~F.col("maybe_dup")).count()
+    assert n_maybe + n_fresh == 1000
+    # all 500 true members must route to confirm (no false negatives);
+    # the false-positive surplus at this sizing (~4.6 bits/key, k=7)
+    # must stay tiny
+    assert 500 <= n_maybe <= 510
+
+
+def test_probe_handles_empty_buckets(spark):
+    # a 1-key index leaves 63 buckets unbuilt; probing keys that land
+    # in them must yield definite False, not a crash
+    idx = B.bloom_index(_corpus(spark, 1), "key")
+    assert idx.count() == 1
+    probed = B.bloom_probe(_corpus(spark, 256), "key", idx)
+    assert probed.count() == 256
+    assert probed.filter(F.col("maybe_dup")).count() == 1
+
+
+def test_q153_equals_naive_anti_join(spark):
+    out = query_map()["q153_bloom_admission"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    naive = docs.filter(F.col("doc_id") % 2 == 1).join(
+        docs.filter(F.col("doc_id") % 2 == 0).select("content_hash"),
+        "content_hash",
+        "left_anti",
+    )
+    got = {(r.doc_id, r.content_hash) for r in out.collect()}
+    want = {(r.doc_id, r.content_hash) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_q153_plan_has_no_shuffle_joins(spark):
+    """The reduction's whole point: every join broadcasts a bounded
+    side — no SortMergeJoin/shuffle of the corpus — and the bloom
+    index enters the plan as a materialized leaf, not the build
+    subtree."""
+    df = query_map()["q153_bloom_admission"](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    tree = plan.split("\n\n", 1)[0]
+    assert "SortMergeJoin" not in tree
+    assert "ShuffledHashJoin" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "Scan ExistingRDD" in tree  # the checkpointed bloom index

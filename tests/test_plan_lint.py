@@ -161,6 +161,10 @@ _BELOW_50_ONLY_OK = {
     # checks every one each run
     "§2.8", "O5", "J4", "R7", "§2.10-builtins",
     "free-rollup", "free-distinct", "free-cube",
+    # q84_funnel rotated below 50 late round 8 for q153_bloom_admission
+    # (driver-green r01-r07; A13/T5 proper are top-50 via q1/q3/q71 and
+    # the stream suites)
+    "free-analytics", "A13-adjacent", "T5-adjacent",
 }
 
 
