@@ -135,6 +135,41 @@ def bloom_index(
     return idx.localCheckpoint(eager=True)
 
 
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Incremental index maintenance: OR two bloom indexes built with
+    the SAME sizing into one. Bit-OR is exact and order-independent,
+    so ``bloom_merge(bloom_index(X), bloom_index(Y)) ==
+    bloom_index(X ∪ Y)`` bit-for-bit (tests/test_bloom.py pins it) —
+    the daily run folds each admitted batch's index into the persisted
+    one instead of ever rebuilding from the corpus. n_buckets-sized
+    input; a full-outer join on bucket keeps buckets present in only
+    one side."""
+
+    @F.pandas_udf(BinaryType())
+    def _or(x: pd.Series, y: pd.Series) -> pd.Series:
+        out = []
+        for xa, ya in zip(x, y):
+            if xa is None:
+                out.append(ya)
+            elif ya is None:
+                out.append(xa)
+            else:
+                out.append(
+                    (
+                        np.frombuffer(xa, dtype=np.uint8)
+                        | np.frombuffer(ya, dtype=np.uint8)
+                    ).tobytes()
+                )
+        return pd.Series(out)
+
+    merged = a.withColumnRenamed("bitmap", "_a").join(
+        b.withColumnRenamed("bitmap", "_b"), "bucket", "full_outer"
+    )
+    return merged.select(
+        "bucket", _or(F.col("_a"), F.col("_b")).alias("bitmap")
+    ).localCheckpoint(eager=True)
+
+
 def _probe_udf(bits_per_bucket: int, k: int):
     @F.pandas_udf(BooleanType())
     def probe(h1: pd.Series, h2: pd.Series, bitmap: pd.Series) -> pd.Series:

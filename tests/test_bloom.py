@@ -68,6 +68,26 @@ def test_probe_handles_empty_buckets(spark):
     assert probed.filter(F.col("maybe_dup")).count() == 1
 
 
+def test_merge_equals_rebuild(spark):
+    """Incremental maintenance exactness: OR-merging per-batch indexes
+    must equal rebuilding from the union — bit-for-bit — including
+    when the batches populate disjoint bucket subsets (the full-outer
+    edge)."""
+    a, b = _corpus(spark, 300, 0), _corpus(spark, 300, 300)
+    merged = B.bloom_merge(B.bloom_index(a, "key"), B.bloom_index(b, "key"))
+    rebuilt = B.bloom_index(a.unionByName(b), "key")
+    m = {r.bucket: bytes(r.bitmap) for r in merged.collect()}
+    rb = {r.bucket: bytes(r.bitmap) for r in rebuilt.collect()}
+    assert m == rb
+    # disjoint-bucket edge: 1-key indexes land in (usually) different
+    # buckets; merge must keep both rows intact
+    one_a, one_b = _corpus(spark, 1, 0), _corpus(spark, 1, 1)
+    m2 = B.bloom_merge(B.bloom_index(one_a, "key"), B.bloom_index(one_b, "key"))
+    rb2 = B.bloom_index(one_a.unionByName(one_b), "key")
+    assert {r.bucket: bytes(r.bitmap) for r in m2.collect()} == \
+           {r.bucket: bytes(r.bitmap) for r in rb2.collect()}
+
+
 def test_q153_equals_naive_anti_join(spark):
     out = query_map()["q153_bloom_admission"](spark, SF_DIR)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
