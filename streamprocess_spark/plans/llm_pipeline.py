@@ -2413,7 +2413,12 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sizing, so the oracle is the plain NOT IN. Spark keeps this "
         "reduction internal (bloom_filter_agg / might_contain are not "
         "in the public FunctionRegistry); the operator rebuilds it on "
-        "the repo's Arrow-scorer pattern.",
+        "the repo's Arrow-scorer pattern. Degenerate-batch note: if "
+        "the batch is mostly dups the maybe set approaches batch size "
+        "and the broadcast confirm stops fitting — the fallback is an "
+        "equi-join of the maybe set into a hash-bucketed corpus "
+        "fingerprint table (io/bucketing.py layout), which shuffles "
+        "ONLY the maybe set, still never the corpus.",
 )
 def q153_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocess_spark.operators import bloom as BL
