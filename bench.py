@@ -150,10 +150,9 @@ SOAK_QUERIES = (
     "q122_incremental_dedup",
     "q135_cdc_dedup",
     # bloom-prefiltered exact admission (round 8): linear by design —
-    # 2 corpus scans, 0 corpus shuffles; the soak measures it holding
-    # (measured 1.3x for x10->x100; the one-off x1000 run recorded in
-    # SURVEY §8 shows 4.0x for the x100->x1000 decade, where the demo's
-    # fixed 128 KiB sizing saturates and the exact confirm path carries)
+    # 2 corpus scans, 0 corpus shuffles, index auto-sized to the
+    # corpus; measured 1.6x for x10->x100 and 3.8x for the one-off
+    # x100->x1000 decade recorded in SURVEY §8
     "q153_bloom_admission",
 )
 

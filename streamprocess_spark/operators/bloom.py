@@ -204,23 +204,44 @@ def bloom_probe(
 ) -> DataFrame:
     """Route ``df`` against a ``bloom_index``: adds ``out_col`` — False
     means DEFINITELY not in the indexed key set (Bloom guarantee: no
-    false negatives), True means confirm exactly. The index joins by
-    bucket (broadcast here; at 100 TB a hash join on bucket — either
-    way the batch is never shuffled against the corpus itself)."""
+    false negatives), True means confirm exactly.
+
+    Shape: a COGROUP on bucket (FlatMapCoGroupsInPandas) — the batch's
+    rows shuffle once on their 8-byte bucket key and meet their
+    bucket's single bitmap row, which is deserialized ONCE per bucket.
+    The earlier broadcast-join form was measured and replaced: joining
+    the bitmap column onto every batch row materializes
+    batch_rows x bits/8 bytes through Arrow (5 GB at the x1000 soak —
+    23.6 s vs 16.0 s for this form), and a closure-carried index (the
+    centroid-scorer pattern) caps at driver memory (~1 B keys at 10
+    bits/key). The one shuffle here is of the BATCH — O(daily batch),
+    never the corpus — which is the correct cost at 100 TB."""
     h1, h2 = _hash_cols(F.col(key_col))
-    probed = (
+    hashed = (
         df.withColumn("_h1", h1)
         .withColumn("_h2", h2)
         .withColumn("_bucket", _bucket_col(h1, n_buckets))
-        .join(
-            F.broadcast(index.withColumnRenamed("bucket", "_bucket")),
-            "_bucket",
-            "left",
+    )
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, BooleanType(), False)]
+    )
+    carry = [f.name for f in df.schema.fields]
+
+    def probe(batch: pd.DataFrame, idx: pd.DataFrame) -> pd.DataFrame:
+        out = batch[carry].copy()
+        if len(idx) == 0:  # bucket absent from the index: definitely new
+            out[out_col] = False
+            return out
+        bmp = np.frombuffer(idx["bitmap"].iloc[0], dtype=np.uint8)
+        p = _positions(
+            batch["_h1"].to_numpy(), batch["_h2"].to_numpy(),
+            bits_per_bucket, k,
         )
-    )
-    maybe = _probe_udf(bits_per_bucket, k)(
-        F.col("_h1"), F.col("_h2"), F.col("bitmap")
-    )
-    return probed.withColumn(out_col, maybe).drop(
-        "_h1", "_h2", "_bucket", "bitmap"
+        out[out_col] = (((bmp[p >> 3] >> (p & 7)) & 1).all(axis=1))
+        return out
+
+    return (
+        hashed.groupby("_bucket")
+        .cogroup(index.withColumnRenamed("bucket", "_bucket").groupby("_bucket"))
+        .applyInPandas(probe, out_schema)
     )

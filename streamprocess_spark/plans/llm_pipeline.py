@@ -2405,8 +2405,9 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "can never broadcast); here the corpus is reduced to a "
         "bucketed (bucket, bitmap) Bloom table — built with ONE "
         "shuffle of the 8-byte hash column, persistable and "
-        "incrementally maintainable — the batch routes against it "
-        "map-side (no false negatives), and only the maybe-dup "
+        "incrementally maintainable — the batch cogroups with it on "
+        "bucket, one shuffle of ONLY the batch's hash rows (no "
+        "false negatives), and only the maybe-dup "
         "remainder (true dups + a ~1e-4 FP fraction) is confirmed "
         "exactly through broadcast-sized joins. Zero corpus shuffles; "
         "the result is exact anti-join semantics for ANY filter "
@@ -2421,6 +2422,8 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ONLY the maybe set, still never the corpus.",
 )
 def q153_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from streamprocess_spark.operators import bloom as BL
 
     docs = load_tables(spark, sf_dir)["documents"].select(
@@ -2429,8 +2432,17 @@ def q153_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
 
-    idx = BL.bloom_index(corpus, "content_hash")
-    probed = BL.bloom_probe(new, "content_hash", idx)
+    # size the index to the corpus (the knob a deployment turns as data
+    # grows): ~400 keys/bucket at 2 KiB/bucket keeps the fill ~17% and
+    # FPs ~1e-5 at ANY scale — without this, a fixed filter saturates
+    # on upscaled corpora and the confirm path degrades to the naive
+    # join it exists to avoid. Output is exact either way.
+    n = corpus.count()
+    n_buckets = max(
+        BL.N_BUCKETS, 1 << math.ceil(math.log2(max(1, n // 400)))
+    )
+    idx = BL.bloom_index(corpus, "content_hash", n_buckets=n_buckets)
+    probed = BL.bloom_probe(new, "content_hash", idx, n_buckets=n_buckets)
     fresh = probed.filter(~F.col("maybe_dup"))
     maybes = probed.filter(F.col("maybe_dup"))
     # exact confirm: corpus scanned map-side against the broadcast
