@@ -34,9 +34,10 @@ seed) via uint64 double hashing; bit-OR is commutative, so the bitmaps
 are partitioning-invariant, and the bloom only ROUTES — the admitted
 result is exact anti-join semantics regardless of filter sizing.
 
-Reference anchor: the reference dedupes re-uploaded jobs by content
-hash at its ingest edge (src/services/document_service.py hash check);
-this operator is that check re-expressed for a 100 TB corpus.
+Beyond-reference addition (SURVEY §2.13 charter): the reference has no
+corpus-admission path at all — this is part of the training-data
+pipeline family the engine adds on top of the reference's surface,
+alongside the MinHash/SimHash/SemDeDup dedup operators.
 """
 
 from __future__ import annotations
