@@ -88,6 +88,32 @@ def test_merge_equals_rebuild(spark):
            {r.bucket: bytes(r.bitmap) for r in rb2.collect()}
 
 
+def test_index_roundtrips_through_txlog(spark, tmp_path):
+    """The 'persistable daily artifact' claim as code: write the index
+    through the txlog table format, read it back at a later version
+    (after an OR-maintenance append cycle rewrote it), and probe —
+    identical routing to the in-memory index."""
+    from streamprocess_spark.io.txlog import TxTable
+
+    day1, day2 = _corpus(spark, 400, 0), _corpus(spark, 400, 400)
+    idx1 = B.bloom_index(day1, "key")
+    t = TxTable.create(spark, str(tmp_path / "bloom_idx"), idx1)
+    # day-2 maintenance: fold the new batch in, publish atomically
+    merged = B.bloom_merge(t.read(spark), B.bloom_index(day2, "key"))
+    t.rewrite(merged, expected_version=t.latest_version())
+
+    probe_batch = _corpus(spark, 1200, 0)  # 800 members + 400 fresh
+    from_disk = B.bloom_probe(probe_batch, "key", t.read(spark))
+    in_mem = B.bloom_probe(
+        probe_batch, "key",
+        B.bloom_index(day1.unionByName(day2), "key"),
+    )
+    got = {r.key: r.maybe_dup for r in from_disk.collect()}
+    want = {r.key: r.maybe_dup for r in in_mem.collect()}
+    assert got == want
+    assert sum(got.values()) >= 800  # every true member routes to confirm
+
+
 def test_q153_equals_naive_anti_join(spark):
     out = query_map()["q153_bloom_admission"](spark, SF_DIR)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
