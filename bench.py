@@ -41,6 +41,39 @@ import time
 
 DEEP_FACTOR = int(os.environ.get("SPARK_GRAFT_DEEP_FACTOR", "10"))
 
+# ---------------------------------------------------------------------------
+# Timing action (round-8 measurement audit). Rounds 1-8 timed queries
+# with `.count()`, which is WRONG as a benchmark action: under a pure
+# row count Catalyst prunes every unreferenced column and ELIMINATES
+# unique-key left joins, so expression-heavy stages silently dropped
+# out of the measurement. Audited per bench query (optimized count
+# plan vs full plan): q50_audio_decode lost its decode UDF entirely
+# (1.4 s "count" vs 7.6 s real at sf0.1), q135_cdc_dedup lost both
+# joins and all three CDC UDFs (0.2 s vs 47.9 s real), and
+# q103/q149's members LEFT JOIN pair_stats — unique on the join key —
+# was eliminated outright, so their soak history measured the k-means
+# stage only, never the pair enumeration. All other bench queries'
+# count plans matched their full plans (joins/scans/Python nodes).
+# The fix: time a noop-sink write, which materializes every column of
+# every row. Correctness was never affected (the driver and the parity
+# suites execute full results); only wall-clock attribution was.
+# `timing_action` is stamped into the output so the regression gate
+# never compares across methodologies.
+# ---------------------------------------------------------------------------
+
+TIMING_ACTION = "noop_write"
+
+# min-of-2 exists to defeat transient GC/OS noise bursts, which are a
+# large FRACTION of sub-second runs and a few percent of minute-scale
+# ones; above this cutoff a single run is the better budget trade
+_MIN_OF_2_CUTOFF_S = 30.0
+
+
+def _run_full(df) -> None:
+    """Fully materialize the plan (all columns, all rows) without
+    collecting — the benchmark timing action."""
+    df.write.format("noop").mode("overwrite").save()
+
 # key shifts per replica: keep every FK relationship intact
 # (orders.o_custkey ↔ customer.c_custkey shift together; lineitem
 # joins dims that are NOT replicated, so part/supp keys are unshifted)
@@ -145,16 +178,29 @@ SOAK_FACTOR = int(os.environ.get("SPARK_GRAFT_SOAK_FACTOR", "100"))
 SOAK_MAX_RATIO = 15.0
 SOAK_QUERIES = (
     "q45_minhash_lsh",
-    "q103_semdedup",
     "q149_semdedup_scale_auto",
     "q122_incremental_dedup",
-    "q135_cdc_dedup",
     # bloom-prefiltered exact admission (round 8): linear by design —
-    # 2 corpus scans, 0 corpus shuffles, index auto-sized to the
-    # corpus; measured 1.6x for x10->x100 and 3.8x for the one-off
-    # x100->x1000 decade recorded in SURVEY §8
+    # 2 corpus scans, 0 corpus shuffles, index auto-sized to the corpus
     "q153_bloom_admission",
 )
+# Dropped from the soak by the round-8 timing-action audit (see
+# TIMING_ACTION): their `.count()`-era soak history never measured the
+# expensive stage, and under honest full-row timing neither fits a
+# per-round bench budget at x100:
+#   - q103_semdedup: fixed k=8 over the x100 corpus means eight ~25k
+#     clusters -> sum(cluster^2)/2 ~ 2.5e9 within-cluster pair dots.
+#     That quadratic-at-fixed-capacity blowup is REAL and is precisely
+#     the degradation SemDeDup's paper configuration has at growing
+#     corpus sizes — the measured argument FOR q149, whose auto-bits
+#     variant keeps cluster capacity tracking the corpus and stays in
+#     the soak. (q103 stays correctness-checked at every SF by the
+#     oracle suites, which execute full results.)
+#   - q135_cdc_dedup: FastCDC chunking costs ~10 ms/payload in the
+#     Arrow UDF (47.9 s for the 5k sf0.1 payloads measured honestly);
+#     x100 = 500k payloads ~ 80 min. Its scale shape is map-only
+#     (embarrassingly parallel, no join explosion) so the plan-shape
+#     lint + sf-level timing carry its evidence.
 
 
 def _soak_semdedup_scaled(spark, sf_dir: str):
@@ -247,11 +293,15 @@ def _bench_soak(spark, sf_dir: str) -> dict:
         lo = float("inf")
         for _ in range(2):   # min-of-2 at x10: the short leg is the
             t0 = time.perf_counter()           # noise-sensitive one
-            builder(spark, lo_dir).count()
+            _run_full(builder(spark, lo_dir))
             lo = min(lo, time.perf_counter() - t0)
+            if lo > _MIN_OF_2_CUTOFF_S:
+                break        # same >30s single-run rule as headline
         t0 = time.perf_counter()               # single run at x100: at
-        rows_hi = builder(spark, hi_dir).count()  # ~1 min
+        hi_df = builder(spark, hi_dir)         # ~1 min
+        _run_full(hi_df)
         hi = time.perf_counter() - t0          # scale, noise is ~few %
+        rows_hi = hi_df.count()                # display-only, untimed
         ratio = hi / lo
         out[name] = {
             "lo_sec": round(lo, 4), "hi_sec": round(hi, 4),
@@ -572,7 +622,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # warm the JVM + staged events copy once (not counted)
-    QUERIES[bench_names[0]].builder(spark, sf_dir).count()
+    _run_full(QUERIES[bench_names[0]].builder(spark, sf_dir))
 
     # min of 2 INTERLEAVED passes (all queries once, then all again):
     # back-to-back repeats of one query share any transient GC/OS noise
@@ -581,11 +631,17 @@ def main() -> None:
     # a one-off 1.66x on an unchanged query; interleaved re-run did not)
     best: dict[str, float] = {n: float("inf") for n in bench_names}
     rows_of: dict[str, int] = {}
+    last_df: dict[str, object] = {}
     for _pass in range(2):
         for name in bench_names:
+            if _pass and best[name] > _MIN_OF_2_CUTOFF_S:
+                continue  # >30s runs: warmup noise is a few %, one run
             t0 = time.perf_counter()
-            rows_of[name] = QUERIES[name].builder(spark, sf_dir).count()
+            last_df[name] = QUERIES[name].builder(spark, sf_dir)
+            _run_full(last_df[name])
             best[name] = min(best[name], time.perf_counter() - t0)
+    for name in bench_names:  # row counts are display-only, untimed
+        rows_of[name] = last_df[name].count()
     total = 0.0
     for name in bench_names:
         timings[name] = round(best[name], 4)
@@ -597,6 +653,7 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": round(total, 4),
         "unit": "sec",
+        "timing_action": TIMING_ACTION,
         "queries": timings,
     }
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -648,13 +705,19 @@ def main() -> None:
         # min of 2 interleaved passes, same rationale as the headline loop
         deep_best: dict[str, float] = {n: float("inf") for n in bench_names}
         deep_rows: dict[str, int] = {}
+        deep_df: dict[str, object] = {}
         for _pass in range(2):
             for name in bench_names:
+                if _pass and deep_best[name] > _MIN_OF_2_CUTOFF_S:
+                    continue  # same >30s single-run rule as headline
                 t0 = time.perf_counter()
-                deep_rows[name] = QUERIES[name].builder(spark, deep_dir).count()
+                deep_df[name] = QUERIES[name].builder(spark, deep_dir)
+                _run_full(deep_df[name])
                 deep_best[name] = min(
                     deep_best[name], time.perf_counter() - t0
                 )
+        for name in bench_names:  # row counts are display-only, untimed
+            deep_rows[name] = deep_df[name].count()
         deep_total = 0.0
         for name in bench_names:
             deep_timings[name] = round(deep_best[name], 4)
@@ -723,7 +786,7 @@ def main() -> None:
             best = target[q]
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[q].builder(spark, tdir).count()
+                _run_full(QUERIES[q].builder(spark, tdir))
                 best = min(best, time.perf_counter() - t0)
             print(f"# gate retry {key}: {target[q]:.3f}s -> {best:.3f}s",
                   file=sys.stderr)
@@ -781,6 +844,16 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
         return {"baseline_round": None, "threshold": _GATE_RATIO,
                 "flagged": {}}
     prior_n, prior = rounds[-1]
+    # Per-query timings compare ONLY against rounds measured with the
+    # same timing action (round-8 audit: the `.count()`-era numbers
+    # under-measure any query whose count plan prunes work, so a
+    # cross-methodology "regression" would be an artifact). Throughput
+    # sections (flagship/streaming/curation) are wall-clock pipelines
+    # unaffected by the query timing action and keep the full history.
+    q_rounds = [
+        (n, r) for n, r in rounds
+        if r.get("timing_action") == result.get("timing_action")
+    ]
     flagged: dict[str, dict] = {}
     # Per-query timings gate against the MEDIAN of the last <=3 rounds
     # (round-7 verdict #4): round 7 measured a uniform 7-47% host-state
@@ -794,7 +867,7 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
             now = now.get("queries") or {}
         for q, t in now.items():
             hist = []
-            for _, r in rounds[-3:]:
+            for _, r in q_rounds[-3:]:
                 ref = r.get(section) or {}
                 if section == "deep":
                     ref = ref.get("queries") or {}

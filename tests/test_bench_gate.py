@@ -38,6 +38,24 @@ def _base_round(**over):
     return parsed
 
 
+def test_query_gate_skips_cross_methodology_history(tmp_path):
+    """Round-8 timing-action fix: `.count()`-era rounds under-measure
+    any query whose count plan prunes work, so a noop_write round must
+    NOT flag against them — per-query history is methodology-matched,
+    while the throughput sections (wall-clock pipelines, unaffected by
+    the query timing action) keep the full history."""
+    _write_round(tmp_path, 1, _base_round())  # legacy: no timing_action
+    now = {"queries": {"q1": 9.0}, "timing_action": "noop_write",
+           "flagship": {"chunks_per_sec": 100.0}}  # real 10x collapse
+    out = _regression_gate(now, here=str(tmp_path))
+    assert "q1" not in out["flagged"]          # cross-methodology: skipped
+    assert "flagship:chunks_per_sec" in out["flagged"]  # throughput: kept
+    # same-methodology history gates normally again
+    _write_round(tmp_path, 2, _base_round(timing_action="noop_write"))
+    out = _regression_gate(now, here=str(tmp_path))
+    assert "q1" in out["flagged"]
+
+
 def test_no_history_returns_empty_gate(tmp_path):
     out = _regression_gate({"queries": {"q1": 9.9}}, here=str(tmp_path))
     assert out == {"baseline_round": None, "threshold": _GATE_RATIO,
