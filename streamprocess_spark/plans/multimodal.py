@@ -192,13 +192,22 @@ _BLOCK_CTE = """
     bench=True,
 )
 def q50_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ssum = _FP_SUM.format(arr="samples", val="cast(x as double)")
-    sabs = _FP_SUM.format(arr="samples", val="abs(cast(x as double))")
-    return _audio_df(spark, sf_dir).select(
+    # decode + µ-fixed-point sums fused in one Arrow pass: the earlier
+    # samples-array + aggregate() HOF form shipped 33M floats to the
+    # JVM and summed through interpreted lambdas (~6 s of q50's honest
+    # 7.4 s at sf0.1, measured after the round-8 timing-action fix);
+    # the fused scorer emits bit-identical int64s (see
+    # linear16_fp_stats_udf). Queries that CONSUME the sample array
+    # (q51/q52/q56...) keep the array path.
+    from streamprocess_spark.functions.audio import linear16_fp_stats_udf
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    st = linear16_fp_stats_udf(_synth_audio_udf(F.col("doc_id")))
+    return docs.select("doc_id", st.alias("_st")).select(
         "doc_id",
-        F.size("samples").cast("bigint").alias("n_samples"),
-        F.expr(ssum).alias("ssum_fp"),
-        F.expr(sabs).alias("sabs_fp"),
+        F.col("_st.n_samples").alias("n_samples"),
+        F.col("_st.ssum_fp").alias("ssum_fp"),
+        F.col("_st.sabs_fp").alias("sabs_fp"),
     )
 
 
