@@ -196,9 +196,10 @@ SOAK_QUERIES = (
 #     variant keeps cluster capacity tracking the corpus and stays in
 #     the soak. (q103 stays correctness-checked at every SF by the
 #     oracle suites, which execute full results.)
-#   - q135_cdc_dedup: FastCDC chunking costs ~10 ms/payload in the
-#     Arrow UDF (47.9 s for the 5k sf0.1 payloads measured honestly);
-#     x100 = 500k payloads ~ 80 min. Its scale shape is map-only
+#   - q135_cdc_dedup: honest FastCDC chunking is ~2 ms/payload even
+#     after the native-int loop fix (10.1 s for the 5k sf0.1 payloads,
+#     was 47.9 s on numpy-scalar loops); x100 = 500k payloads ~ 17 min,
+#     still past a per-round budget. Its scale shape is map-only
 #     (embarrassingly parallel, no join explosion) so the plan-shape
 #     lint + sf-level timing carry its evidence.
 
