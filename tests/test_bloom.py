@@ -58,6 +58,17 @@ def test_routing_splits_batch_and_fp_rate_is_tiny(spark):
     assert 500 <= n_maybe <= 510
 
 
+def test_probe_handles_index_only_buckets(spark):
+    # the cogroup also emits groups where the INDEX has a bucket but
+    # the batch has no rows — the probe must return an empty frame for
+    # those, not crash on zero-length position arrays
+    idx = B.bloom_index(_corpus(spark, 1000), "key")
+    one = _corpus(spark, 1)  # batch hits ~1 bucket; ~63 are index-only
+    probed = B.bloom_probe(one, "key", idx)
+    rows = probed.collect()
+    assert len(rows) == 1 and rows[0].maybe_dup is True
+
+
 def test_probe_handles_empty_buckets(spark):
     # a 1-key index leaves 63 buckets unbuilt; probing keys that land
     # in them must yield definite False, not a crash
