@@ -770,7 +770,8 @@ def main() -> None:
     # its flag; a burst artifact clears. Throughput sections are not
     # retried (a full flagship/streaming rerun is not noise-shaped).
     per_query = [k for k in result["regression_gate"]["flagged"]
-                 if not k.startswith(("flagship", "streaming:", "soak:"))]
+                 if not k.startswith(("flagship", "streaming:", "soak:",
+                                      "curation:", "ann_recall:"))]
     retried: dict[str, dict] = {}
     if per_query:
         deep_dir_r = None if os.environ.get("SPARK_GRAFT_SKIP_DEEP") \
@@ -960,6 +961,11 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
                 print(f"# RECALL REGRESSION {key}: {s['recall_at_5']} < "
                       f"floor {s['floor']}", file=sys.stderr)
     return {"baseline_round": prior_n, "threshold": _GATE_RATIO,
+            # which rounds the per-query medians actually came from —
+            # empty on the first round after a timing-methodology
+            # change, making the skipped comparisons visible instead of
+            # implying the new numbers were gated against baseline_round
+            "query_history_rounds": [n for n, _ in q_rounds[-3:]],
             "flagged": flagged}
 
 

@@ -390,6 +390,11 @@ def linear16_fp_stats_udf(raw: pd.Series) -> pd.DataFrame:
     Arrow-scorer equivalence, operators/similarity.py)."""
     out = {"n_samples": [], "ssum_fp": [], "sabs_fp": []}
     for b in raw:
+        if b is None:  # null payload -> null stats, same as the
+            out["n_samples"].append(None)  # guarded decode UDFs
+            out["ssum_fp"].append(None)
+            out["sabs_fp"].append(None)
+            continue
         x = np_decode_linear16(b).astype(np.float64)
         fp = np.floor(x * 1e6).astype(np.int64)
         afp = np.floor(np.abs(x) * 1e6).astype(np.int64)

@@ -171,29 +171,6 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _probe_udf(bits_per_bucket: int, k: int):
-    @F.pandas_udf(BooleanType())
-    def probe(h1: pd.Series, h2: pd.Series, bitmap: pd.Series) -> pd.Series:
-        n = len(h1)
-        out = np.zeros(n, dtype=bool)  # NULL bitmap (empty bucket) -> False
-        if n == 0:
-            return pd.Series(out)
-        pos = _positions(h1.to_numpy(), h2.to_numpy(), bits_per_bucket, k)
-        # bitmaps repeat per row within a bucket; factorize so each
-        # buffer is materialized once per Arrow batch (None -> code -1,
-        # excluded from uniques and left False)
-        codes, uniques = pd.factorize(bitmap, use_na_sentinel=True)
-        for ci, buf in enumerate(uniques):
-            idx = np.nonzero(codes == ci)[0]
-            bmp = np.frombuffer(buf, dtype=np.uint8)
-            p = pos[idx]
-            hit = (bmp[p >> 3] >> (p & 7)) & 1
-            out[idx] = hit.all(axis=1)
-        return pd.Series(out)
-
-    return probe
-
-
 def bloom_probe(
     df: DataFrame,
     key_col: str,

@@ -65,7 +65,7 @@ _GEAR = _splitmix64(0x5370436863, 256)          # shared by all executors
 # are bit-identical to the previous numpy-scalar form (pinned by
 # tests/test_cdc.py's golden/differential cases).
 _MASK64 = (1 << 64) - 1
-_GEAR_I = [int(x) for x in _splitmix64(0x5370436863, 256)]
+_GEAR_I = [int(x) for x in _GEAR]   # derived: one table, two dtypes
 
 
 def np_cdc_chunks(data: bytes, min_size: int = 128, avg_size: int = 512,

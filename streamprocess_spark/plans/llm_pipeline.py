@@ -2442,7 +2442,12 @@ def q153_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         BL.N_BUCKETS, 1 << math.ceil(math.log2(max(1, n // 400)))
     )
     idx = BL.bloom_index(corpus, "content_hash", n_buckets=n_buckets)
-    probed = BL.bloom_probe(new, "content_hash", idx, n_buckets=n_buckets)
+    # materialize the routed batch once: three branches below (fresh,
+    # hits' semi side, cleared) would otherwise each re-execute the
+    # cogroup probe subtree — O(batch) rows, the bounded side by design
+    probed = BL.bloom_probe(
+        new, "content_hash", idx, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
     fresh = probed.filter(~F.col("maybe_dup"))
     maybes = probed.filter(F.col("maybe_dup"))
     # exact confirm: corpus scanned map-side against the broadcast

@@ -50,10 +50,12 @@ def test_query_gate_skips_cross_methodology_history(tmp_path):
     out = _regression_gate(now, here=str(tmp_path))
     assert "q1" not in out["flagged"]          # cross-methodology: skipped
     assert "flagship:chunks_per_sec" in out["flagged"]  # throughput: kept
+    assert out["query_history_rounds"] == []   # the skip is visible
     # same-methodology history gates normally again
     _write_round(tmp_path, 2, _base_round(timing_action="noop_write"))
     out = _regression_gate(now, here=str(tmp_path))
     assert "q1" in out["flagged"]
+    assert out["query_history_rounds"] == [2]
 
 
 def test_no_history_returns_empty_gate(tmp_path):
