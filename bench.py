@@ -188,9 +188,11 @@ SOAK_QUERIES = (
 # TIMING_ACTION): their `.count()`-era soak history never measured the
 # expensive stage, and under honest full-row timing neither fits a
 # per-round bench budget at x100:
-#   - q103_semdedup: fixed k=8 over the x100 corpus means eight ~25k
-#     clusters -> sum(cluster^2)/2 ~ 2.5e9 within-cluster pair dots.
-#     That quadratic-at-fixed-capacity blowup is REAL and is precisely
+#   - q103_semdedup: fixed k=8 means cluster size ~ N/8, so the pair
+#     stage is ~N^2/16 dots. Even on the Arrow block pair scorer
+#     (_cluster_pairs) it measures 51 s at x10 and ~100x that at
+#     x100 (timed out past 7 min). That quadratic-at-fixed-capacity
+#     blowup is REAL and is precisely
 #     the degradation SemDeDup's paper configuration has at growing
 #     corpus sizes — the measured argument FOR q149, whose auto-bits
 #     variant keeps cluster capacity tracking the corpus and stays in

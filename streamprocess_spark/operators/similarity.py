@@ -16,6 +16,7 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 DOT_SCALE = 1e12
@@ -34,8 +35,10 @@ def _dot(a, b):
     unrolled dot (plan-build + codegen cost dwarfs eval for a
     broadcast-probe-sized score set), and the semdedup pair site was
     ~10% SLOWER at the soak x100 corpus (34.5/23.7s unrolled vs
-    31.4/21.2s HOF) because within-cluster pair counts are small by
-    construction — clustering exists to bound them. Unrolling
+    31.4/21.2s HOF). Late round 8 the pair site left Catalyst
+    entirely for the _cluster_pairs Arrow block scorer (the honest
+    noop-write timing showed the per-pair HOF was the q149 soak
+    bottleneck: 337-438s -> 47s at x100, bit-identical). Unrolling
     k-candidate argmax expressions was also measured and worse:
     janino's 64 KB method limit overflows (silent whole-stage
     interpreted fallback) and deep unrolled chains make optimizer
@@ -570,6 +573,98 @@ def kmeans_fit(
     return _kmeans_assign(v, cents), cents
 
 
+def _cluster_pairs(a: DataFrame, keys: list[str], threshold: float) -> DataFrame:
+    """Within-cluster near-dup candidate pairs (vx < vy, round-6 cosine
+    >= threshold) via a per-cluster Arrow pair scorer.
+
+    Replaces the equi-join self-join + per-pair HOF dot (round-8 A/B:
+    the HOF evaluates an interpreted lambda per pair·term — the q149
+    soak leg spent 337-438 s at x100 in exactly this stage — while a
+    numpy block product does the same floor(x·y·1e12) arithmetic at
+    memory bandwidth; it also halves the input cost, ONE shuffle of the
+    assignment instead of two join sides). Exactness contract (the
+    _score_udf pattern): the UDF emits ONLY int64 fixed-point sums
+    (pair dot + both self-dots); the cosine itself — double division,
+    sqrt, round-6 — is computed by the same Spark expressions as
+    before, so results are bit-identical. The UDF pre-filters with an
+    unrounded cos >= threshold - 1e-6 margin (wider than the 5e-7
+    round-6 boundary), leaving the exact rounded threshold decision
+    JVM-side. Block size caps the (b, n, dim) float64 intermediate at
+    ~50M elements, so clusters far beyond the design capacity spill to
+    more blocks instead of OOMing."""
+    import numpy as np
+
+    fields = {f.name: f.dataType for f in a.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(kcol, fields[kcol]) for kcol in keys]
+        + [
+            T.StructField("vx", fields["vec_id"]),
+            T.StructField("vy", fields["vec_id"]),
+            T.StructField("sx", fields["s"]),
+            T.StructField("sy", fields["s"]),
+            T.StructField("dot_fp", T.LongType()),
+            T.StructField("xfp", T.LongType()),
+            T.StructField("yfp", T.LongType()),
+        ]
+    )
+    margin = threshold - 1e-6
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = list(keys) + ["vx", "vy", "sx", "sy", "dot_fp", "xfp", "yfp"]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c: [] for c in cols})
+        pdf = pdf.sort_values("vec_id")  # i<j blocks => vx<vy directly
+        E = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        s = pdf["s"].to_numpy()
+        vn = np.floor(E * E * DOT_SCALE).astype(np.int64).sum(axis=1)
+        nrm = np.sqrt(vn / DOT_SCALE)
+        b = max(1, 50_000_000 // (n * E.shape[1]))
+        out = {c: [] for c in cols}
+        for i0 in range(0, n - 1, b):
+            i1 = min(i0 + b, n - 1)
+            blk = (
+                np.floor(E[i0:i1, None, :] * E[None, :, :] * DOT_SCALE)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            raw = (blk / DOT_SCALE) / (nrm[i0:i1, None] * nrm[None, :])
+            for li in range(i1 - i0):
+                gi = i0 + li
+                j = np.nonzero(raw[li, gi + 1:] >= margin)[0] + gi + 1
+                if not len(j):
+                    continue
+                m = len(j)
+                for kcol in keys:
+                    out[kcol].extend([pdf[kcol].iloc[0]] * m)
+                out["vx"].extend([ids[gi]] * m)
+                out["vy"].extend(ids[j])
+                out["sx"].extend([s[gi]] * m)
+                out["sy"].extend(s[j])
+                out["dot_fp"].extend(blk[li, j])
+                out["xfp"].extend([vn[gi]] * m)
+                out["yfp"].extend(vn[j])
+        return pd.DataFrame(out)
+
+    raw = a.select(*keys, "vec_id", "embedding", "s").groupBy(*keys).applyInPandas(
+        pairs_fn, out_schema
+    )
+    cos = F.round(
+        (F.col("dot_fp").cast("double") / F.lit(DOT_SCALE))
+        / (
+            F.sqrt(F.col("xfp").cast("double") / F.lit(DOT_SCALE))
+            * F.sqrt(F.col("yfp").cast("double") / F.lit(DOT_SCALE))
+        ),
+        6,
+    )
+    return (
+        raw.withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .drop("dot_fp", "xfp", "yfp")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -596,35 +691,12 @@ def semdedup(
     id tie-breaks so pruning is deterministic across engines.
     """
     assigned, _ = kmeans_fit(emb, k=k, n_iter=n_iter, dim=dim)
-    a = with_norm(assigned.select("vec_id", "embedding", "bucket", "s"))
-    x, y = a.alias("x"), a.alias("y")
-    pairs = (
-        x.join(
-            y,
-            on=[
-                F.col("x.bucket") == F.col("y.bucket"),
-                F.col("x.vec_id") < F.col("y.vec_id"),
-            ],
-        )
-        .select(
-            F.col("x.bucket").alias("bucket"),
-            F.col("x.vec_id").alias("vx"),
-            F.col("y.vec_id").alias("vy"),
-            F.col("x.s").alias("sx"),
-            F.col("y.s").alias("sy"),
-            F.round(
-                _dot(F.col("x.embedding"), F.col("y.embedding"))
-                / (F.col("x.nrm") * F.col("y.nrm")),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-    )
+    a = assigned.select("vec_id", "embedding", "bucket", "s")
+    # within-cluster pairs via the Arrow pair scorer (_cluster_pairs):
+    # one shuffle of the assignment, block-matmul fixed-point dots,
+    # bit-identical to the former equi-join + per-pair HOF form
+    pairs = _cluster_pairs(a, ["bucket"], threshold)
     members = a.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
-    # one aggregation over the pair join (its subtree carries TWO corpus
-    # scans via the self-join): n_dup_pairs = pair count, n_pruned =
-    # distinct pruned ids — splitting these into two groupBys would
-    # re-execute the join and double the corpus reads
     pair_stats = pairs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.countDistinct(
@@ -848,36 +920,13 @@ def semdedup_scaled(
     Returns per-cluster stats keyed (coarse, bucket)."""
     v = coarse_codes(emb, bits, dim=dim)
     assigned, _ = kmeans_fit_grouped(v, k=k, n_iter=n_iter, dim=dim)
-    a = with_norm(assigned.select("coarse", "vec_id", "embedding", "bucket", "s"))
-    x, y = a.alias("x"), a.alias("y")
-    pairs = (
-        x.join(
-            y,
-            on=[
-                F.col("x.coarse") == F.col("y.coarse"),
-                F.col("x.bucket") == F.col("y.bucket"),
-                F.col("x.vec_id") < F.col("y.vec_id"),
-            ],
-        )
-        .select(
-            F.col("x.coarse").alias("coarse"),
-            F.col("x.bucket").alias("bucket"),
-            F.col("x.vec_id").alias("vx"),
-            F.col("y.vec_id").alias("vy"),
-            F.col("x.s").alias("sx"),
-            F.col("y.s").alias("sy"),
-            F.round(
-                _dot(F.col("x.embedding"), F.col("y.embedding"))
-                / (F.col("x.nrm") * F.col("y.nrm")),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-    )
+    a = assigned.select("coarse", "vec_id", "embedding", "bucket", "s")
+    # within-(group, cluster) pairs via the Arrow pair scorer — see
+    # semdedup / _cluster_pairs
+    pairs = _cluster_pairs(a, ["coarse", "bucket"], threshold)
     members = a.groupBy("coarse", "bucket").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    # single aggregation over the pair join — see semdedup
     pair_stats = pairs.groupBy("coarse", "bucket").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.countDistinct(
