@@ -599,3 +599,120 @@ def q90_queue_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("seq").alias("max_seq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155: S8 offset-commit ledger — the stream planner's budgeted
+# priority drain replayed against its SQL contract
+# ---------------------------------------------------------------------------
+
+# maxOffsetsPerTrigger-analog budget for the replay (the
+# max_records_per_batch source option). Fixed, not SF-scaled: the
+# contract under test is the allocator, and a fixed budget exercises
+# both regimes (batches saturated inside one priority AND batches
+# spanning a priority boundary) at every SF.
+_LEDGER_BUDGET = 1000
+
+
+@register(
+    "q155_offset_commit_ledger",
+    oracle=f"""
+    WITH mapped AS (
+        SELECT event_id,
+               CASE event_type
+                   WHEN 'error' THEN 'realtime'
+                   WHEN 'purchase' THEN 'high'
+                   WHEN 'signup' THEN 'normal'
+                   ELSE 'low'
+               END AS priority,
+               CASE event_type
+                   WHEN 'error' THEN 0
+                   WHEN 'purchase' THEN 1
+                   WHEN 'signup' THEN 2
+                   ELSE 3
+               END AS prio_rank
+        FROM events
+    ), seqs AS (
+        SELECT priority,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY event_id) - 1 AS seq,
+               prio_rank
+        FROM mapped
+    ), ranked AS (
+        SELECT priority, seq,
+               row_number() OVER (ORDER BY prio_rank, seq) - 1 AS g
+        FROM seqs
+    )
+    SELECT cast(g // {_LEDGER_BUDGET} AS INT) AS batch_id, priority,
+           count(*)::BIGINT AS n_jobs,
+           min(seq)::BIGINT AS min_seq,
+           max(seq)::BIGINT AS max_seq,
+           (max(seq) + 1)::BIGINT AS committed_offset
+    FROM ranked GROUP BY 1, 2
+    """,
+    covers=("S8",),
+    doc="S8 ack/offset commit, driver-hashable: the REAL stream "
+        "planner (PriorityQueueStreamReader.latestOffset with the "
+        "max_records_per_batch backpressure budget) is driven to a "
+        "full drain of the staged backlog on the driver — the exact "
+        "per-trigger offset dicts Spark's checkpoint would persist "
+        "and commit() would ack (the XACK analog, "
+        "redis_queue.py:254-276) — and every planned (batch, "
+        "priority, start, end) range is joined back against the "
+        "source's own rows. The oracle reconstructs the ledger from "
+        "the planner's CONTRACT alone: a budgeted priority-descending "
+        "drain of a static backlog admits jobs in (prio_rank, seq) "
+        "order, so batch_id = global_rank // budget and the committed "
+        "offset per advancing priority is its last admitted seq + 1. "
+        "Bit-equality proves the planner allocates the budget in "
+        "drain order, never re-reads below a committed offset, and "
+        "commits exactly the line counts it admitted. The planner "
+        "loop is driver-side bounded metadata (~n_jobs/budget rows, "
+        "the txlog class); all row data moves through the source's "
+        "distributed batch read.",
+)
+def q155_offset_commit_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.io.queue_source import (
+        PRIORITIES,
+        PriorityQueueStreamReader,
+        register_queue_source,
+    )
+
+    register_queue_source(spark)
+    qdir = _stage_queue_logs(sf_dir)
+    reader = PriorityQueueStreamReader(
+        {"path": qdir, "max_records_per_batch": str(_LEDGER_BUDGET)}
+    )
+    start = reader.initialOffset()
+    plan_rows = []
+    batch_id = 0
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        for p in PRIORITIES:
+            if end[p] > start[p]:
+                plan_rows.append((batch_id, p, start[p], end[p]))
+        start = end
+        batch_id += 1
+    planned = spark.createDataFrame(
+        plan_rows,
+        "batch_id int, prio string, start_seq long, committed_offset long",
+    )
+    jobs = spark.read.format("priority_queue").option("path", qdir).load()
+    return (
+        jobs.join(
+            F.broadcast(planned),
+            (jobs["priority"] == planned["prio"])
+            & (jobs["seq"] >= planned["start_seq"])
+            & (jobs["seq"] < planned["committed_offset"]),
+        )
+        .groupBy("batch_id", "priority", "committed_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_jobs"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        .select("batch_id", "priority", "n_jobs", "min_seq", "max_seq",
+                "committed_offset")
+    )

@@ -3873,6 +3873,106 @@ def q147_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q156_warc_intake_ledger — S5 continuous intake, planner vs contract
+# ---------------------------------------------------------------------------
+
+# maxFilesPerTrigger-analog cap for the replay: 3 over the 8 staged
+# segments, so the drain exercises both a full batch and a short tail.
+_WARC_INTAKE_CAP = 3
+
+
+@register(
+    "q156_warc_intake_ledger",
+    oracle=f"""
+    WITH seg AS (
+        SELECT b.b AS bno,
+               'seg-' || b.b ||
+                   CASE WHEN b.b % 2 = 1 THEN '.warc.gz'
+                        ELSE '.warc' END AS segment,
+               cast(b.b // {_WARC_INTAKE_CAP} AS INT) AS batch_id
+        FROM range(0, 8) b(b)
+    ), rec AS (
+        SELECT d.doc_id % 8 AS bno,
+               length(repeat('doc ' || d.doc_id || ' rec ' || i.i || ' ',
+                             5 + (d.doc_id + i.i) % 7)) AS blen
+        FROM documents d, range(0, 3) i(i)
+        WHERE i.i < 1 + d.doc_id % 3
+    )
+    SELECT s.batch_id, s.segment,
+           cast(count(r.bno) + 1 AS BIGINT) AS n_records,
+           cast(count(r.bno) AS BIGINT) AS n_responses,
+           cast(coalesce(sum(r.blen), 0) AS BIGINT) AS body_bytes
+    FROM seg s LEFT JOIN rec r ON r.bno = s.bno
+    GROUP BY s.batch_id, s.segment
+    """,
+    covers=("S5",),
+    doc="S5 continuous crawl intake, driver-hashable: the REAL "
+        "streaming planner (io/warc_source.py WarcStreamReader — "
+        "whole-file exactly-once offsets, max_files_per_batch "
+        "backpressure cap, pure latestOffset with _planned advanced "
+        "only at plan time) is driven to a full drain of the 8 staged "
+        "crawl segments on the driver, producing the per-trigger file "
+        "admission ledger Spark's offset log would persist; every "
+        "planned (batch, segment) is then joined against the source's "
+        "own distributed read and rolled up to per-segment record "
+        "counts and body byte mass. The oracle reconstructs the "
+        "ledger from the CONTRACT alone: immutable sorted-name "
+        "admission in cap-sized batches (batch_id = name rank // cap) "
+        "and the q143 closed-form record set per segment. "
+        "Bit-equality proves each file is admitted exactly once, in "
+        "listing order, within the per-trigger cap, and fully (record "
+        "counts match the whole file — never a partial file split "
+        "across triggers). The planner loop is driver-side bounded "
+        "metadata (8 rows); record data moves through the source's "
+        "one-partition-per-file distributed scan.",
+)
+def q156_warc_intake_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocess_spark.io.warc_source import (
+        WarcStreamReader,
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    wdir = _stage_warc_segments(sf_dir)
+    reader = WarcStreamReader(
+        {"path": wdir, "max_files_per_batch": str(_WARC_INTAKE_CAP)}
+    )
+    start = reader.initialOffset()
+    rows: list[tuple[int, str]] = []
+    batch_id = 0
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        reader.partitions(start, end)  # the plan step that commits the
+        for name in sorted(             # admitted set into _planned
+            set(end["files"]) - set(start["files"])
+        ):
+            rows.append((batch_id, name))
+        start = end
+        batch_id += 1
+    planned = spark.createDataFrame(rows, "batch_id int, segment string")
+    recs = spark.read.format("warc").load(wdir).select(
+        F.element_at(F.split("path", "/"), -1).alias("segment"),
+        "warc_type",
+        F.length("body").alias("blen"),
+    )
+    return (
+        recs.join(F.broadcast(planned), "segment")
+        .groupBy("batch_id", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum((F.col("warc_type") == "response").cast("int"))
+            .cast("bigint").alias("n_responses"),
+            F.sum(
+                F.when(F.col("warc_type") == "response", F.col("blen"))
+                .otherwise(0)
+            ).cast("bigint").alias("body_bytes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q150_curation_dag — the corpus-curation pipeline as ONE composed job
 # (round-7 verdict #5): WARC source -> HTML->text -> exact + near dedup
 # -> contamination -> admission -> splits, with every stage boundary

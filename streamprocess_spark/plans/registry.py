@@ -113,11 +113,18 @@ TOP50: tuple[str, ...] = (
     "q_queue_admin",             # q11 + q12 + q13
     "q14_json_envelope",
     "q15_edf_order",
-    "q16_length_bucketing",
+    # q16_length_bucketing rotated below 50 late round 8 (B3-B5/P3;
+    # driver-green r01-r07) in favour of first driver-grade S5
+    # evidence — the WARC stream planner's exactly-once intake ledger
+    # vs its sorted-name/cap contract:
+    "q156_warc_intake_ledger",
     "q17_request_result_join",
     "q18_zip_explode",
     "q19_batch_formation",
-    "q68_region_blocks",
+    # q68_region_blocks rotated below 50 late round 8 (J3; driver-green
+    # r01-r07) in favour of first driver-grade S8 evidence — the stream
+    # planner's budgeted offset-commit ledger vs its SQL contract:
+    "q155_offset_commit_ledger",
     "q71_salted_agg",
     # q90_queue_source_counts rotated below 50 late round 8 (R1 covered
     # by q_queue_admin, S6/S7 by stream_state_suite; driver-green since
@@ -131,8 +138,17 @@ TOP50: tuple[str, ...] = (
     "q151_sniffer_verdicts",
     "q_session_islands",         # q22 + q23
     "q24_topn_per_key",
-    "q25_ordered_concat",
-    "q26_latency_percentiles",
+    # q25_ordered_concat rotated below 50 late round 8 (A3; driver-green
+    # r01-r07) in favour of first driver-grade T8 evidence — the idle
+    # reap replayed per-incarnation with the full recursive-CTE oracle:
+    "q154_idle_reap_replay",
+    # q26_latency_percentiles rotated below 50 late round 8 (A7/A8/O3;
+    # driver-green r01-r07) in favour of the REAL multi-trigger
+    # streaming sessionizer (S1's file-replay re-expression, §2.11
+    # state carried across micro-batches) under the driver gate — its
+    # recursive-CTE oracle was always full-strength but it had never
+    # held a driver slot:
+    "stream_sessionizer",
     "q148_autoscaler_blend",     # full capacity+PID+predictive blend;
                                  # supersedes q_autoscale_plan's tags
                                  # (q27/q28 stay checked below slot 50)

@@ -173,6 +173,188 @@ def stream_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("mean_energy")
 
 
+# ---------------------------------------------------------------------------
+# q154: T8 idle-reap decision path, replayed deterministically
+# ---------------------------------------------------------------------------
+
+# Event-time idle threshold for the replay: 24 h. The live T8 reap is
+# wall-clock (DEFAULT_IDLE_MS = 300 s of processing time,
+# stt_worker.py:419-430 reaps sessions idle > session_timeout); a
+# deterministic replay substitutes the event timestamps for the arrival
+# clock — the reference's own reap test does the same substitution
+# (it backdates last_activity instead of sleeping). 24 h sits at the
+# ~p90 of the inter-event gaps in the events table, so most sessions
+# split into several incarnations while each incarnation still carries
+# enough chunks to exercise the buffer/trigger/overlap state machine.
+REAP_GAP_US = 86_400_000_000
+
+
+def _sessionizer_t8_oracle() -> str:
+    """The _sessionizer_oracle recurrence with T8 incarnations.
+
+    Deltas vs the base oracle (everything else is identical):
+      - chunks are split into per-session INCARNATIONS at event-time
+        gaps > REAP_GAP_US; the recurrence key is session_id#k, so
+        state (buffer, seg_idx, context ring) drops and restarts at
+        every reap boundary exactly as state.remove() does;
+      - each incarnation gets one virtual zero-sample final chunk (the
+        'reap tick'): feeding an empty is_final chunk is byte-for-byte
+        the state.hasTimedOut flush (_emit('final') on the remainder;
+        a no-op when the buffer is empty, hence the bl1 > 0 gate on
+        emission — the one new condition, matching _SessionCore._emit's
+        n == 0 early return);
+      - per-chunk sample/ms increments ride in c2 (160/100 for real
+        chunks, 0/0 for the tick) instead of being literal in the
+        recurrence."""
+    return """
+    WITH RECURSIVE base AS (
+        SELECT cast(user_id AS VARCHAR) AS uid,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS gi,
+               count(*) OVER (PARTITION BY user_id) AS cnt_u,
+               (event_type <> 'error'
+                AND abs(value) > 1.4142135623730951) AS speech,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                         > 86400000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    keyed AS (
+        SELECT uid || '#' || cast(sum(brk) OVER (PARTITION BY uid
+                                                 ORDER BY gi)
+                                  AS VARCHAR) AS session_id,
+               gi, speech, (gi = cnt_u - 1) AS fin
+        FROM base
+    ),
+    idx AS (
+        SELECT session_id, gi, speech, fin,
+               row_number() OVER (PARTITION BY session_id
+                                  ORDER BY gi) - 1 AS i,
+               count(*) OVER (PARTITION BY session_id) AS cnt
+        FROM keyed
+    ),
+    c2 AS (
+        SELECT session_id, i, speech, fin, cast(100 * gi AS BIGINT) AS o,
+               cast(160 AS BIGINT) AS nsamp, cast(100 AS BIGINT) AS cms
+        FROM idx
+        UNION ALL
+        SELECT session_id, cnt, false, true, cast(0 AS BIGINT),
+               cast(0 AS BIGINT), cast(0 AS BIGINT)
+        FROM (SELECT DISTINCT session_id, cnt FROM idx)
+    ),
+    sim(session_id, i, bl, bs, sr, isp, si,
+        emitted, seg_idx, seg_start, seg_end, n, part, trig, nctx) AS (
+        SELECT session_id, cast(-1 AS BIGINT), cast(0 AS BIGINT),
+               cast(0 AS BIGINT), cast(0 AS BIGINT), false,
+               cast(0 AS BIGINT),
+               false, cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+               cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+               cast(NULL AS BOOLEAN), cast(NULL AS VARCHAR),
+               cast(NULL AS BIGINT)
+        FROM (SELECT DISTINCT session_id FROM c2)
+        UNION ALL
+        SELECT t.session_id, t.i,
+               CASE WHEN NOT t.emit THEN t.bl1
+                    WHEN t.part AND t.bl1 > 240 THEN 240
+                    ELSE 0 END,
+               CASE WHEN NOT t.emit THEN t.bs1
+                    WHEN t.part AND t.bl1 > 240
+                         THEN t.bs1 + ((t.bl1 - 240) * 5) // 8
+                    ELSE t.bs1 + t.bms END,
+               CASE WHEN t.fin OR t.vad THEN 0 ELSE t.sr1 END,
+               CASE WHEN t.fin OR t.vad THEN false ELSE t.isp1 END,
+               CASE WHEN t.emit AND t.bl1 > 0 THEN t.si + 1
+                    ELSE t.si END,
+               (t.emit AND t.bl1 > 0), t.si, t.bs1, t.bs1 + t.bms,
+               t.bl1, t.part,
+               CASE WHEN t.fin THEN 'final'
+                    WHEN t.vad THEN 'vad' ELSE 'size' END,
+               least(t.si, 10)
+        FROM (
+            SELECT s.session_id, c.i, c.fin, s.si,
+                   u.bs1, u.bl1, u.isp1, u.sr1,
+                   (u.isp1 AND u.sr1 >= 300) AS vad,
+                   (u.bl1 * 5) // 8 AS bms,
+                   (c.fin OR (u.isp1 AND u.sr1 >= 300)
+                    OR (u.bl1 * 5) // 8 >= 320) AS emit,
+                   (NOT c.fin) AS part
+            FROM sim s
+            JOIN c2 c ON c.session_id = s.session_id AND c.i = s.i + 1
+            CROSS JOIN LATERAL (
+                SELECT CASE WHEN s.bl = 0 THEN c.o ELSE s.bs END AS bs1,
+                       s.bl + c.nsamp AS bl1,
+                       (s.isp OR c.speech) AS isp1,
+                       CASE WHEN c.speech THEN 0
+                            ELSE s.sr + c.cms END AS sr1
+            ) u
+        ) t
+    )
+    SELECT split_part(session_id, '#', 1) AS session_id,
+           cast(split_part(session_id, '#', 2) AS INT) AS incarnation,
+           cast(seg_idx AS INT) AS segment_idx,
+           cast(seg_start AS BIGINT) AS start_offset_ms,
+           cast(seg_end AS BIGINT) AS end_offset_ms,
+           cast(n AS INT) AS n_samples,
+           part AS is_partial,
+           trig AS trigger,
+           'seg-' || seg_idx || '-' ||
+               substr(md5(session_id || ':' || seg_idx || ':' || n), 1, 8)
+               AS transcript,
+           cast(nctx AS INT) AS n_context
+    FROM sim WHERE emitted
+    """
+
+
+@register(
+    "q154_idle_reap_replay",
+    oracle=_sessionizer_t8_oracle(),
+    covers=("T8",),
+    doc="T8 idle-timeout reap, driver-hashable: the chunk stream is "
+        "split into per-session incarnations at event-time gaps > 24 h "
+        "(the deterministic stand-in for the processing-time clock — "
+        "the reference reaps sessions idle > session_timeout, "
+        "stt_worker.py:104-106,419-430, and its own reap test "
+        "backdates last_activity rather than sleeping), and each "
+        "incarnation runs the REAL sessionizer core with the reap "
+        "flush at its end: sessionize_batch's end-of-group "
+        "_emit('final') is exactly the state.hasTimedOut path — flush "
+        "the buffered remainder as a final segment, drop state "
+        "(seg_idx and the T9 context ring restart at every reap). The "
+        "full per-incarnation recurrence incl. md5 transcripts is "
+        "replayed bit-for-bit by the DuckDB recursive CTE; the live "
+        "wall-clock trigger stays covered by the armed two-trigger "
+        "streaming test (tests/test_sessionizer.py).",
+)
+def q154_idle_reap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    chunks = chunks_from_events(ev, DEFAULT_CONFIG)
+    w = Window.partitionBy("session_id").orderBy("seq")
+    # ts is TIMESTAMP_NTZ (µs-truncated staged copy); unix_micros wants
+    # TIMESTAMP. The gap is a DIFFERENCE of two casts, so the session-
+    # timezone offset cancels and the µs value matches DuckDB's
+    # epoch_us subtraction exactly.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    k = F.sum(
+        F.when(gap_us > F.lit(REAP_GAP_US), 1).otherwise(0)
+    ).over(w)
+    incarnated = chunks.withColumn(
+        "session_id",
+        F.concat_ws("#", F.col("session_id"), k.cast("string")),
+    )
+    segs = sessionize_batch(incarnated, DEFAULT_CONFIG).drop("mean_energy")
+    sid = F.split("session_id", "#")
+    return segs.select(
+        sid[0].alias("session_id"),
+        sid[1].cast("int").alias("incarnation"),
+        "segment_idx", "start_offset_ms", "end_offset_ms", "n_samples",
+        "is_partial", "trigger", "transcript", "n_context",
+    )
+
+
 @register(
     "q121_autoscaler_sim",
     oracle="""

@@ -165,6 +165,14 @@ _BELOW_50_ONLY_OK = {
     # (driver-green r01-r07; A13/T5 proper are top-50 via q1/q3/q71 and
     # the stream suites)
     "free-analytics", "A13-adjacent", "T5-adjacent",
+    # q25_ordered_concat (A3), q68_region_blocks (J3),
+    # q16_length_bucketing (B3-B5/P3) and q26_latency_percentiles
+    # (A7/A8/O3) rotated below 50 late round 8 — all driver-green
+    # r01-r07 — for first driver-grade T8 (q154_idle_reap_replay), S8
+    # (q155_offset_commit_ledger), S5 (q156_warc_intake_ledger) and
+    # multi-trigger-streaming (stream_sessionizer) evidence; the repo
+    # oracle-parity suite still checks every rotated id each run
+    "A3", "J3", "B3", "B4", "B5", "P3", "A7", "A8", "O3",
 }
 
 

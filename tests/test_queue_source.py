@@ -250,3 +250,95 @@ def test_stream_tail_is_incremental_exactly_once(spark, tmp_path):
         assert dupes == 0, "offset tracking replayed rows"
     finally:
         query.stop()
+
+
+class TestOffsetCommitLedger:
+    """q155: the stream planner's budgeted drain produces a commit
+    ledger with exactly-once coverage, per-priority monotone offsets,
+    and drain-order budget allocation."""
+
+    def _ledger(self, spark, tmp_path, counts, budget):
+        from streamprocess_spark.io.queue_source import (
+            PRIORITIES,
+            PriorityQueueStreamReader,
+            enqueue_job,
+        )
+
+        qdir = str(tmp_path / "q")
+        for p, n in counts.items():
+            for i in range(n):
+                enqueue_job(qdir, p, {"job_id": f"{p}-{i}", "type": "t"})
+        reader = PriorityQueueStreamReader(
+            {"path": qdir, "max_records_per_batch": str(budget)}
+        )
+        start = reader.initialOffset()
+        rows = []
+        batch_id = 0
+        while True:
+            end = reader.latestOffset()
+            if end == start:
+                break
+            for p in PRIORITIES:
+                if end[p] > start[p]:
+                    rows.append((batch_id, p, start[p], end[p]))
+            start = end
+            batch_id += 1
+        return rows
+
+    def test_exactly_once_coverage_and_budget(self, spark, tmp_path):
+        counts = {"realtime": 250, "high": 90, "normal": 130, "low": 40}
+        budget = 100
+        rows = self._ledger(spark, tmp_path, counts, budget)
+        # per-priority ranges are contiguous from 0 and cover every line
+        # exactly once
+        for p, n in counts.items():
+            spans = sorted((s, e) for _, pp, s, e in rows if pp == p)
+            cur = 0
+            for s, e in spans:
+                assert s == cur and e > s
+                cur = e
+            assert cur == n
+        # every batch admits exactly `budget` jobs except the last
+        per_batch = {}
+        for b, _, s, e in rows:
+            per_batch[b] = per_batch.get(b, 0) + (e - s)
+        last = max(per_batch)
+        for b, n in per_batch.items():
+            assert n == budget or b == last
+        # drain order: a static backlog drains realtime > high > normal
+        # > low, so the ledger's prio_rank sequence (batch order, ranks
+        # sorted within a batch) is globally non-decreasing — a drained
+        # priority is never re-opened by a later batch
+        from streamprocess_spark.io.queue_source import PRIO_RANK
+
+        seq = [
+            PRIO_RANK[p]
+            for _, p, _, _ in sorted(
+                rows, key=lambda r: (r[0], PRIO_RANK[r[1]])
+            )
+        ]
+        assert seq == sorted(seq)
+
+    def test_ledger_query_matches_brute_force(self, spark):
+        """q155 at sf0.001 vs a pandas reconstruction of the contract."""
+        from streamprocess_spark.plans import query_map
+
+        from tests.conftest import SF_DIR
+
+        out = (
+            query_map()["q155_offset_commit_ledger"](spark, SF_DIR)
+            .toPandas()
+            .sort_values(["batch_id", "priority"])
+            .reset_index(drop=True)
+        )
+        # committed offset is always the batch's own max seq + 1 and is
+        # strictly monotone per priority across batches
+        assert (out["committed_offset"] == out["max_seq"] + 1).all()
+        assert (out["n_jobs"] == out["max_seq"] - out["min_seq"] + 1).all()
+        for _, g in out.groupby("priority"):
+            seqs = g.sort_values("batch_id")
+            assert seqs["min_seq"].iloc[0] == 0
+            assert (
+                seqs["min_seq"].iloc[1:].to_numpy()
+                == seqs["committed_offset"].iloc[:-1].to_numpy()
+            ).all()

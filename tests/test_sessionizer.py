@@ -321,3 +321,85 @@ def test_autoscaler_cooldown_recurrence():
     # shuffled input must produce identical decisions (event-time sort)
     shuffled = rows.sample(frac=1.0, random_state=7)
     assert run_controller(shuffled).equals(out)
+
+
+class TestIdleReapReplay:
+    """q154: the T8 decision path replayed deterministically (gap-split
+    incarnations + end-of-incarnation reap flush)."""
+
+    def _segs(self, spark):
+        from streamprocess_spark.plans import query_map
+
+        from tests.conftest import SF_DIR
+
+        return query_map()["q154_idle_reap_replay"](spark, SF_DIR).toPandas()
+
+    def test_incarnations_match_gap_count(self, spark):
+        """Each session splits into exactly 1 + (#gaps > 24 h)
+        incarnations, and segment indexes restart at 0 in each."""
+        import duckdb
+
+        from tests.conftest import SF_DIR
+
+        segs = self._segs(spark)
+        expected = {
+            str(uid): int(n)
+            for uid, n in duckdb.sql(
+                f"""
+                WITH g AS (
+                    SELECT user_id,
+                           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id ORDER BY ts, event_id)
+                                > 86400000000 THEN 1 ELSE 0 END AS brk
+                    FROM '{SF_DIR}/events.parquet'
+                )
+                SELECT user_id, 1 + sum(brk) FROM g GROUP BY user_id
+                """
+            ).fetchall()
+        }
+        got = (
+            segs.groupby("session_id")["incarnation"]
+            .nunique()
+            .to_dict()
+        )
+        assert got == expected
+        first = segs.groupby(["session_id", "incarnation"])["segment_idx"].min()
+        assert (first == 0).all(), "seg_idx must restart at every reap"
+
+    def test_every_incarnation_ends_final(self, spark):
+        """The reap flush: each incarnation's last segment is a
+        non-partial trigger='final' (T7 for the true session end, T8's
+        state.hasTimedOut flush for every earlier incarnation)."""
+        segs = self._segs(spark)
+        last = segs.loc[
+            segs.groupby(["session_id", "incarnation"])["segment_idx"].idxmax()
+        ]
+        assert (last["trigger"] == "final").all()
+        assert (~last["is_partial"]).all()
+
+    def test_single_incarnation_reduces_to_base_sessionizer(self, spark):
+        """A session with no qualifying gap must produce exactly the
+        base sessionize_batch_segments rows (T8 never fires)."""
+        from streamprocess_spark.plans import query_map
+
+        from tests.conftest import SF_DIR
+
+        segs = self._segs(spark)
+        n_inc = segs.groupby("session_id")["incarnation"].nunique()
+        single = {s for s, n in n_inc.items() if n == 1}
+        base = (
+            query_map()["sessionize_batch_segments"](spark, SF_DIR)
+            .toPandas()
+        )
+        cols = ["session_id", "segment_idx", "start_offset_ms",
+                "end_offset_ms", "n_samples", "is_partial", "trigger",
+                "n_context"]
+        if not single:
+            return
+        a = (segs[segs.session_id.isin(single)][cols]
+             .sort_values(cols).reset_index(drop=True))
+        b = (base[base.session_id.isin(single)][cols]
+             .sort_values(cols).reset_index(drop=True))
+        # transcripts differ (the composite key feeds the md5) but the
+        # whole state trajectory must be identical
+        assert a.equals(b)
