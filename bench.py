@@ -183,11 +183,12 @@ SOAK_QUERIES = (
     # bloom-prefiltered exact admission (round 8): linear by design —
     # 2 corpus scans, 0 corpus shuffles, index auto-sized to the corpus
     "q153_bloom_admission",
+    # re-added late round 8 (see the q135 note below): x10 ~10-19 s,
+    # x100 ~69 s, ratio ~3.6 once the fixture artifacts were fixed
+    "q135_cdc_dedup",
 )
 # Dropped from the soak by the round-8 timing-action audit (see
-# TIMING_ACTION): their `.count()`-era soak history never measured the
-# expensive stage, and under honest full-row timing neither fits a
-# per-round bench budget at x100:
+# TIMING_ACTION):
 #   - q103_semdedup: fixed k=8 means cluster size ~ N/8, so the pair
 #     stage is ~N^2/16 dots. Even on the Arrow block pair scorer
 #     (_cluster_pairs) it measures 51 s at x10 and ~100x that at
@@ -198,12 +199,17 @@ SOAK_QUERIES = (
 #     variant keeps cluster capacity tracking the corpus and stays in
 #     the soak. (q103 stays correctness-checked at every SF by the
 #     oracle suites, which execute full results.)
-#   - q135_cdc_dedup: honest FastCDC chunking is ~2 ms/payload even
-#     after the native-int loop fix (10.1 s for the 5k sf0.1 payloads,
-#     was 47.9 s on numpy-scalar loops); x100 = 500k payloads ~ 17 min,
-#     still past a per-round budget. Its scale shape is map-only
-#     (embarrassingly parallel, no join explosion) so the plan-shape
-#     lint + sf-level timing carry its evidence.
+#   - q135_cdc_dedup was ALSO dropped here ("~17 min at x100") and that
+#     reading is withdrawn as misdiagnosed: it measured two FIXTURE
+#     artifacts, not the operator. (1) the synthetic payload suffix
+#     grew linearly with doc_id, so upscaled corpora (deep/soak ids
+#     reach 10^7-10^8) ballooned to ~MB payloads — total input bytes
+#     grew quadratically with corpus size (now bounded, llm_pipeline
+#     _synth_blob_udf); (2) the single-row-group fixture parquet pinned
+#     the whole map stage to one core (now re-chunked by the
+#     io/tables.py staging layer). With both fixed, honest full-row
+#     timing measures x10 ~10-19 s -> x100 ~69 s (ratio ~3.6) and q135
+#     is back in the soak above.
 
 
 def _soak_semdedup_scaled(spark, sf_dir: str):

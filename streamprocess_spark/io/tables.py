@@ -63,11 +63,64 @@ def _microsecond_copy(path: str) -> str:
     return cached
 
 
+# Minimum rows per re-chunked row group: tables smaller than
+# 2 * _MIN_ROWS_PER_GROUP are left alone (region/nation/supplier — no
+# parallelism to win), and no staged group is smaller than this (a
+# 500-row sf0.001 table becomes ~4 groups, not 32 slivers).
+_MIN_ROWS_PER_GROUP = 128
+
+
+def _rowgroup_copy(path: str) -> str:
+    """Stage a multi-row-group copy of a single-row-group fixture file.
+
+    Round-8 scale finding: the fixture parquets (and the bench's
+    DuckDB-generated deep/soak upscales) are written as ONE row group
+    per file. Spark plans byte-range splits, but a parquet row group is
+    assigned to the split containing its midpoint — so however many
+    partitions the scan shows, every row lands in one task and the
+    WHOLE scan-stage pipeline above it (Arrow UDF synthesis/decode,
+    shingle explode + md5, map-side partial aggregation) ran on 1 core
+    of 32 (measured: q135's map stage 82 s -> the same work in ~4 s
+    once split). A real 100 TB layout is thousands of files x ~128 MB
+    row groups — re-chunking the local fixture to
+    ceil(rows / defaultParallelism) rows per group (floor 128) is what
+    makes local[32] exercise the SAME parallel plan a cluster gets;
+    content, values, and the DuckDB oracle's view of the raw file are
+    untouched. Cached by source mtime, the _microsecond_copy pattern."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from streamprocess_spark.session import default_parallelism
+
+    meta = pq.read_metadata(path)
+    rows = meta.num_rows
+    if rows < 2 * _MIN_ROWS_PER_GROUP:
+        return path
+    target = max(
+        _MIN_ROWS_PER_GROUP, math.ceil(rows / default_parallelism())
+    )
+    if meta.num_row_groups >= math.ceil(rows / target):
+        return path  # already chunked at least this fine
+
+    cache_dir = os.path.join(tempfile.gettempdir(), "spark_graft_rg_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    key = path.strip("/").replace("/", "_")
+    cached = os.path.join(cache_dir, key)
+    if os.path.exists(cached) and os.path.getmtime(cached) >= os.path.getmtime(path):
+        return cached
+    table = pq.read_table(path)
+    tmp = cached + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=target)
+    os.replace(tmp, cached)
+    return cached
+
+
 def table_path(sf_dir: str, name: str) -> str:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         path = _microsecond_copy(path)
-    return path
+    return _rowgroup_copy(path)
 
 
 def load_tables(

@@ -2991,15 +2991,23 @@ from pyspark.sql.functions import pandas_udf as _pandas_udf
 def _synth_blob_udf(doc_id):
     """Byte-level dup fixture: group g = d % 40 shares a seeded base
     stream of 4000 + g*50 bytes; each member appends its own distinct
-    suffix of 16 + (d // 40) * 8 bytes — the re-uploaded-with-appended-
-    metadata situation byte-level dedup exists for."""
+    suffix of 16 + ((d // 40) % 64) * 8 bytes — the re-uploaded-with-
+    appended-metadata situation byte-level dedup exists for.
+
+    The suffix length is bounded (mod 64): the first cut grew linearly
+    with doc_id, so upscaled corpora (deep/soak ids reach 10^7-10^8)
+    silently ballooned to megabyte payloads — TOTAL input bytes grew
+    quadratically with corpus size and the 'q135 is ~17 min at x100'
+    reading measured the fixture, not the operator. Per-doc content
+    stays distinct (the fill byte is d % 251) and within-group length
+    diversity survives; for d < 2560 the bytes are unchanged."""
     import numpy as _np
 
     def synth(d: int) -> bytes:
         g = d % 40
         base = _np.random.default_rng(7000 + g).integers(
             0, 256, 4000 + g * 50, dtype=_np.uint8).tobytes()
-        return base + bytes([d % 251]) * (16 + (d // 40) * 8)
+        return base + bytes([d % 251]) * (16 + ((d // 40) % 64) * 8)
 
     return doc_id.apply(lambda d: synth(int(d)))
 
@@ -3008,7 +3016,7 @@ def _synth_blob_udf(doc_id):
     "q135_cdc_dedup",
     oracle="""
     SELECT doc_id,
-           cast(4000 + (doc_id % 40) * 50 + 16 + (doc_id // 40) * 8
+           cast(4000 + (doc_id % 40) * 50 + 16 + ((doc_id // 40) % 64) * 8
                 AS BIGINT) AS payload_len,
            cast(doc_id % 40 AS BIGINT) AS dup_group,
            cast((SELECT count(*) FROM documents d2

@@ -67,6 +67,20 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Small-file split floor (round-8 finding): file-scan planning
+        # sets maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/defaultParallelism)), so the 4 MB openCostInBytes
+        # default floors the split size ABOVE the whole few-MB fixture
+        # parquet — documents/embeddings scanned as ONE partition and the
+        # map-only Python-UDF family (audio decode, OCR, CDC chunking,
+        # WARC probes) ran on 1-2 of 32 cores (measured: q135 deep x10
+        # 73.6s -> 6.7s from this line alone). 64 KB lets small inputs
+        # fan out to every core; at real scale bytesPerCore >> 128 MB so
+        # splits stay maxPartitionBytes-bound — the 100 TB plan is
+        # untouched. Every result in this engine is partition-count
+        # invariant by design (fixed-point order-independent sums, keyed
+        # windows), so parity is unaffected.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         # InferFiltersFromGenerate adds a size()>0 pre-filter above
         # explode(<expr>); when <expr> is a pandas-UDF column the UDF
         # chain is then evaluated TWICE (once for the inferred filter,
