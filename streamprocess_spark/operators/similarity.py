@@ -36,7 +36,7 @@ def _dot(a, b):
     broadcast-probe-sized score set), and the semdedup pair site was
     ~10% SLOWER at the soak x100 corpus (34.5/23.7s unrolled vs
     31.4/21.2s HOF). Late round 8 the pair site left Catalyst
-    entirely for the _cluster_pairs Arrow block scorer (the honest
+    entirely for the _cluster_pair_stats Arrow block scorer (the honest
     noop-write timing showed the per-pair HOF was the q149 soak
     bottleneck: 337-438s -> 47s at x100, bit-identical). Unrolling
     k-candidate argmax expressions was also measured and worse:
@@ -573,44 +573,76 @@ def kmeans_fit(
     return _kmeans_assign(v, cents), cents
 
 
-def _cluster_pairs(a: DataFrame, keys: list[str], threshold: float) -> DataFrame:
-    """Within-cluster near-dup candidate pairs (vx < vy, round-6 cosine
-    >= threshold) via a per-cluster Arrow pair scorer.
+def _round6_ge_cut(threshold: float) -> float:
+    """The smallest double whose round-half-up-to-6-dp value is >=
+    ``threshold`` (a <=6-dp decimal like 0.35).
 
-    Replaces the equi-join self-join + per-pair HOF dot (round-8 A/B:
-    the HOF evaluates an interpreted lambda per pair·term — the q149
-    soak leg spent 337-438 s at x100 in exactly this stage — while a
-    numpy block product does the same floor(x·y·1e12) arithmetic at
-    memory bandwidth; it also halves the input cost, ONE shuffle of the
-    assignment instead of two join sides). Exactness contract (the
-    _score_udf pattern): the UDF emits ONLY int64 fixed-point sums
-    (pair dot + both self-dots); the cosine itself — double division,
-    sqrt, round-6 — is computed by the same Spark expressions as
-    before, so results are bit-identical. The UDF pre-filters with an
-    unrounded cos >= threshold - 1e-6 margin (wider than the 5e-7
-    round-6 boundary), leaving the exact rounded threshold decision
-    JVM-side. Block size caps the (b, n, dim) float64 intermediate at
-    ~50M elements, so clusters far beyond the design capacity spill to
-    more blocks instead of OOMing."""
+    Spark keeps a pair iff F.round(cos, 6) >= lit(threshold). HALF_UP
+    rounding of a positive double x to 6 dp reaches threshold exactly
+    when the EXACT binary value of x is >= threshold - 5e-7 (floor(y +
+    0.5) >= K <=> y >= K - 0.5 for integer K; the 1e-6 rounding grid is
+    ~10 orders of magnitude coarser than a double ulp near 0.35, so no
+    representable k/1e6 falls between lit(threshold) and the decimal
+    threshold). Doubles are totally ordered by their exact values, so
+    the decision is a single numpy compare against the smallest double
+    at-or-above that exact decimal cut — bit-identical to the JVM
+    round-then-compare, with no boundary band."""
+    import math
+    from decimal import Decimal
+
+    cut = Decimal(str(threshold)) - Decimal("0.0000005")
+    d = float(cut)
+    if Decimal(d) < cut:
+        d = math.nextafter(d, math.inf)
+    return d
+
+
+def _cluster_pair_stats(
+    a: DataFrame, keys: list[str], threshold: float
+) -> DataFrame:
+    """Per-cluster near-dup pair statistics — (keys..., n_dup_pairs,
+    n_pruned) over pairs vx < vy with round-6 cosine >= threshold —
+    via a per-cluster Arrow block scorer that never materializes the
+    pairs.
+
+    History: the first cut was an equi-join self-join + per-pair HOF
+    dot (interpreted lambda per pair*term — 337-438 s at soak x100);
+    round 8 moved scoring to a numpy block product (same
+    floor(x*y*1e12) arithmetic at memory bandwidth) but still EMITTED
+    one row per qualifying pair for a JVM-side round-6 filter + count.
+    That output is quadratic in duplicate multiplicity: a corpus where
+    each vector has R exact replicas yields ~R^2/2 qualifying pairs per
+    original — the x1000 soak (R=1000) crashed the Python workers
+    materializing ~2.4e8 pair rows whose only consumer was a COUNT.
+    The stats the operator actually returns are one row per cluster,
+    so the scorer now aggregates in place: pair decisions stay
+    vectorized block products, output is (n_dup_pairs, n_pruned) per
+    group — O(clusters) rows however duplicate-heavy the corpus.
+
+    Exactness contract (unchanged values, new location): the dots are
+    the same floor(x*y*1e12) int64 products (bit-identical numpy/JVM),
+    the cosine is the same double expression shape the JVM used, and
+    the round-6 threshold decision reduces EXACTLY to one double
+    compare (see _round6_ge_cut) — no approximate margin anywhere.
+    n_pruned replays the JVM rule per kept pair: vx if sx > sy, vy if
+    sy > sx, else max(vx, vy), distinct-counted (sx/sy are the round-6
+    assignment scores, so the compares see identical doubles). Block
+    size caps the (b, n, dim) float64 intermediate at ~50M elements,
+    so oversized clusters spill to more blocks instead of OOMing."""
     import numpy as np
 
     fields = {f.name: f.dataType for f in a.schema.fields}
     out_schema = T.StructType(
         [T.StructField(kcol, fields[kcol]) for kcol in keys]
         + [
-            T.StructField("vx", fields["vec_id"]),
-            T.StructField("vy", fields["vec_id"]),
-            T.StructField("sx", fields["s"]),
-            T.StructField("sy", fields["s"]),
-            T.StructField("dot_fp", T.LongType()),
-            T.StructField("xfp", T.LongType()),
-            T.StructField("yfp", T.LongType()),
+            T.StructField("n_dup_pairs", T.LongType()),
+            T.StructField("n_pruned", T.LongType()),
         ]
     )
-    margin = threshold - 1e-6
+    cut = _round6_ge_cut(threshold)
 
-    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = list(keys) + ["vx", "vy", "sx", "sy", "dot_fp", "xfp", "yfp"]
+    def stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = list(keys) + ["n_dup_pairs", "n_pruned"]
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({c: [] for c in cols})
@@ -621,7 +653,8 @@ def _cluster_pairs(a: DataFrame, keys: list[str], threshold: float) -> DataFrame
         vn = np.floor(E * E * DOT_SCALE).astype(np.int64).sum(axis=1)
         nrm = np.sqrt(vn / DOT_SCALE)
         b = max(1, 50_000_000 // (n * E.shape[1]))
-        out = {c: [] for c in cols}
+        n_pairs = 0
+        pruned_chunks = []
         for i0 in range(0, n - 1, b):
             i1 = min(i0 + b, n - 1)
             blk = (
@@ -632,36 +665,26 @@ def _cluster_pairs(a: DataFrame, keys: list[str], threshold: float) -> DataFrame
             raw = (blk / DOT_SCALE) / (nrm[i0:i1, None] * nrm[None, :])
             for li in range(i1 - i0):
                 gi = i0 + li
-                j = np.nonzero(raw[li, gi + 1:] >= margin)[0] + gi + 1
+                j = np.nonzero(raw[li, gi + 1:] >= cut)[0] + gi + 1
                 if not len(j):
                     continue
-                m = len(j)
-                for kcol in keys:
-                    out[kcol].extend([pdf[kcol].iloc[0]] * m)
-                out["vx"].extend([ids[gi]] * m)
-                out["vy"].extend(ids[j])
-                out["sx"].extend([s[gi]] * m)
-                out["sy"].extend(s[j])
-                out["dot_fp"].extend(blk[li, j])
-                out["xfp"].extend([vn[gi]] * m)
-                out["yfp"].extend(vn[j])
-        return pd.DataFrame(out)
+                n_pairs += len(j)
+                sx, sy = s[gi], s[j]
+                pruned = np.where(
+                    sx > sy, ids[gi],
+                    np.where(sy > sx, ids[j], np.maximum(ids[gi], ids[j])),
+                )
+                pruned_chunks.append(np.unique(pruned))
+        if not n_pairs:
+            return pd.DataFrame({c: [] for c in cols})
+        n_pruned = len(np.unique(np.concatenate(pruned_chunks)))
+        row = {kcol: [pdf[kcol].iloc[0]] for kcol in keys}
+        row["n_dup_pairs"] = [n_pairs]
+        row["n_pruned"] = [n_pruned]
+        return pd.DataFrame(row)
 
-    raw = a.select(*keys, "vec_id", "embedding", "s").groupBy(*keys).applyInPandas(
-        pairs_fn, out_schema
-    )
-    cos = F.round(
-        (F.col("dot_fp").cast("double") / F.lit(DOT_SCALE))
-        / (
-            F.sqrt(F.col("xfp").cast("double") / F.lit(DOT_SCALE))
-            * F.sqrt(F.col("yfp").cast("double") / F.lit(DOT_SCALE))
-        ),
-        6,
-    )
-    return (
-        raw.withColumn("cos", cos)
-        .filter(F.col("cos") >= F.lit(threshold))
-        .drop("dot_fp", "xfp", "yfp")
+    return a.select(*keys, "vec_id", "embedding", "s").groupBy(*keys).applyInPandas(
+        stats_fn, out_schema
     )
 
 
@@ -692,19 +715,12 @@ def semdedup(
     """
     assigned, _ = kmeans_fit(emb, k=k, n_iter=n_iter, dim=dim)
     a = assigned.select("vec_id", "embedding", "bucket", "s")
-    # within-cluster pairs via the Arrow pair scorer (_cluster_pairs):
-    # one shuffle of the assignment, block-matmul fixed-point dots,
-    # bit-identical to the former equi-join + per-pair HOF form
-    pairs = _cluster_pairs(a, ["bucket"], threshold)
+    # within-cluster pair STATS via the Arrow block scorer: one shuffle
+    # of the assignment, block-matmul fixed-point dots, counts
+    # aggregated inside the scorer (O(clusters) output rows however
+    # duplicate-heavy the corpus — see _cluster_pair_stats)
+    pair_stats = _cluster_pair_stats(a, ["bucket"], threshold)
     members = a.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
-    pair_stats = pairs.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct(
-            F.when(F.col("sx") > F.col("sy"), F.col("vx"))
-            .when(F.col("sy") > F.col("sx"), F.col("vy"))
-            .otherwise(F.greatest("vx", "vy"))
-        ).alias("n_pruned"),
-    )
     return members.join(pair_stats, "bucket", "left").select(
         "bucket",
         "n_members",
@@ -921,19 +937,11 @@ def semdedup_scaled(
     v = coarse_codes(emb, bits, dim=dim)
     assigned, _ = kmeans_fit_grouped(v, k=k, n_iter=n_iter, dim=dim)
     a = assigned.select("coarse", "vec_id", "embedding", "bucket", "s")
-    # within-(group, cluster) pairs via the Arrow pair scorer — see
-    # semdedup / _cluster_pairs
-    pairs = _cluster_pairs(a, ["coarse", "bucket"], threshold)
+    # within-(group, cluster) pair STATS via the Arrow block scorer —
+    # see semdedup / _cluster_pair_stats
+    pair_stats = _cluster_pair_stats(a, ["coarse", "bucket"], threshold)
     members = a.groupBy("coarse", "bucket").agg(
         F.count(F.lit(1)).alias("n_members")
-    )
-    pair_stats = pairs.groupBy("coarse", "bucket").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct(
-            F.when(F.col("sx") > F.col("sy"), F.col("vx"))
-            .when(F.col("sy") > F.col("sx"), F.col("vy"))
-            .otherwise(F.greatest("vx", "vy"))
-        ).alias("n_pruned"),
     )
     return members.join(pair_stats, ["coarse", "bucket"], "left").select(
         "coarse",
