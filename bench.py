@@ -324,10 +324,21 @@ def _bench_soak(spark, sf_dir: str) -> dict:
             lo = min(lo, time.perf_counter() - t0)
             if lo > _MIN_OF_2_CUTOFF_S:
                 break        # same >30s single-run rule as headline
-        t0 = time.perf_counter()               # single run at x100: at
-        hi_df = builder(spark, hi_dir)         # ~1 min
+        t0 = time.perf_counter()
+        hi_df = builder(spark, hi_dir)
         _run_full(hi_df)
-        hi = time.perf_counter() - t0          # scale, noise is ~few %
+        hi = time.perf_counter() - t0
+        # Round-9 verdict #6 (soak variance): the x100 leg was always
+        # single-run on a "minute-scale" assumption, but several legs
+        # finish in seconds (q153 ~3 s) where transient noise is a
+        # large fraction of the reading — q149_auto's recorded ratio
+        # ranged 1.0-7.2x across round-8 runs on unchanged code. Apply
+        # the same >30s single-run rule as everywhere else: a hi leg
+        # that measured under the cutoff gets a second pass, min wins.
+        if hi < _MIN_OF_2_CUTOFF_S:
+            t0 = time.perf_counter()
+            _run_full(builder(spark, hi_dir))
+            hi = min(hi, time.perf_counter() - t0)
         rows_hi = hi_df.count()                # display-only, untimed
         ratio = hi / lo
         out[name] = {
@@ -347,28 +358,98 @@ def _bench_soak(spark, sf_dir: str) -> dict:
 # ANN recall at scale (round-7 verdict #6): runtime scaling is soak-
 # measured, but result QUALITY under scale was only tested at sf0.001.
 # recall@5 vs the exact top-k (q48 ground truth) at the bench SF and at
-# the deep x10 corpus, gated at per-query floors. Floors follow the
-# repo test suite (q49 >= 0.4, q111 >= 0.1, tests/test_similarity.py)
-# extended to the IVF pair from the measured sf0.1 values (0.98 / 0.80).
-# Round 8 tightened all four to ~15-25% below the measured sf0.1
-# readings (0.74 / 0.98 / 0.80 / 0.22): recall at a fixed SF is fully
-# deterministic (md5-seeded planes, fixed-point scoring, id
-# tie-breaks), so the original ~2x headroom only hid quality
-# regressions — a botched plane table or assignment change should trip
-# the gate, not coast under it. Note the deep x10 leg is structurally easier (the
-# key-shifted upscale replicates embedding VALUES, so each query's top-5
-# is its own replicas and any correctly-bucketed index recovers them —
-# recall ~1.0 is the expected healthy reading there; the leg exists to
-# catch bucketing/assignment breakage at scale, the sf leg carries the
-# discriminative floor).
+# a x10 corpus, gated at per-query floors. Floors sit ~15-25% below the
+# measured readings (recall at a fixed corpus is fully deterministic —
+# md5-seeded planes, fixed-point scoring, id tie-breaks — so headroom
+# beyond that only hides quality regressions).
+#
+# Round-9 verdict #1: the x10 leg previously reused ensure_deep_dir,
+# whose upscale REPLICATES embedding values — each query's top-5 was
+# its own exact replicas and every correctly-bucketed index read
+# 0.94-1.0, so the leg caught bucketing breakage but never quality
+# degradation. The recall x10 leg now has its own corpus
+# (ensure_recall_dir): replicas carry a deterministic per-(vector,
+# replica, dim) hash jitter of +-0.24 that lands them at cosine ~0.67
+# to their original — wide enough (48 deg) that sign-LSH planes split
+# them and PQ/IVF quantization error is comparable to the gap, so
+# recovering them exercises the multi-table/nprobe machinery for real
+# (measured: q49 0.88, q73 1.00, q99 0.92, q111 0.46 vs the uniform
+# ~1.0 before). The deep TIMING dir keeps exact replication on
+# purpose: identical values = maximal duplicate multiplicity, the most
+# adversarial shape for the dedup soak's pair stages, and the
+# documents upscale there is what keeps the MinHash workload linear.
 # ---------------------------------------------------------------------------
 
 ANN_RECALL_FLOORS = {
-    "q49_ann_lsh_topk": 0.6,
-    "q73_ann_ivf_topk": 0.9,
-    "q99_ann_ivf_trained": 0.7,
-    "q111_pq_ann": 0.18,
+    # per-leg floors: sf unchanged from round 8; x10 floors set 15-25%
+    # below the jittered-corpus measurements above
+    "sf": {
+        "q49_ann_lsh_topk": 0.6,
+        "q73_ann_ivf_topk": 0.9,
+        "q99_ann_ivf_trained": 0.7,
+        "q111_pq_ann": 0.18,
+    },
+    "deep": {
+        "q49_ann_lsh_topk": 0.7,
+        "q73_ann_ivf_topk": 0.9,
+        "q99_ann_ivf_trained": 0.75,
+        "q111_pq_ann": 0.35,
+    },
 }
+
+# jitter amplitude in 1e-4 units: +-0.24 per component. Embedding
+# components are ~N(0, 0.1) over 64 dims (|x| ~ 0.8), so the replica
+# cosine lands at |x|/sqrt(|x|^2+|j|^2) ~ 0.67 — far above the 0.35
+# dedup threshold (replicas stay near-dups for any consumer) but wide
+# enough that ANN bucket assignment genuinely has to work.
+_RECALL_JITTER_AMP = 2400
+
+
+def ensure_recall_dir(sf_dir: str, factor: int = DEEP_FACTOR) -> str:
+    """x{factor} corpus for the ANN-recall leg: embeddings upscaled
+    with the deterministic hash jitter above; every other table copied
+    from the deep dir (the recall queries only scan embeddings, but
+    load_tables opens all footers). The ground-truth pass (exact q48)
+    runs on this same dir, so exact and approx see identical bytes."""
+    import duckdb
+
+    dst = os.environ.get(
+        "SPARK_GRAFT_RECALL_DIR",
+        os.path.join(tempfile.gettempdir(),
+                     f"spark_graft_recall_x{factor}"),
+    )
+    marker = os.path.join(dst, "_DONE")
+    key = _deep_cache_key(sf_dir) + f"|jitter={_RECALL_JITTER_AMP}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == key:
+                _prestage_tables(dst)
+                return dst
+        shutil.rmtree(dst, ignore_errors=True)
+    deep = ensure_deep_dir(sf_dir, factor)
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(deep):
+        if name.endswith(".parquet") and name != "embeddings.parquet":
+            shutil.copy(os.path.join(deep, name), os.path.join(dst, name))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    amp = _RECALL_JITTER_AMP
+    sql = (
+        f"SELECT vec_id + r.r * 1000000 AS vec_id, "
+        f"CASE WHEN r.r = 0 THEN embedding ELSE "
+        f"list_transform(range(1, len(embedding) + 1), i -> "
+        f"(embedding[i] + ((hash(vec_id * 64 + i + r.r * 7919) "
+        f"% {2 * amp + 1})::BIGINT - {amp}) * 0.0001)::FLOAT) "
+        f"END AS embedding, label "
+        f"FROM {src!r}, range({factor}) r(r)"
+    )
+    duckdb.connect().execute(
+        f"COPY ({sql}) TO '{os.path.join(dst, 'embeddings.parquet')}' "
+        f"(FORMAT PARQUET)"
+    )
+    with open(marker, "w") as f:
+        f.write(key)
+    _prestage_tables(dst)
+    return dst
 
 
 def _bench_ann_recall(spark, sf_dir: str) -> dict:
@@ -376,7 +457,7 @@ def _bench_ann_recall(spark, sf_dir: str) -> dict:
 
     legs = {"sf": sf_dir}
     if not os.environ.get("SPARK_GRAFT_SKIP_DEEP"):
-        legs["deep"] = ensure_deep_dir(sf_dir)
+        legs["deep"] = ensure_recall_dir(sf_dir)
     out: dict[str, dict] = {}
     for leg, d in legs.items():
         exact = {
@@ -384,7 +465,7 @@ def _bench_ann_recall(spark, sf_dir: str) -> dict:
             for r in QUERIES["q48_embedding_topk"].builder(spark, d).collect()
         }
         out[leg] = {}
-        for name, floor in ANN_RECALL_FLOORS.items():
+        for name, floor in ANN_RECALL_FLOORS[leg].items():
             approx = {
                 (r["qid"], r["cid"])
                 for r in QUERIES[name].builder(spark, d).collect()
@@ -632,6 +713,33 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
     out["scale"] = _flagship_once(
         spark, chunks_scale, f"scale-{SCALE_STREAMS}", n_runs=1
     )
+
+    # RocksDB state-store leg (round-9 verdict #5): the even/skew/scale
+    # legs run on the default HDFS-backed in-memory provider, but a
+    # 100 TB deployment with millions of live sessions keeps state in
+    # RocksDBStateStoreProvider (spillable, incremental-checkpointed).
+    # Re-run the even workload with RocksDB enabled: results must be
+    # provider-invariant (segments == expected is asserted by the same
+    # delivery loop) and throughput is gated within 2x of the even leg
+    # in _regression_gate, alongside skew/scale.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = None
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out["rocksdb"] = _flagship_once(spark, chunks, "rocksdb")
+    finally:
+        if prev:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
     return out
 
 
@@ -830,6 +938,43 @@ def main() -> None:
         result["regression_gate"] = _regression_gate(result)
     result["regression_gate"]["retried"] = retried
     print(json.dumps(result))
+    # Round-9 verdict #4: the driver archives only the LAST 2000 chars
+    # of stdout, and the full result line above exceeds that once the
+    # flagship/soak/recall sections are present — BENCH_r08 lost its
+    # headline number to tail truncation. Emit a compact summary as the
+    # FINAL line: small enough (~1.2 KB) to always sit inside the tail,
+    # and self-sufficient for _regression_gate's history windows
+    # (timing_action + per-query + deep timings, the three throughput
+    # medians, soak ratios), so a tail-parsed round still feeds every
+    # gate next round.
+    compact = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "sf", "timing_action",
+                  "queries")
+        if k in result
+    }
+    if "deep" in result:
+        compact["deep"] = result["deep"]
+    fs = result.get("flagship") or {}
+    if fs:
+        compact["flagship"] = {"chunks_per_sec": fs.get("chunks_per_sec")}
+        for leg in ("skew", "scale", "rocksdb"):
+            if fs.get(leg):
+                compact["flagship"][leg] = {
+                    "chunks_per_sec": fs[leg].get("chunks_per_sec")}
+    if result.get("streaming"):
+        compact["streaming"] = {
+            "rows_per_sec": result["streaming"].get("rows_per_sec")}
+    if result.get("curation"):
+        compact["curation"] = {
+            "docs_per_sec": result["curation"].get("docs_per_sec"),
+            "verified": result["curation"].get("verified")}
+    if result.get("soak"):
+        compact["soak"] = {"queries": {
+            q: {"ratio": s.get("ratio")}
+            for q, s in (result["soak"].get("queries") or {}).items()}}
+    compact["flagged"] = sorted(result["regression_gate"]["flagged"])
+    print(json.dumps(compact))
     spark.stop()
 
 
@@ -942,23 +1087,38 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
                             "ratio": round(now_v / ref_v, 2)}
             print(f"# REGRESSION {key}: median{hist} -> {now_v} "
                   f"({now_v / ref_v:.2f}x)", file=sys.stderr)
-    # scale-soak gate: absolute (x100/x10 runtime ratio), not
-    # round-over-round — a super-linear blowup is a scale bug whatever
-    # last round measured
+    # scale-soak gate: the threshold is absolute (a super-linear
+    # blowup is a scale bug whatever last round measured), but the
+    # VALUE it is applied to is the median of this run's ratio plus the
+    # last <=3 methodology-matched rounds' ratios (round-9 verdict #6:
+    # minute-scale single-pass legs showed 1.0-7.2x host-state spread
+    # on unchanged code — one noisy reading must not flag, while a
+    # genuinely quadratic operator pushes the median over the bar
+    # within a round of landing). No history => the current ratio IS
+    # the median, so a first-round blowup still flags.
     for q, s in ((result.get("soak") or {}).get("queries") or {}).items():
-        if s["ratio"] > SOAK_MAX_RATIO:
+        hist = []
+        for _, r in q_rounds[-3:]:
+            ref = ((r.get("soak") or {}).get("queries") or {}).get(q)
+            if ref and ref.get("ratio") is not None:
+                hist.append(ref["ratio"])
+        window = hist + [s["ratio"]]
+        med = statistics.median(window)
+        if med > SOAK_MAX_RATIO:
             key = f"soak:{q}"
             flagged[key] = {"now": s["hi_sec"], "prev": s["lo_sec"],
-                            "ratio": s["ratio"]}
+                            "ratio": s["ratio"], "window": window,
+                            "median": round(med, 2)}
             print(f"# SCALE REGRESSION {key}: x10 {s['lo_sec']}s -> "
-                  f"x100 {s['hi_sec']}s ({s['ratio']}x > "
-                  f"{SOAK_MAX_RATIO}x)", file=sys.stderr)
-    # skew + scale gates: the hot-session leg and the 1,000-stream leg
-    # must each stay within 2x of the even leg's throughput (bounded
-    # per-key state claims — round-6 ask #6, round-7 ask #8)
+                  f"x100 {s['hi_sec']}s (median {med:.1f}x of "
+                  f"{window} > {SOAK_MAX_RATIO}x)", file=sys.stderr)
+    # skew + scale + rocksdb gates: the hot-session leg, the
+    # 1,000-stream leg and the RocksDB-provider leg must each stay
+    # within 2x of the even leg's throughput (bounded per-key state —
+    # round-6 ask #6, round-7 ask #8; provider parity — round-9 #5)
     fs = result.get("flagship") or {}
     even_v = fs.get("chunks_per_sec")
-    for leg in ("skew", "scale"):
+    for leg in ("skew", "scale", "rocksdb"):
         leg_v = (fs.get(leg) or {}).get("chunks_per_sec")
         # `is not None`, not truthiness: a leg that ran and delivered 0
         # chunks/s is a total collapse and must flag (the same falsy-0
@@ -970,6 +1130,21 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
                 "ratio": round(leg_v / even_v, 2)}
             print(f"# {leg.upper()} REGRESSION flagship: even {even_v} -> "
                   f"{leg} {leg_v} chunks/s", file=sys.stderr)
+    # segment-delivery invariant (round-9 #5): every flagship leg must
+    # deliver exactly the batch-sessionizer's expected segment set —
+    # a short count is dropped results (e.g. a state-store provider
+    # changing semantics), not a throughput matter
+    for key_name, sec in (("flagship", fs),) + tuple(
+            (f"flagship_{leg}", fs.get(leg) or {})
+            for leg in ("skew", "scale", "rocksdb")):
+        exp = sec.get("expected_segments")
+        got = sec.get("segments")
+        if exp is not None and got != exp:
+            flagged[f"{key_name}:segments"] = {
+                "now": got, "prev": exp,
+                "ratio": round((got or 0) / exp, 2) if exp else 0.0}
+            print(f"# SEGMENT REGRESSION {key_name}: {got} != "
+                  f"expected {exp}", file=sys.stderr)
     # curation replay + ANN recall floors are absolute gates
     cur = result.get("curation") or {}
     if cur and not cur.get("verified", True):

@@ -105,7 +105,19 @@ def _rowgroup_copy(path: str) -> str:
 
     cache_dir = os.path.join(tempfile.gettempdir(), "spark_graft_rg_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    key = path.strip("/").replace("/", "_")
+    # Key by the computed row-group target too (it depends on
+    # default_parallelism, so a different SPARK_GRAFT_CPUS against a
+    # shared temp dir must not serve a copy chunked for the old
+    # parallelism), and by a digest of the full source path (the
+    # flattened form alone collides for paths differing only by
+    # '_' vs '/').
+    import hashlib
+
+    key = "{}.{}.rg{}".format(
+        path.strip("/").replace("/", "_"),
+        hashlib.md5(path.encode()).hexdigest()[:8],
+        target,
+    )
     cached = os.path.join(cache_dir, key)
     if os.path.exists(cached) and os.path.getmtime(cached) >= os.path.getmtime(path):
         return cached

@@ -107,6 +107,224 @@ def np_chunk_hash(data: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# ---------------------------------------------------------------------------
+# NumPy-blocked batch kernels (round-9 verdict #2). The scalar
+# np_cdc_chunks / np_chunk_hash above stay as the bit-exact REFERENCE
+# (and the differential oracle in tests/test_cdc.py); the Arrow UDF
+# runs the batch kernels below, which produce identical output at a
+# fraction of the per-byte Python cost (~14x at the q135 payload
+# shape — the engine's slowest linear stage at soak x1000 was this
+# module's pure-Python byte walking, 873.7 s for 5M docs).
+#
+# Why the gear scan CAN be blocked even though the rolling hash is
+# sequential: the boundary test is `h & mask == 0` with a k-bit mask,
+# and `h << 1` per step shifts every older byte's contribution out of
+# the low k bits — so (h & mask) at position i depends ONLY on the
+# last k bytes, h&mask = sum_{j<k} gear[data[i-j]]<<j (mod 2^k).
+# Candidate positions are therefore precomputable with vectorized
+# window sums over the whole (concatenated) batch, independent of
+# where chunks start; the sequential cut walk just consumes them in
+# order. The only positions needing the true sequential h are the
+# first k-1 after each hash reset (fewer than k bytes accumulated),
+# which get an exact scalar check — output is bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks_batch(
+    payloads: list[bytes], min_size: int = 128, avg_size: int = 512,
+    max_size: int = 2048,
+) -> list[list[tuple[int, int]]]:
+    """np_cdc_chunks over a batch — identical output, NumPy-blocked.
+
+    Pipeline: (1) the LOOSE kl-bit window sum over the concatenated
+    batch in uint8 wrap arithmetic (only the value mod 2^kl matters
+    and kl <= 8 at any avg_size <= 2048, so natural uint8 wraparound
+    is exact — 4x less memory traffic than int32); (2) loose zeros ->
+    cand_l (~2^-kl of positions); (3) the strict ks-bit window sum
+    evaluated SPARSELY at cand_l positions only (strict zero implies
+    loose zero, so cand_s is a subset of cand_l); (4) a per-payload
+    walk consuming both candidate lists with forward-only pointers —
+    O(candidates + chunks), no per-chunk binary search — plus the
+    <=ks-1-byte exact scalar prefix after each reset."""
+    if not 0 < min_size <= avg_size <= max_size:
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    bits = max(1, int(avg_size).bit_length() - 1)
+    ks, kl = bits + 2, max(1, bits - 2)
+    mask_s = (1 << ks) - 1
+    mask_l = (1 << kl) - 1
+    if min_size < ks or kl > 16:
+        # min_size < ks: candidate windows would cross the previous
+        # chunk before the reset exactness point; kl > 16: the uint16
+        # loose pass below would wrap short of the mask. Both are far
+        # outside the operating envelope — keep the scalar reference.
+        return [np_cdc_chunks(bytes(p), min_size, avg_size, max_size)
+                for p in payloads]
+
+    raws = [bytes(p) for p in payloads]
+    offs = [0]
+    for p in raws:
+        offs.append(offs[-1] + len(p))
+    cat = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    if len(cat) == 0:
+        return [[] for _ in raws]
+    # loose window sum, mod-2^width wrap arithmetic (width >= kl)
+    ldt = np.uint8 if kl <= 8 else np.uint16
+    tab_l = (_GEAR & np.uint64(mask_l)).astype(ldt)
+    gl = tab_l[cat]
+    acc = np.zeros(len(cat), dtype=ldt)
+    buf = np.empty(len(cat), dtype=ldt)            # reused scratch
+    for j in range(kl):
+        np.left_shift(gl[: len(cat) - j], j, out=buf[: len(cat) - j])
+        acc[j:] += buf[: len(cat) - j]
+    cand_l = np.flatnonzero((acc & ldt(mask_l)) == 0)
+    # strict window sum only at loose-candidate positions (sparse).
+    # int64 keeps sums exact for any ks <= 31; wrapped gathers at the
+    # first ks-1 global positions are garbage but those positions are
+    # never consulted (every query point is >= lo + kl - 1 >=
+    # min_size + kl - 1 inside its payload).
+    tab_s = (_GEAR & np.uint64(mask_s)).astype(np.int64)
+    ws = np.zeros(len(cand_l), dtype=np.int64)
+    for j in range(ks):
+        ws += tab_s[cat[cand_l - j]] << j
+    cand_s = cand_l[(ws & mask_s) == 0]
+    ll: list[int] = cand_l.tolist()
+    sl: list[int] = cand_s.tolist()
+    nl, ns = len(ll), len(sl)
+
+    gear = _GEAR_I
+    m64 = _MASK64
+    out: list[list[tuple[int, int]]] = []
+    il = is_ = 0                                   # forward-only pointers
+    for pi, data in enumerate(raws):
+        base, n = offs[pi], len(data)
+        chunks: list[tuple[int, int]] = []
+        start = 0
+        while start < n:
+            end = start + max_size
+            if end > n:
+                end = n
+            lo = start + min_size
+            norm = start + avg_size
+            if norm > end:
+                norm = end
+            cut = 0
+            # zone A [lo, lo+kl-1): true h has < kl bytes — exact scalar
+            za = lo + kl - 1
+            if za > end:
+                za = end
+            h = 0
+            for i in range(lo, za):
+                h = ((h << 1) + gear[data[i]]) & m64
+                if (h & (mask_s if i < norm else mask_l)) == 0:
+                    cut = i + 1
+                    break
+            if not cut and za < end:
+                gza = base + za
+                gzb = base + min(lo + ks - 1, end)
+                while il < nl and ll[il] < gza:
+                    il += 1
+                # zone B [lo+kl-1, lo+ks-1): loose test is window-exact
+                # (>= kl bytes); a strict zero must ALSO be a loose zero,
+                # so only cand_l members need the exact-h verify
+                j = il
+                while j < nl and ll[j] < gzb:
+                    p = ll[j] - base
+                    if p >= norm:                  # loose region: exact
+                        cut = p + 1
+                        break
+                    hh = 0                         # strict: verify true h
+                    for i in range(lo, p + 1):
+                        hh = ((hh << 1) + gear[data[i]]) & m64
+                    if (hh & mask_s) == 0:
+                        cut = p + 1
+                        break
+                    j += 1
+                if not cut:
+                    # zone C strict [lo+ks-1, norm): cand_s is exact
+                    ga = base + max(lo + ks - 1, lo)
+                    gb = base + norm
+                    if ga < gb:
+                        while is_ < ns and sl[is_] < ga:
+                            is_ += 1
+                        if is_ < ns and sl[is_] < gb:
+                            cut = sl[is_] - base + 1
+                    if not cut:
+                        # zone C loose [max(norm, lo+ks-1), end)
+                        ga = base + max(norm, lo + ks - 1)
+                        gb = base + end
+                        j = il
+                        while j < nl and ll[j] < ga:
+                            j += 1
+                        if j < nl and ll[j] < gb:
+                            cut = ll[j] - base + 1
+            if not cut:
+                cut = end
+            chunks.append((start, cut - start))
+            start = cut
+        out.append(chunks)
+    return out
+
+
+# slab bound for the lockstep FNV byte matrix: keep the padded matrix
+# cache-resident (strided column reads are the hot access pattern)
+_FNV_SLAB_BYTES = 16 << 20
+
+
+def fnv1a_batch(
+    raws: list[bytes], chunk_lists: list[list[tuple[int, int]]]
+) -> list[list[int]]:
+    """np_chunk_hash for every chunk of every payload — identical
+    values, computed in lockstep: FNV-1a is a strict byte-serial
+    recurrence WITHIN a chunk, but chunks are independent, so the
+    whole batch advances one byte position per step over a padded
+    byte matrix ((h ^ col) * prime on uint64 vectors, natural mod-2^64
+    wraparound). Chunks are length-sorted so the active set is a
+    shrinking prefix (no masks), and processed in cache-sized slabs."""
+    views: list[memoryview] = []
+    lens: list[int] = []
+    for p, chunks in zip(raws, chunk_lists):
+        mv = memoryview(p)
+        for o, ln in chunks:
+            views.append(mv[o:o + ln])
+            lens.append(ln)
+    C = len(lens)
+    if C == 0:
+        return [[] for _ in raws]
+    lens_a = np.asarray(lens, dtype=np.int64)
+    order = np.argsort(-lens_a, kind="stable")     # longest first
+    res = np.empty(C, dtype=np.int64)
+    prime = _FNV_PRIME
+    r0 = 0
+    while r0 < C:
+        maxlen = int(lens_a[order[r0]])
+        rows = max(1, _FNV_SLAB_BYTES // max(1, maxlen))
+        sel = order[r0:r0 + rows]
+        r0 += rows
+        slens = lens_a[sel]
+        mat = np.zeros((len(sel), maxlen), dtype=np.uint8)
+        for r, oi in enumerate(sel):
+            v = views[oi]
+            if len(v):
+                mat[r, : len(v)] = np.frombuffer(v, dtype=np.uint8)
+        h = np.full(len(sel), _FNV_OFFSET, dtype=np.uint64)
+        neg = -slens                               # ascending for search
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                k = int(np.searchsorted(neg, -(j + 1), side="right"))
+                if k == 0:
+                    break
+                hj = h[:k]
+                hj ^= mat[:k, j]
+                hj *= prime
+        res[sel] = h.astype(np.int64)
+    out: list[list[int]] = []
+    i = 0
+    for chunks in chunk_lists:
+        out.append([int(x) for x in res[i:i + len(chunks)]])
+        i += len(chunks)
+    return out
+
+
 _CHUNK_SCHEMA = T.ArrayType(T.StructType([
     T.StructField("chunk_hash", T.LongType()),
     T.StructField("chunk_len", T.IntegerType()),
@@ -117,13 +335,14 @@ def cdc_chunks_udf(min_size: int = 128, avg_size: int = 512,
                    max_size: int = 2048):
     @pandas_udf(_CHUNK_SCHEMA)
     def _udf(payload: pd.Series) -> pd.Series:
-        def run(raw: bytes) -> list[dict]:
-            raw = bytes(raw)
-            return [
-                {"chunk_hash": np_chunk_hash(raw[o:o + ln]), "chunk_len": ln}
-                for o, ln in np_cdc_chunks(raw, min_size, avg_size, max_size)
-            ]
-        return payload.apply(run)
+        raws = [bytes(r) for r in payload]
+        chunk_lists = cdc_chunks_batch(raws, min_size, avg_size, max_size)
+        hashes = fnv1a_batch(raws, chunk_lists)
+        return pd.Series([
+            [{"chunk_hash": hv, "chunk_len": ln}
+             for hv, (_, ln) in zip(hs, ch)]
+            for hs, ch in zip(hashes, chunk_lists)
+        ])
     return _udf
 
 

@@ -585,8 +585,20 @@ def _round6_ge_cut(threshold: float) -> float:
     representable k/1e6 falls between lit(threshold) and the decimal
     threshold). Doubles are totally ordered by their exact values, so
     the decision is a single numpy compare against the smallest double
-    at-or-above that exact decimal cut — bit-identical to the JVM
-    round-then-compare, with no boundary band."""
+    at-or-above that exact decimal cut.
+
+    One-ulp caveat (the reason this is "equivalent" rather than
+    "bit-identical to the JVM filter"): Spark's round() on DoubleType
+    rounds the SHORTEST-DECIMAL-REPR of the double
+    (BigDecimal.valueOf/Double.toString), while this cut compares the
+    exact binary value. A double whose shortest repr IS the halfway
+    decimal (e.g. prints as '0.3499995') but whose exact binary value
+    lies just below it would be kept by the JVM round-then-compare yet
+    dropped here. No computed cosine can land on that single double in
+    practice, and the exact-value compare is the one that matches
+    DuckDB's round() — which is the cross-engine contract the oracles
+    pin — so the exact-binary cut is the intended semantics, not an
+    approximation of the JVM's."""
     import math
     from decimal import Decimal
 

@@ -690,6 +690,14 @@ def q155_offset_commit_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         end = reader.latestOffset()
         if end == start:
             break
+        # Mirror the engine (and q156): plan the batch's partitions for
+        # every (start, end) range. Today latestOffset() already advances
+        # the reader's rate-limit cursor so this is a correctness no-op,
+        # but it exercises partitions()'s cursor re-anchor path and keeps
+        # this replay terminating if latestOffset is ever refactored to
+        # be pure (the warc reader's documented style, where only
+        # partitions() advances the planner's cursor).
+        reader.partitions(start, end)
         for p in PRIORITIES:
             if end[p] > start[p]:
                 plan_rows.append((batch_id, p, start[p], end[p]))

@@ -1343,7 +1343,14 @@ def q102_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diversity-preserving rule). Oracle chains the full k-means "
         "replay CTEs into the pairwise rescoring CTEs; round-6 "
         "fixed-point cosines and id tie-breaks make Spark and DuckDB "
-        "agree exactly on clusters, pairs, and prune choices.",
+        "agree exactly on clusters, pairs, and prune choices. SCALE "
+        "BOUNDARY (measured, round 8): fixed k means cluster size "
+        "grows with the corpus, so the within-cluster pair stage "
+        "degrades QUADRATICALLY on a growing corpus — the x100 soak "
+        "(~25k-row clusters, ~2.5e9 dots) cannot finish. This "
+        "configuration is for paper parity on bounded corpora only; "
+        "deployments use q149_semdedup_scale, whose coarse-partition "
+        "capacity tracking keeps every stage linear in N.",
 )
 def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]

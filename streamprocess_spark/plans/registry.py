@@ -103,12 +103,24 @@ _LOADED = False
 # base ids (§2.8, O5, J4, R7, §2.10-builtins, free-rollup/-distinct/
 # -cube) keep full oracle parity in the repo suite every run.
 TOP50: tuple[str, ...] = (
-    # relational core
+    # relational core. Round-9 rotation (round-8 verdict #3): seven
+    # slots driver-green since round <=2 rotate below 50 in favour of
+    # never-evidenced LLM-pipeline entries — q2 (O1/O4; q9_argmax
+    # repo-checked), q3 (tags fully redundant with q1/q71/q17),
+    # q_semi_anti_join (J-free redundant; S11 proper via q_queue_admin),
+    # q102 (§2.13-text via q_text_suite), q45 (dedup tags carried by
+    # q122/q135/q139/q153/q_doc_signatures; q45 stays bench+soak-
+    # measured every round), q49 (similarity via q48/q73/q99/q111;
+    # stays in the ann_recall bench gate), q71 (A13 via q1; the skew
+    # story lives in the flagship skew leg). q1 stays as the long-green
+    # canary. In: q150_curation_dag (the composed end-to-end artifact),
+    # q112/q124 (the BPE train->apply lifecycle), q141_sequence_packing,
+    # q144_html_extract, q116_lm_perplexity, q118_domain_mixing.
     "q1_pricing_summary",
-    "q2_shipping_priority",
-    "q3_local_supplier_volume",
-    "q_semi_anti_join",          # q5 + q6
-    "q102_bm25_search",          # O4/W3 carried by q24/q15; adds §2.13 search
+    "q150_curation_dag",
+    "q112_bpe_train",
+    "q124_bpe_apply",
+    "q141_sequence_packing",
     # dataflow / queue engine
     "q_queue_admin",             # q11 + q12 + q13
     "q14_json_envelope",
@@ -125,7 +137,6 @@ TOP50: tuple[str, ...] = (
     # r01-r07) in favour of first driver-grade S8 evidence — the stream
     # planner's budgeted offset-commit ledger vs its SQL contract:
     "q155_offset_commit_ledger",
-    "q71_salted_agg",
     # q90_queue_source_counts rotated below 50 late round 8 (R1 covered
     # by q_queue_admin, S6/S7 by stream_state_suite; driver-green since
     # round 2) in favour of first driver-grade S13 evidence:
@@ -161,12 +172,13 @@ TOP50: tuple[str, ...] = (
     # LLM data pipeline
     "q_text_suite",              # q40 + q41 + q42
     "q_doc_signatures",          # q43 + q44 + q46
-    "q45_minhash_lsh",
+    "q144_html_extract",
     "q108_udaf_energy",          # §2.12 UDAF leg; q47's dedup tag redundant
     "q48_embedding_topk",
-    "q49_ann_lsh_topk",
+    "q116_lm_perplexity",
     "q103_semdedup",             # same tags as q72 + the SemDeDup pipeline
     "q73_ann_ivf_topk",
+    "q118_domain_mixing",
     "q_corpus_suite",            # q74 + q75 + q85 + q87 + q88
     # round-8 rotation: first driver-grade evidence for these
     "q99_ann_ivf_trained",

@@ -163,6 +163,48 @@ def test_soak_gate_is_absolute_not_round_over_round(tmp_path):
     assert set(out["flagged"]) == {"soak:q103"}
 
 
+def test_soak_gate_uses_median_window(tmp_path):
+    """Round-9 verdict #6: soak legs are single-pass minute-scale runs
+    with recorded 1.0-7.2x host-state spread on unchanged code, so the
+    absolute 15x threshold is applied to the median of (current ratio +
+    last <=3 methodology-matched rounds' ratios), not to one reading."""
+    for n in (4, 5, 6):
+        _write_round(tmp_path, n, _base_round(
+            timing_action="noop_write",
+            soak={"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 4.0,
+                                      "ratio": 4.0}}}))
+    # one transient 20x reading: median(4,4,4,20) = 4 -> NOT flagged
+    noisy = {"timing_action": "noop_write",
+             "soak": {"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 20.0,
+                                          "ratio": 20.0}}}}
+    assert _regression_gate(noisy, here=str(tmp_path))["flagged"] == {}
+    # a persistent blowup crosses the bar once the window is mostly bad
+    for n in (7, 8):
+        _write_round(tmp_path, n, _base_round(
+            timing_action="noop_write",
+            soak={"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 20.0,
+                                      "ratio": 20.0}}}))
+    out = _regression_gate(noisy, here=str(tmp_path))
+    fl = out["flagged"]["soak:q45"]
+    assert fl["window"] == [4.0, 20.0, 20.0, 20.0] and fl["median"] == 20.0
+
+
+def test_soak_gate_history_is_methodology_matched(tmp_path):
+    """count()-era soak ratios under-measured q103/q149-class queries
+    (the eliminated-join artifact), so they must not vouch for — or
+    indict — a noop_write run: cross-methodology soak history is
+    skipped, and with no matched history the current ratio IS the
+    median (a first-round blowup still flags)."""
+    _write_round(tmp_path, 1, _base_round(  # legacy: no timing_action
+        soak={"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 4.0,
+                                  "ratio": 4.0}}}))
+    bad = {"timing_action": "noop_write",
+           "soak": {"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 20.0,
+                                        "ratio": 20.0}}}}
+    out = _regression_gate(bad, here=str(tmp_path))
+    assert out["flagged"]["soak:q45"]["window"] == [20.0]
+
+
 def test_flagship_skew_must_stay_within_2x_of_even(tmp_path):
     _write_round(tmp_path, 1, _base_round())
     now = {"flagship": {"chunks_per_sec": 1000.0,
@@ -173,6 +215,29 @@ def test_flagship_skew_must_stay_within_2x_of_even(tmp_path):
                        "skew": {"chunks_per_sec": 600.0}}}
     assert "flagship_skew:chunks_per_sec" not in _regression_gate(
         ok, here=str(tmp_path))["flagged"]
+
+
+def test_flagship_rocksdb_leg_gated_like_skew(tmp_path):
+    """Round-9 verdict #5: the RocksDB-provider leg gates within 2x of
+    the even leg, and a segment count short of expected flags as a
+    correctness break whatever the throughput."""
+    _write_round(tmp_path, 1, _base_round())
+    bad = {"flagship": {"chunks_per_sec": 1000.0,
+                        "rocksdb": {"chunks_per_sec": 400.0}}}
+    out = _regression_gate(bad, here=str(tmp_path))
+    assert "flagship_rocksdb:chunks_per_sec" in out["flagged"]
+    short = {"flagship": {"chunks_per_sec": 1000.0,
+                          "rocksdb": {"chunks_per_sec": 900.0,
+                                      "segments": 99,
+                                      "expected_segments": 100}}}
+    out2 = _regression_gate(short, here=str(tmp_path))
+    assert "flagship_rocksdb:segments" in out2["flagged"]
+    ok = {"flagship": {"chunks_per_sec": 1000.0, "segments": 100,
+                       "expected_segments": 100,
+                       "rocksdb": {"chunks_per_sec": 900.0,
+                                   "segments": 100,
+                                   "expected_segments": 100}}}
+    assert _regression_gate(ok, here=str(tmp_path))["flagged"] == {}
 
 
 def test_flagship_scale_leg_gated_like_skew(tmp_path):

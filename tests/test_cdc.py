@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from streamprocess_spark.operators.cdc import (
+    cdc_chunks_batch,
     cdc_chunks_udf,
     cdc_near_dup_groups,
+    fnv1a_batch,
     np_cdc_chunks,
     np_chunk_hash,
 )
@@ -55,6 +57,61 @@ class TestChunking:
             np_cdc_chunks(b"xx", min_size=0)
         with pytest.raises(ValueError, match="min_size"):
             np_cdc_chunks(b"xx", min_size=100, avg_size=50)
+        with pytest.raises(ValueError, match="min_size"):
+            cdc_chunks_batch([b"xx"], min_size=0)
+
+
+class TestBatchKernels:
+    """The NumPy-blocked batch kernels (round-9: the UDF's production
+    path) must be BIT-IDENTICAL to the scalar reference — boundaries
+    and hashes both. The scalar functions are the oracle."""
+
+    def _payloads(self):
+        rng = np.random.default_rng(42)
+        payloads = [
+            rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+            for n in rng.integers(1, 30000, 30)
+        ]
+        # adversarial shapes: empty, constant runs (the q135 suffix
+        # pattern), repeating period, single byte, exactly min/max size
+        payloads += [
+            b"", b"\x00" * 5000, b"\x7f" * 4096, bytes(range(256)) * 40,
+            b"q", b"\x11" * 128, b"\x11" * 2048,
+            np.random.default_rng(7).integers(
+                0, 256, 4000, dtype=np.uint8).tobytes() + b"\x55" * 520,
+        ]
+        return payloads
+
+    def test_boundaries_bit_identical_to_scalar(self):
+        payloads = self._payloads()
+        for params in (
+            dict(),
+            dict(min_size=64, avg_size=256, max_size=1024),
+            dict(min_size=16, avg_size=16, max_size=64),
+            dict(min_size=200, avg_size=200, max_size=400),
+            dict(min_size=128, avg_size=4096, max_size=8192),
+        ):
+            ref = [np_cdc_chunks(p, **params) for p in payloads]
+            got = cdc_chunks_batch(payloads, **params)
+            assert got == ref, params
+
+    def test_hashes_bit_identical_to_scalar(self):
+        payloads = self._payloads()
+        chunks = cdc_chunks_batch(payloads)
+        ref = [[np_chunk_hash(p[o:o + ln]) for o, ln in ch]
+               for p, ch in zip(payloads, chunks)]
+        assert fnv1a_batch(payloads, chunks) == ref
+
+    def test_fnv_slab_boundary(self, monkeypatch):
+        """Slabbing must not change values: force tiny slabs so every
+        length group crosses a slab edge."""
+        import streamprocess_spark.operators.cdc as cdc_mod
+
+        payloads = self._payloads()[:8]
+        chunks = cdc_chunks_batch(payloads)
+        ref = fnv1a_batch(payloads, chunks)
+        monkeypatch.setattr(cdc_mod, "_FNV_SLAB_BYTES", 4096)
+        assert fnv1a_batch(payloads, chunks) == ref
 
 
 class TestSparkOp:

@@ -8,11 +8,22 @@ whole registry against a larger corpus in one command, e.g.
         python -m pytest tests/test_oracle_parity.py -q
 
 (the full sf0.1 sweep takes ~1h, dominated by the DuckDB recursive-CTE
-oracles of the autoscaler family; see SURVEY §8 for the recorded runs)."""
+oracles of the autoscaler family; see SURVEY §8 for the recorded runs).
+
+Round-9 verdict #8: when SPARK_GRAFT_PARITY_SF_DIR is set, the sweep
+also writes its per-query pass table to a committed JSON artifact
+(default ``PARITY_SF01_r{N}.json`` in the repo root, N = the latest
+round with a CORRECTNESS artifact + 1; override the full path with
+``SPARK_GRAFT_PARITY_ARTIFACT``) — the strongest correctness evidence
+in the repo was previously only a SURVEY paragraph."""
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
+import time
 
 import pytest
 
@@ -25,6 +36,43 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", _DEFAULT_SF_DIR)
 ORACLES = oracle_sql_map()
 NAMES = sorted(ORACLES)
 
+_RECORD: dict[str, dict] = {}
+
+
+def _artifact_path() -> str:
+    override = os.environ.get("SPARK_GRAFT_PARITY_ARTIFACT")
+    if override:
+        return override
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "").replace(
+        ".", "")
+    return os.path.join(root, f"PARITY_SF{sf}_r{n:02d}.json")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _parity_artifact():
+    yield
+    if not os.environ.get("SPARK_GRAFT_PARITY_SF_DIR") or not _RECORD:
+        return
+    body = {
+        "sf_dir": SF_DIR,
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_queries": len(_RECORD),
+        "n_pass": sum(1 for r in _RECORD.values() if r["pass"]),
+        "queries": dict(sorted(_RECORD.items())),
+    }
+    path = _artifact_path()
+    with open(path, "w") as f:
+        json.dump(body, f, indent=1)
+    print(f"\n# parity artifact: {path} "
+          f"({body['n_pass']}/{body['n_queries']} pass)")
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -35,11 +83,18 @@ def duck():
 
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_parity(spark, duck, name):
+    entry = _RECORD.setdefault(name, {"pass": False})
+    t0 = time.perf_counter()
     qdf = query_map()[name](spark, SF_DIR)
     spark_pdf = qdf.toPandas()
     duck_pdf = duck.sql(ORACLES[name]).df()
+    entry["rows"] = int(len(spark_pdf))
+    entry["oracle_rows"] = int(len(duck_pdf))
+    entry["sec"] = round(time.perf_counter() - t0, 2)
     assert len(spark_pdf) > 0, f"{name}: empty result"
     problems = compare(spark_pdf, duck_pdf)
+    entry["problems"] = problems
+    entry["pass"] = not problems
     assert not problems, f"{name}: " + "; ".join(problems)
 
 

@@ -173,6 +173,20 @@ _BELOW_50_ONLY_OK = {
     # multi-trigger-streaming (stream_sessionizer) evidence; the repo
     # oracle-parity suite still checks every rotated id each run
     "A3", "J3", "B3", "B4", "B5", "P3", "A7", "A8", "O3",
+    # round-9 rotation (round-8 verdict #3): q2 (O1/O4), q71 (P3-skew)
+    # and q_semi_anti_join (S11-adjacent) rotated below 50 — driver-
+    # green r01-r08 — with q3/q45/q49/q102 (tags fully redundant with
+    # remaining top-50 entries) for the seven never-evidenced
+    # LLM-pipeline slots (q150/q112/q124/q141/q144/q116/q118); O1's
+    # drain-order semantics stay top-50 via q_queue_admin's R2 leg and
+    # q15's O2 deadline ordering, O4's max-by via q9_argmax in the
+    # repo suite, the skew story via the bench flagship skew leg
+    "O1", "O4", "P3-skew", "S11-adjacent",
+    # 'J-free' (the free-join echo: broadcast dims / semi / anti) rode
+    # on q2/q3/q_semi_anti_join; J1/J2 proper and the range/as-of
+    # family remain top-50 via q17/q18/q_scale_join_suite, and the
+    # free-join queries keep repo-suite parity every run
+    "J-free",
 }
 
 
