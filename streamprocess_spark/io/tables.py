@@ -41,7 +41,14 @@ def _microsecond_copy(path: str) -> str:
 
     cache_dir = os.path.join(tempfile.gettempdir(), "spark_graft_us_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    key = path.strip("/").replace("/", "_")
+    # path digest closes the '_'-vs-'/' flattening collision (the same
+    # class the round-9 advice flagged on _rowgroup_copy's key)
+    import hashlib
+
+    key = "{}.{}".format(
+        path.strip("/").replace("/", "_"),
+        hashlib.md5(path.encode()).hexdigest()[:8],
+    )
     cached = os.path.join(cache_dir, key)
     src_mtime = os.path.getmtime(path)
     if os.path.exists(cached) and os.path.getmtime(cached) >= src_mtime:

@@ -1,0 +1,126 @@
+"""Unit coverage for bench.py's generated benchmark corpora.
+
+The ANN-recall x10 corpus (round-9 verdict #1) is the one upscale whose
+VALUES carry a quality gate — recall floors are calibrated against its
+jittered replicas — so its generation contract is pinned here:
+deterministic bytes across regenerations, base rows (replica 0) exactly
+equal to the source corpus, and replicas genuinely perturbed into the
+wide-angle band the floors were measured on.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import ensure_recall_dir  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def recall_dir(tmp_path_factory):
+    # pin BOTH generated-dir env vars to tmp: ensure_recall_dir calls
+    # ensure_deep_dir for the non-embeddings tables, and letting that
+    # fall through to the shared $TMPDIR cache would clobber the bench's
+    # sf0.1 upscale with this test's sf0.001 one (cache keys differ)
+    d = str(tmp_path_factory.mktemp("recall"))
+    deep = str(tmp_path_factory.mktemp("deep"))
+    os.environ["SPARK_GRAFT_RECALL_DIR"] = d
+    os.environ["SPARK_GRAFT_DEEP_DIR"] = deep
+    try:
+        yield ensure_recall_dir(SF_DIR)
+    finally:
+        del os.environ["SPARK_GRAFT_RECALL_DIR"]
+        del os.environ["SPARK_GRAFT_DEEP_DIR"]
+
+
+def _vecs(path):
+    import duckdb
+
+    return {
+        int(r[0]): np.array(r[1], dtype=np.float64)
+        for r in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{path}'"
+        ).fetchall()
+    }
+
+
+def test_recall_corpus_contract(recall_dir, tmp_path):
+    base = _vecs(os.path.join(SF_DIR, "embeddings.parquet"))
+    up = _vecs(os.path.join(recall_dir, "embeddings.parquet"))
+    assert len(up) == 10 * len(base)
+    # replica 0 is the base corpus, bit-exact
+    for vid, v in list(base.items())[:50]:
+        assert np.array_equal(up[vid], v), vid
+    # replicas 1..9 are genuinely perturbed, into the wide-angle band
+    # the round-9 floors were measured on (cos ~0.6-0.75), never exact
+    cosines = []
+    for vid, v in list(base.items())[:50]:
+        for r in (1, 5, 9):
+            w = up[vid + r * 1000000]
+            assert not np.array_equal(w, v), (vid, r)
+            cosines.append(
+                float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+            )
+    mean_cos = float(np.mean(cosines))
+    assert 0.55 <= mean_cos <= 0.8, mean_cos
+    # deterministic regeneration: same bytes whatever tmp dir it lands in
+    d2 = str(tmp_path / "again")
+    os.environ["SPARK_GRAFT_RECALL_DIR"] = d2
+    try:
+        again = ensure_recall_dir(SF_DIR)
+    finally:
+        os.environ["SPARK_GRAFT_RECALL_DIR"] = recall_dir
+    up2 = _vecs(os.path.join(again, "embeddings.parquet"))
+    for vid in list(up)[:200]:
+        assert np.array_equal(up[vid], up2[vid]), vid
+
+
+def test_recall_floors_match_bench_legs():
+    """Every floor key must be a real registered query and both legs
+    must gate the same query set — a renamed query must not silently
+    drop out of the recall gate."""
+    from bench import ANN_RECALL_FLOORS
+    from streamprocess_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    assert set(ANN_RECALL_FLOORS) == {"sf", "deep"}
+    assert set(ANN_RECALL_FLOORS["sf"]) == set(ANN_RECALL_FLOORS["deep"])
+    for name in ANN_RECALL_FLOORS["sf"]:
+        assert name in QUERIES, name
+    assert "q48_embedding_topk" in QUERIES
+
+
+def test_compact_tail_line_is_small_enough():
+    """Round-9 verdict #4: the final stdout line must always fit the
+    driver's 2000-char tail. Reconstruct a worst-case compact dict from
+    the real bench query registry and assert the serialized size."""
+    from streamprocess_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    bench_names = [n for n, s in QUERIES.items() if s.bench]
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": 12345.6789,
+        "unit": "sec",
+        "sf": 0.1,
+        "timing_action": "noop_write",
+        "queries": {n: 12345.6789 for n in bench_names},
+        "deep": {"factor": 10, "value": 12345.6789,
+                 "queries": {n: 12345.6789 for n in bench_names}},
+        "flagship": {"chunks_per_sec": 99999.9,
+                     "skew": {"chunks_per_sec": 99999.9},
+                     "scale": {"chunks_per_sec": 99999.9},
+                     "rocksdb": {"chunks_per_sec": 99999.9}},
+        "streaming": {"rows_per_sec": 999999.9},
+        "curation": {"docs_per_sec": 99999.9, "verified": True},
+        "soak": {"queries": {f"q{i}_some_soak_query_name": {"ratio": 123.45}
+                             for i in range(8)}},
+        "flagged": [f"deep:q{i}_some_flagged_query" for i in range(10)],
+    }
+    assert len(json.dumps(compact)) < 1900
