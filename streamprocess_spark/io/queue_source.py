@@ -173,13 +173,21 @@ class PriorityQueueStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         # After a checkpoint restart the engine re-plans from the offset
         # log; never read below `start`, and re-anchor the rate-limit
-        # cursor so the next trigger budgets from real progress.
-        if self._cursor is not None:
-            self._cursor = {
-                p: max(self._cursor.get(p, 0), int(start.get(p, 0)),
-                       int(end.get(p, 0)))
-                for p in PRIORITIES
-            }
+        # cursor so the next trigger budgets from real progress. The
+        # re-anchor applies even from a fresh (None) cursor: a restarted
+        # reader's first call is partitions() for the recovered batch,
+        # and budgeting the next trigger from that batch's end — rather
+        # than from zero until the first latestOffset self-heals — is
+        # the documented semantics. It also makes the planner correct
+        # under a pure (cursor-free) latestOffset implementation, the
+        # warc reader's style (round-9 advice; pinned by
+        # tests/test_queue_source.py::test_drain_survives_pure_latest_offset).
+        cur = self._cursor or {}
+        self._cursor = {
+            p: max(cur.get(p, 0), int(start.get(p, 0)),
+                   int(end.get(p, 0)))
+            for p in PRIORITIES
+        }
         # realtime first — batch-local priority drain order (R2)
         return [
             QueuePartition(p, int(start.get(p, 0)), int(end.get(p, 0)), self.path)

@@ -90,6 +90,8 @@ class TestBatchKernels:
             dict(min_size=16, avg_size=16, max_size=64),
             dict(min_size=200, avg_size=200, max_size=400),
             dict(min_size=128, avg_size=4096, max_size=8192),
+            # min_size < ks: the documented scalar-fallback branch
+            dict(min_size=4, avg_size=512, max_size=2048),
         ):
             ref = [np_cdc_chunks(p, **params) for p in payloads]
             got = cdc_chunks_batch(payloads, **params)

@@ -319,6 +319,67 @@ class TestOffsetCommitLedger:
         ]
         assert seq == sorted(seq)
 
+    def test_drain_survives_pure_latest_offset(self, spark, tmp_path):
+        """Round-9 advice: a q155-style drive loop (latestOffset +
+        partitions per trigger, the engine's own call sequence) must
+        produce the identical ledger under a PURE latestOffset — one
+        that never advances reader state, the warc reader's documented
+        style — because partitions() is the re-anchor point, including
+        from a fresh (None) cursor. Without the partitions() re-anchor
+        the pure reader re-budgets from zero forever and the loop exits
+        after one batch with a partial ledger."""
+        from streamprocess_spark.io.queue_source import (
+            PRIORITIES,
+            PriorityQueueStreamReader,
+            _count_lines,
+            _log_path,
+            enqueue_job,
+        )
+
+        class PureReader(PriorityQueueStreamReader):
+            def latestOffset(self):  # cursor-free: read-only planning
+                avail = {
+                    p: _count_lines(_log_path(self.path, p))
+                    for p in PRIORITIES
+                }
+                if self.max_per_batch is None:
+                    return avail
+                base = self._cursor or {p: 0 for p in PRIORITIES}
+                budget = self.max_per_batch
+                end = {}
+                for p in PRIORITIES:
+                    take = min(max(avail[p] - base.get(p, 0), 0), budget)
+                    end[p] = base.get(p, 0) + take
+                    budget -= take
+                return end
+
+        qdir = str(tmp_path / "q")
+        counts = {"realtime": 25, "high": 9, "normal": 13, "low": 4}
+        for p, n in counts.items():
+            for i in range(n):
+                enqueue_job(qdir, p, {"job_id": f"{p}-{i}", "type": "t"})
+
+        def drive(reader):
+            start = reader.initialOffset()
+            rows, batch_id = [], 0
+            for _ in range(1000):           # bounded: a broken planner
+                end = reader.latestOffset()  # must fail, not hang
+                if end == start:
+                    break
+                reader.partitions(start, end)   # the engine's sequence
+                for p in PRIORITIES:
+                    if end[p] > start[p]:
+                        rows.append((batch_id, p, start[p], end[p]))
+                start = end
+                batch_id += 1
+            return rows
+
+        opts = {"path": qdir, "max_records_per_batch": "10"}
+        impure = drive(PriorityQueueStreamReader(dict(opts)))
+        pure = drive(PureReader(dict(opts)))
+        assert pure == impure
+        assert sum(e - s for _, _, s, e in pure) == sum(counts.values())
+
     def test_ledger_query_matches_brute_force(self, spark):
         """q155 at sf0.001 vs a pandas reconstruction of the contract."""
         from streamprocess_spark.plans import query_map
