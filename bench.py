@@ -133,6 +133,36 @@ def _deep_cache_key(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+def _assert_upscale_id_bounds(sf_dir: str) -> None:
+    """The replica shifts in _DEEP_SQL and ensure_recall_dir assume id
+    headroom in the base corpus (vec_id/doc_id/user_id < 1e6,
+    order/customer keys < 1e7); a bigger base would silently collide
+    replica ids with base ids (round-9 advice). Assert the bound once
+    per generation — cache hits skip it, generation is minutes anyway."""
+    import duckdb
+
+    checks = (
+        ("embeddings", "vec_id", 1_000_000),
+        ("documents", "doc_id", 1_000_000),
+        ("events", "user_id", 1_000_000),
+        ("events", "event_id", 10_000_000),
+        ("orders", "o_orderkey", 10_000_000),
+        ("orders", "o_custkey", 10_000_000),
+        ("customer", "c_custkey", 10_000_000),
+        ("lineitem", "l_orderkey", 10_000_000),
+    )
+    con = duckdb.connect()
+    for table, col, bound in checks:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(path):
+            continue
+        mx = con.execute(f"SELECT max({col}) FROM '{path}'").fetchone()[0]
+        assert mx is None or mx < bound, (
+            f"{table}.{col} max {mx} >= replica shift {bound}: the "
+            f"upscale would collide replica ids with base ids"
+        )
+
+
 def _prestage_tables(d: str) -> None:
     """Run the io/tables.py staging passes (µs timestamp cast,
     row-group re-chunk) for every table of a generated dir NOW, so the
@@ -163,6 +193,7 @@ def ensure_deep_dir(sf_dir: str, factor: int = DEEP_FACTOR) -> str:
                 _prestage_tables(dst)
                 return dst
         shutil.rmtree(dst, ignore_errors=True)  # stale: regenerate
+    _assert_upscale_id_bounds(sf_dir)
     os.makedirs(dst, exist_ok=True)
     for t in _COPY_TABLES:
         shutil.copy(
@@ -202,6 +233,10 @@ SOAK_QUERIES = (
     # re-added late round 8 (see the q135 note below): x10 ~10-19 s,
     # x100 ~69 s, ratio ~3.6 once the fixture artifacts were fixed
     "q135_cdc_dedup",
+    # round-10 verdict #5: the one dedup-family member with a
+    # corpus-wide shuffle (gram-hash counts) — its x100 behavior was
+    # the scale-credibility gap in the dedup story
+    "q139_substring_spans",
 )
 # Dropped from the soak by the round-8 timing-action audit (see
 # TIMING_ACTION):
@@ -282,6 +317,7 @@ def ensure_soak_dir(sf_dir: str, factor: int = SOAK_FACTOR) -> str:
                 _prestage_tables(dst)
                 return dst
         shutil.rmtree(dst, ignore_errors=True)
+    _assert_upscale_id_bounds(sf_dir)
     os.makedirs(dst, exist_ok=True)
     upscaled = ("documents", "embeddings")
     for name in os.listdir(sf_dir):
@@ -426,6 +462,7 @@ def ensure_recall_dir(sf_dir: str, factor: int = DEEP_FACTOR) -> str:
                 _prestage_tables(dst)
                 return dst
         shutil.rmtree(dst, ignore_errors=True)
+    _assert_upscale_id_bounds(sf_dir)
     deep = ensure_deep_dir(sf_dir, factor)
     os.makedirs(dst, exist_ok=True)
     for name in os.listdir(deep):
@@ -597,7 +634,7 @@ def _flagship_once(spark, chunks, label: str, n_runs: int = 2) -> dict:
         ),
     )
 
-    def _one_run() -> tuple[float, int]:
+    def _one_run() -> tuple[float, int, int]:
         # Fresh result dir + checkpoint per run; the queue log is
         # append-only (offsets live in the checkpoint), so each run
         # replays the identical enqueued workload from offset zero.
@@ -634,24 +671,31 @@ def _flagship_once(spark, chunks, label: str, n_runs: int = 2) -> dict:
             # inter-trigger gap, so no batch is mid-commit when stop()
             # lands.
             drain_deadline = time.time() + 60
+            batches = 0
             while time.time() < drain_deadline:
                 lp = query.lastProgress
-                if lp is not None and int(lp.get("numInputRows", -1)) == 0:
-                    break
+                if lp is not None:
+                    batches = int(lp.get("batchId", -1)) + 1
+                    if int(lp.get("numInputRows", -1)) == 0:
+                        break
                 time.sleep(0.05)
         finally:
             query.stop()
         for d in (rdir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
-        return el, delivered
+        return el, delivered, batches
 
     # min of 2, same policy as every other bench section (round-5
     # verdict #3: the single-run flagship slid 10% round-over-round on
     # unchanged code — one-off scheduler/GC jitter lands straight in
     # the round delta unless the section is repeated)
     el, delivered = float("inf"), 0
+    runs: list[float] = []
+    nb: list[int] = []
     for _ in range(n_runs):
-        el_i, delivered_i = _one_run()
+        el_i, delivered_i, batches_i = _one_run()
+        runs.append(round(el_i, 2))
+        nb.append(batches_i)
         if el_i < el:
             el, delivered = el_i, delivered_i
     n_streams = chunks.select("session_id").distinct().count()
@@ -662,6 +706,12 @@ def _flagship_once(spark, chunks, label: str, n_runs: int = 2) -> dict:
         "expected_segments": int(expected_n),
         "value": round(el, 4),
         "chunks_per_sec": round(n_chunks / el, 1),
+        # round-9 verdict #1 (self-adjudicating artifact): every pass's
+        # wall time + its micro-batch count. Two slow passes with
+        # unchanged batch counts = host noise; divergent batch counts
+        # or a one-sided slowdown = investigate.
+        "runs": runs,
+        "nb": nb,
     }
     print(
         f"# flagship[{label}] queue->sessionizer->sink: {el:.3f}s "
@@ -735,6 +785,15 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
     )
     try:
         out["rocksdb"] = _flagship_once(spark, chunks, "rocksdb")
+        # Round-10 verdict #3: run RocksDB where it matters — the
+        # 1,000-stream leg, the shape the provider exists for (millions
+        # of live keys at 100 TB). Segments == expected is asserted by
+        # the same delivery loop; throughput gates within 2x of the
+        # IN-MEMORY scale leg (not the even leg) in _regression_gate.
+        out["scale_rocksdb"] = _flagship_once(
+            spark, chunks_scale, f"scale-{SCALE_STREAMS}-rocksdb",
+            n_runs=1,
+        )
     finally:
         if prev:
             spark.conf.set(provider_key, prev)
@@ -807,18 +866,30 @@ def main() -> None:
         # min of 2, same policy as the headline loop: each run is a
         # fresh availableNow stream + checkpoint, so a one-off fs/GC
         # stall otherwise lands directly in the round-over-round delta
+        from streamprocess_spark.streaming import core as _score
+
         el, out_rows = float("inf"), 0
+        s_runs: list[float] = []
+        s_nb: list[int] = []
         for _ in range(2):
             t0 = time.perf_counter()
             out_rows = (
                 QUERIES["stream_tumbling_window"].builder(spark, sf_dir).count()
             )
-            el = min(el, time.perf_counter() - t0)
+            el_i = time.perf_counter() - t0
+            s_runs.append(round(el_i, 2))
+            s_nb.append(int(_score.LAST_RUN.get("batches", 0)))
+            el = min(el, el_i)
         result_stream = {
             "input_rows": int(n_events),
             "output_rows": int(out_rows),
             "value": round(el, 4),
             "rows_per_sec": round(n_events / el, 1),
+            # both pass timings + per-pass micro-batch counts (round-9
+            # verdict #1): the r09 flag on this very metric took a full
+            # independent re-measure to adjudicate as host noise
+            "runs": s_runs,
+            "nb": s_nb,
         }
         print(
             f"# streaming replay: {el:.3f}s "
@@ -955,25 +1026,56 @@ def main() -> None:
     }
     if "deep" in result:
         compact["deep"] = result["deep"]
+    # Round-10 verdict #1 (self-adjudicating artifact): every
+    # throughput section carries ALL pass timings ("runs", seconds) and
+    # per-pass micro-batch counts ("nb") — two slow passes + unchanged
+    # batch counts adjudicate a flag as host noise from the tail alone;
+    # divergent batch counts or a one-sided slowdown say investigate.
+    # Byte-budget key map (the 2000-char tail is hard): leg
+    # "cps" = chunks_per_sec (full key kept at the top flagship level,
+    # where the gate's history reader needs it); soak queries flatten
+    # to {name: ratio}; ann_recall keys are the queries' numeric
+    # prefixes (q49/q73/q99/q111) with values [reading, floor].
+    def _tp(sec: dict, cps_key: str = "chunks_per_sec") -> dict:
+        keep = {}
+        if sec.get("chunks_per_sec") is not None:
+            keep[cps_key] = sec["chunks_per_sec"]
+        if sec.get("rows_per_sec") is not None:
+            keep["rows_per_sec"] = sec["rows_per_sec"]
+        for k in ("runs", "nb"):
+            if sec.get(k) is not None:
+                keep[k] = sec[k]
+        return keep
+
     fs = result.get("flagship") or {}
     if fs:
-        compact["flagship"] = {"chunks_per_sec": fs.get("chunks_per_sec")}
-        for leg in ("skew", "scale", "rocksdb"):
+        compact["flagship"] = _tp(fs)
+        for leg in ("skew", "scale", "rocksdb", "scale_rocksdb"):
             if fs.get(leg):
-                compact["flagship"][leg] = {
-                    "chunks_per_sec": fs[leg].get("chunks_per_sec")}
+                compact["flagship"][leg] = _tp(fs[leg], cps_key="cps")
     if result.get("streaming"):
-        compact["streaming"] = {
-            "rows_per_sec": result["streaming"].get("rows_per_sec")}
+        compact["streaming"] = _tp(result["streaming"])
     if result.get("curation"):
         compact["curation"] = {
             "docs_per_sec": result["curation"].get("docs_per_sec"),
             "verified": result["curation"].get("verified")}
     if result.get("soak"):
         compact["soak"] = {"queries": {
-            q: {"ratio": s.get("ratio")}
+            q: s.get("ratio")
             for q, s in (result["soak"].get("queries") or {}).items()}}
-    compact["flagged"] = sorted(result["regression_gate"]["flagged"])
+    # recall evidence (round-9 verdict: the r09 tail could not prove the
+    # floors were met): per leg, {query-prefix: [reading, floor]}
+    if result.get("ann_recall"):
+        compact["ann_recall"] = {
+            leg: {q.split("_")[0]: [s["recall_at_5"], s["floor"]]
+                  for q, s in queries.items()}
+            for leg, queries in result["ann_recall"].items()}
+    flags = sorted(result["regression_gate"]["flagged"])
+    # cap so a heavily-flagged round cannot push the headline out of
+    # the tail; the full flag dict is in the (truncatable) full line
+    compact["flagged"] = flags[:4]
+    if len(flags) > 4:
+        compact["n_flagged"] = len(flags)
     print(json.dumps(compact))
     spark.stop()
 
@@ -1095,15 +1197,36 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     # on unchanged code — one noisy reading must not flag, while a
     # genuinely quadratic operator pushes the median over the bar
     # within a round of landing). No history => the current ratio IS
-    # the median, so a first-round blowup still flags.
+    # the median, so a first-round blowup still flags. Stated cost of
+    # the median window: a super-linear regression landing after a
+    # green history ([4,4,4,20] -> median 4) is not median-flagged for
+    # 1-2 rounds — so a CATASTROPHIC current-round reading (> 2x the
+    # gate on its own) flags immediately, median notwithstanding
+    # (round-9 advice): genuine quadratics blow far past 2x the gate,
+    # host noise historically stays under it (recorded spread 1.0-7.2x
+    # vs the 30x hard bar).
     for q, s in ((result.get("soak") or {}).get("queries") or {}).items():
         hist = []
         for _, r in q_rounds[-3:]:
             ref = ((r.get("soak") or {}).get("queries") or {}).get(q)
-            if ref and ref.get("ratio") is not None:
-                hist.append(ref["ratio"])
+            # history may be the full dict (old full-line artifacts) or
+            # the flattened compact-tail float (round 10+)
+            if isinstance(ref, dict):
+                ref = ref.get("ratio")
+            if ref is not None:
+                hist.append(ref)
         window = hist + [s["ratio"]]
         med = statistics.median(window)
+        if s["ratio"] > 2 * SOAK_MAX_RATIO:
+            key = f"soak:{q}"
+            flagged[key] = {"now": s["hi_sec"], "prev": s["lo_sec"],
+                            "ratio": s["ratio"], "window": window,
+                            "median": round(med, 2), "hard": True}
+            print(f"# SCALE REGRESSION {key} (hard): x10 {s['lo_sec']}s "
+                  f"-> x100 {s['hi_sec']}s (ratio {s['ratio']}x > "
+                  f"{2 * SOAK_MAX_RATIO}x current-round bar)",
+                  file=sys.stderr)
+            continue
         if med > SOAK_MAX_RATIO:
             key = f"soak:{q}"
             flagged[key] = {"now": s["hi_sec"], "prev": s["lo_sec"],
@@ -1118,25 +1241,32 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     # round-6 ask #6, round-7 ask #8; provider parity — round-9 #5)
     fs = result.get("flagship") or {}
     even_v = fs.get("chunks_per_sec")
-    for leg in ("skew", "scale", "rocksdb"):
+    # scale_rocksdb compares against the IN-MEMORY scale leg (same
+    # workload, provider swapped — round-10 verdict #3), the others
+    # against the even leg
+    scale_v = (fs.get("scale") or {}).get("chunks_per_sec")
+    for leg, base_v, base_name in (
+            ("skew", even_v, "even"), ("scale", even_v, "even"),
+            ("rocksdb", even_v, "even"),
+            ("scale_rocksdb", scale_v, "scale")):
         leg_v = (fs.get(leg) or {}).get("chunks_per_sec")
         # `is not None`, not truthiness: a leg that ran and delivered 0
         # chunks/s is a total collapse and must flag (the same falsy-0
         # class the section-metric loop above already closes); only a
         # genuinely absent leg skips
-        if leg_v is not None and even_v and leg_v < even_v / 2.0:
+        if leg_v is not None and base_v and leg_v < base_v / 2.0:
             flagged[f"flagship_{leg}:chunks_per_sec"] = {
-                "now": leg_v, "prev": even_v,
-                "ratio": round(leg_v / even_v, 2)}
-            print(f"# {leg.upper()} REGRESSION flagship: even {even_v} -> "
-                  f"{leg} {leg_v} chunks/s", file=sys.stderr)
+                "now": leg_v, "prev": base_v,
+                "ratio": round(leg_v / base_v, 2)}
+            print(f"# {leg.upper()} REGRESSION flagship: {base_name} "
+                  f"{base_v} -> {leg} {leg_v} chunks/s", file=sys.stderr)
     # segment-delivery invariant (round-9 #5): every flagship leg must
     # deliver exactly the batch-sessionizer's expected segment set —
     # a short count is dropped results (e.g. a state-store provider
     # changing semantics), not a throughput matter
     for key_name, sec in (("flagship", fs),) + tuple(
             (f"flagship_{leg}", fs.get(leg) or {})
-            for leg in ("skew", "scale", "rocksdb")):
+            for leg in ("skew", "scale", "rocksdb", "scale_rocksdb")):
         exp = sec.get("expected_segments")
         got = sec.get("segments")
         if exp is not None and got != exp:

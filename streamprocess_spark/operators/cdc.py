@@ -178,7 +178,11 @@ def cdc_chunks_batch(
         acc[j:] += buf[: len(cat) - j]
     cand_l = np.flatnonzero((acc & ldt(mask_l)) == 0)
     # strict window sum only at loose-candidate positions (sparse).
-    # int64 keeps sums exact for any ks <= 31; wrapped gathers at the
+    # Near ks = 31 the true sum of ks terms of up to 2^(2ks-1) can
+    # exceed int64 range, but numpy int64 wraps mod 2^64 and only the
+    # low ks bits are tested below, so the wraparound is benign — the
+    # tested bits are exact for any ks <= 31 (round-9 advice: this is
+    # wrap-correctness, not sum exactness). Wrapped gathers at the
     # first ks-1 global positions are garbage but those positions are
     # never consulted (every query point is >= lo + kl - 1 >=
     # min_size + kl - 1 inside its payload).
@@ -291,11 +295,21 @@ def fnv1a_batch(
     if C == 0:
         return [[] for _ in raws]
     lens_a = np.asarray(lens, dtype=np.int64)
-    order = np.argsort(-lens_a, kind="stable")     # longest first
     res = np.empty(C, dtype=np.int64)
+    # Round-9 advice: a chunk longer than slab/64 would degrade the
+    # blocked pass to rows≈1 — maxlen iterations of 1-element numpy
+    # ops, orders of magnitude slower than the scalar loop. Unreachable
+    # via cdc_chunks_udf (max_size caps chunks at 2 KiB), but this is
+    # public API: route oversized chunks to the scalar reference and
+    # lockstep-block only the rest.
+    scalar_cut = _FNV_SLAB_BYTES // 64
+    for oi in np.flatnonzero(lens_a > scalar_cut):
+        res[oi] = np_chunk_hash(views[oi])
+    order = np.argsort(-lens_a, kind="stable")     # longest first
+    order = order[lens_a[order] <= scalar_cut]
     prime = _FNV_PRIME
     r0 = 0
-    while r0 < C:
+    while r0 < len(order):
         maxlen = int(lens_a[order[r0]])
         rows = max(1, _FNV_SLAB_BYTES // max(1, maxlen))
         sel = order[r0:r0 + rows]

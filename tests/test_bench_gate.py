@@ -252,6 +252,70 @@ def test_flagship_scale_leg_gated_like_skew(tmp_path):
         ok, here=str(tmp_path))["flagged"]
 
 
+def test_soak_hard_flag_on_catastrophic_current_ratio(tmp_path):
+    """Round-9 advice: the median window delays detection of a genuine
+    super-linear regression landing after a green history by 1-2
+    rounds. A current-round ratio past 2x SOAK_MAX_RATIO flags
+    immediately (marked hard), median notwithstanding; readings between
+    the gate and 2x the gate keep the median behavior."""
+    for n in (4, 5, 6):
+        _write_round(tmp_path, n, _base_round(
+            timing_action="noop_write",
+            soak={"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 4.0,
+                                      "ratio": 4.0}}}))
+    # catastrophic first-round blowup: median(4,4,4,40)=4 but 40 > 30
+    bad = {"timing_action": "noop_write",
+           "soak": {"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 40.0,
+                                        "ratio": 2 * SOAK_MAX_RATIO
+                                        + 10.0}}}}
+    out = _regression_gate(bad, here=str(tmp_path))
+    assert out["flagged"]["soak:q45"].get("hard") is True
+    # a 20x reading (over the gate, under the hard bar) still rides the
+    # median — unchanged round-9 behavior
+    noisy = {"timing_action": "noop_write",
+             "soak": {"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 20.0,
+                                          "ratio": 20.0}}}}
+    assert _regression_gate(noisy, here=str(tmp_path))["flagged"] == {}
+
+
+def test_soak_gate_reads_flattened_compact_history(tmp_path):
+    """Round 10+: the compact tail stores soak ratios as bare floats
+    ({name: ratio}); the gate's history reader must accept both shapes."""
+    for n, shape in ((4, {"q45": {"ratio": 4.0}}), (5, {"q45": 4.0})):
+        _write_round(tmp_path, n, _base_round(
+            timing_action="noop_write", soak={"queries": shape}))
+    noisy = {"timing_action": "noop_write",
+             "soak": {"queries": {"q45": {"lo_sec": 1.0, "hi_sec": 20.0,
+                                          "ratio": 20.0}}}}
+    out = _regression_gate(noisy, here=str(tmp_path))
+    assert out["flagged"] == {}  # median(4, 4, 20) = 4 — both rounds read
+
+
+def test_flagship_scale_rocksdb_gates_against_scale_leg(tmp_path):
+    """Round-10 verdict #3: the RocksDB 1000-stream leg compares
+    against the IN-MEMORY scale leg (same workload, provider swapped),
+    not the 100-stream even leg, and carries the segment invariant."""
+    _write_round(tmp_path, 1, _base_round())
+    bad = {"flagship": {"chunks_per_sec": 1000.0,
+                        "scale": {"chunks_per_sec": 5000.0},
+                        "scale_rocksdb": {"chunks_per_sec": 2000.0}}}
+    out = _regression_gate(bad, here=str(tmp_path))
+    assert "flagship_scale_rocksdb:chunks_per_sec" in out["flagged"]
+    # 2000 chunks/s would PASS a (wrong) even-leg comparison — the
+    # scale-leg baseline is what catches the provider-cost regression
+    ok = {"flagship": {"chunks_per_sec": 1000.0,
+                       "scale": {"chunks_per_sec": 5000.0},
+                       "scale_rocksdb": {"chunks_per_sec": 3000.0}}}
+    assert _regression_gate(ok, here=str(tmp_path))["flagged"] == {}
+    short = {"flagship": {"chunks_per_sec": 1000.0,
+                          "scale": {"chunks_per_sec": 5000.0},
+                          "scale_rocksdb": {"chunks_per_sec": 5000.0,
+                                            "segments": 99,
+                                            "expected_segments": 100}}}
+    out2 = _regression_gate(short, here=str(tmp_path))
+    assert "flagship_scale_rocksdb:segments" in out2["flagged"]
+
+
 def test_curation_replay_mismatch_and_throughput_gated(tmp_path):
     _write_round(tmp_path, 1, _base_round(
         curation={"docs_per_sec": 1000.0, "verified": True}))

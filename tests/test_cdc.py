@@ -104,6 +104,22 @@ class TestBatchKernels:
                for p, ch in zip(payloads, chunks)]
         assert fnv1a_batch(payloads, chunks) == ref
 
+    def test_fnv_oversized_chunk_scalar_fallback(self):
+        """Chunks past the slab/64 cutoff (unreachable via the UDF,
+        reachable via the public API) must route to the scalar path
+        and still hash identically, mixed in with blocked chunks
+        (round-9 advice: rows≈1 slabs ran maxlen 1-element numpy ops)."""
+        import streamprocess_spark.operators.cdc as cdc_mod
+
+        cut = cdc_mod._FNV_SLAB_BYTES // 64
+        rng = np.random.default_rng(11)
+        big = rng.integers(0, 256, cut + 4096, dtype=np.uint8).tobytes()
+        small = rng.integers(0, 256, 900, dtype=np.uint8).tobytes()
+        payloads = [big, small, big[::-1]]
+        chunks = [[(0, len(p))] for p in payloads]
+        ref = [[np_chunk_hash(p)] for p in payloads]
+        assert fnv1a_batch(payloads, chunks) == ref
+
     def test_fnv_slab_boundary(self, monkeypatch):
         """Slabbing must not change values: force tiny slabs so every
         length group crosses a slab edge."""
