@@ -47,7 +47,9 @@ _ALLOWED_NESTED_LOOP = {
     "q102_bm25_search",
     "q111_pq_ann",         # broadcast codebooks (m·k_sub = 16 rows) + the
                            # n_q×m×k_sub ADC table — both constant-size
-    "q112_bpe_train",      # per-round 1-ROW best-pair broadcast to the vocab
+    # (round 10: q112 dropped — the per-round best pair is now a 1-row
+    # driver collect substituted as a literal, so the trainer's plans
+    # carry no join at all; see llm_pipeline.bpe_train)
     "q118_domain_mixing",  # 1-row weight-normalizer broadcast to 20 sources
     "q124_bpe_apply",      # 1-row pivoted merge table broadcast to the corpus
     "q126_retrieve_rerank",  # inherits q102's 1-row stats broadcast
@@ -224,10 +226,11 @@ def test_new_exemptions_broadcast_only_bounded_sides(spark):
     plan = _plan(spark, "q102_bm25_search")
     assert tree(plan).count("BroadcastNestedLoopJoin") == 1
     assert "BroadcastExchange" in plan and "tot_dl" in plan
-    # q112: each merge round broadcasts a LIMIT-1 best-pair row
+    # q112 (round 10): the per-round best pair is a bounded 1-row
+    # driver collect substituted as a literal — the returned merge
+    # table must be a pure local relation, no join of any kind
     plan = _plan(spark, "q112_bpe_train")
-    assert "BroadcastNestedLoopJoin" in tree(plan)
-    assert "TakeOrderedAndProject" in plan  # the 1-row argmax feed
+    assert "Join" not in plan and "Scan parquet" not in plan
     # q118: the normalizer is a single global-agg row
     plan = _plan(spark, "q118_domain_mixing")
     assert tree(plan).count("BroadcastNestedLoopJoin") == 1

@@ -150,3 +150,46 @@ def test_fixture_scans_are_splittable(spark):
     assert pq.read_table(staged).sort_by("doc_id").equals(raw)
     # tiny dimension tables are left alone (nothing to parallelize)
     assert table_path(SF_DIR, "region") == f"{SF_DIR}/region.parquet"
+
+
+def test_bpe_train_depth64_flat_cost(spark):
+    """Round-10 verdict #4: bpe_train must hold per-round cost flat at
+    a realistic merge depth — the previous lazy-lineage form made
+    round r re-execute the corpus scan + all r-1 earlier rewrites
+    (the round-7 k-means lineage blowup). Structural pins (exact):
+    after every round the symbol table's plan is a checkpointed leaf —
+    zero parquet scans — so round cost cannot grow with depth; the
+    depth-64 merge table extends the registered depth-3 prefix
+    unchanged. Wall-clock pin (generous): the last-quarter median of
+    per-round times stays within 3x the first-quarter median — a
+    linear lineage would put round ~60 at ~20x round ~8."""
+    import statistics
+
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.plans.llm_pipeline import bpe_train
+    from streamprocess_spark.plans.registry import QUERIES
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    times: list[float] = []
+    deep = bpe_train(spark, docs, rounds=64, round_times=times).collect()
+    assert len(deep) == 64, len(deep)
+    # the depth-3 registered query is a strict prefix (same argmax path)
+    shallow = QUERIES["q112_bpe_train"].builder(spark, SF_DIR).collect()
+    assert [tuple(r) for r in shallow] == [tuple(r) for r in deep[:3]]
+    assert len(times) == 64
+    q = len(times) // 4
+    first, last = statistics.median(times[:q]), statistics.median(times[-q:])
+    assert last < 3 * first, (first, last, times)
+
+
+def test_bpe_train_symbol_table_is_checkpointed_leaf(spark):
+    """The structural half of the depth-64 pin, deterministic: a
+    mid-training symbol table plans as a leaf relation (no parquet
+    scan, no join), so each round is exactly one vocab-pass shuffle."""
+    from streamprocess_spark.plans import query_map
+
+    df = query_map()["q112_bpe_train"](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Scan parquet" not in plan and "Join" not in plan, plan
