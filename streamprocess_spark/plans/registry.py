@@ -116,6 +116,27 @@ TOP50: tuple[str, ...] = (
     # canary. In: q150_curation_dag (the composed end-to-end artifact),
     # q112/q124 (the BPE train->apply lifecycle), q141_sequence_packing,
     # q144_html_extract, q116_lm_perplexity, q118_domain_mixing.
+    # Round-10 rotation (round-9 verdict #2): ten swaps toward
+    # never-evidenced entries. OUT, all driver-green in BOTH
+    # CORRECTNESS_r08 and r09: the five one-shot decision-replay
+    # ledgers q151_sniffer_verdicts (S4), q152_oneof_routing (S13),
+    # q154_idle_reap_replay (T8), q155_offset_commit_ledger (S8 — S8
+    # proper stays top-50 via stream_window_suite), q156_warc_intake_
+    # ledger (S5) — single-decision replays, ideal rotation fodder once
+    # green twice — plus five tag-redundant long-greens: q103_semdedup
+    # (§2.13-dedup/-similarity via q149/q_corpus_suite/q48/q99/q111;
+    # stays the paper-parity query in the repo suite), q73_ann_ivf_topk
+    # (similarity via q48/q99/q111/q97; stays recall-gated in bench),
+    # q109_zorder_layout + q119_compaction_plan (§2.13-layout via
+    # q150), q153_bloom_admission (dedup via q122/q139/q149/q_doc_
+    # signatures; stays soak-measured every round). IN, each verified
+    # bit-exact at sf0.001 (repo suite) and sf0.01 (driver-grade
+    # pre-check) before the swap: the curation/audit family q150
+    # composes but which never individually faced the driver —
+    # q104_repetition_filter, q105_pii_scrub, q106_contamination,
+    # q127_data_splits, q145_url_curation, q126_retrieve_rerank — plus
+    # q97_kmeans (the foundation of the trained-ANN family),
+    # q110_kmv_distinct, q117_scd2_history, q120_image_phash_dedup.
     "q1_pricing_summary",
     "q150_curation_dag",
     "q112_bpe_train",
@@ -125,61 +146,43 @@ TOP50: tuple[str, ...] = (
     "q_queue_admin",             # q11 + q12 + q13
     "q14_json_envelope",
     "q15_edf_order",
-    # q16_length_bucketing rotated below 50 late round 8 (B3-B5/P3;
-    # driver-green r01-r07) in favour of first driver-grade S5
-    # evidence — the WARC stream planner's exactly-once intake ledger
-    # vs its sorted-name/cap contract:
-    "q156_warc_intake_ledger",
     "q17_request_result_join",
     "q18_zip_explode",
     "q19_batch_formation",
-    # q68_region_blocks rotated below 50 late round 8 (J3; driver-green
-    # r01-r07) in favour of first driver-grade S8 evidence — the stream
-    # planner's budgeted offset-commit ledger vs its SQL contract:
-    "q155_offset_commit_ledger",
-    # q90_queue_source_counts rotated below 50 late round 8 (R1 covered
-    # by q_queue_admin, S6/S7 by stream_state_suite; driver-green since
-    # round 2) in favour of first driver-grade S13 evidence:
-    "q152_oneof_routing",
     # windows / analytics
     "q20_tumbling_window",
-    # q21_sliding_window rotated below 50 late round 8 (T3/W1 both
-    # covered by q20/stream_window_suite; driver-green since round 1)
-    # in favour of first driver-grade S4 evidence:
-    "q151_sniffer_verdicts",
     "q_session_islands",         # q22 + q23
     "q24_topn_per_key",
-    # q25_ordered_concat rotated below 50 late round 8 (A3; driver-green
-    # r01-r07) in favour of first driver-grade T8 evidence — the idle
-    # reap replayed per-incarnation with the full recursive-CTE oracle:
-    "q154_idle_reap_replay",
-    # q26_latency_percentiles rotated below 50 late round 8 (A7/A8/O3;
-    # driver-green r01-r07) in favour of the REAL multi-trigger
-    # streaming sessionizer (S1's file-replay re-expression, §2.11
-    # state carried across micro-batches) under the driver gate — its
-    # recursive-CTE oracle was always full-strength but it had never
-    # held a driver slot:
+    # the REAL multi-trigger streaming sessionizer (S1's file-replay
+    # re-expression, §2.11 state carried across micro-batches), under
+    # the driver gate since late round 8:
     "stream_sessionizer",
     "q148_autoscaler_blend",     # full capacity+PID+predictive blend;
                                  # supersedes q_autoscale_plan's tags
                                  # (q27/q28 stay checked below slot 50)
     "q_worker_metrics",          # q29 + q30
-    # q84_funnel rotated below 50 late round 8 (driver-green r01-r07;
-    # its tags are all -adjacent/free echoes of ids covered above) in
-    # favour of driver-grade evidence for the new bloom-admission
-    # reduction:
-    "q153_bloom_admission",
-    # LLM data pipeline
+    # LLM data pipeline — round-10 ins: the curation/audit family that
+    # q150 composes, individually under the driver gate for the first
+    # time
+    "q104_repetition_filter",
+    "q105_pii_scrub",
+    "q106_contamination",
+    "q127_data_splits",
+    "q145_url_curation",
+    "q126_retrieve_rerank",
     "q_text_suite",              # q40 + q41 + q42
     "q_doc_signatures",          # q43 + q44 + q46
     "q144_html_extract",
     "q108_udaf_energy",          # §2.12 UDAF leg; q47's dedup tag redundant
     "q48_embedding_topk",
     "q116_lm_perplexity",
-    "q103_semdedup",             # same tags as q72 + the SemDeDup pipeline
-    "q73_ann_ivf_topk",
     "q118_domain_mixing",
     "q_corpus_suite",            # q74 + q75 + q85 + q87 + q88
+    # similarity / sketches — round-10 ins: q97 is the trainer the
+    # whole trained-ANN family (q99/q111/q103/q149) rests on; q110 the
+    # KMV distinct sketch
+    "q97_kmeans",
+    "q110_kmv_distinct",
     # round-8 rotation: first driver-grade evidence for these
     "q99_ann_ivf_trained",
     "q111_pq_ann",
@@ -187,15 +190,15 @@ TOP50: tuple[str, ...] = (
     "q135_cdc_dedup",
     "q139_substring_spans",
     "q149_semdedup_scale",
-    "q109_zorder_layout",
-    "q119_compaction_plan",
-    # multimodal
+    # multimodal (round-10 in: q120 — §2.13-multimodal x dedup)
+    "q120_image_phash_dedup",
     "q_audio_suite",             # q50 + q51 + q52 + q57 + q58 + WAV
     "q_image_suite",             # q54 + q60..q64 + q66
     "q_inference_suite",         # q55 + q56 + dual OCR engines
     "q_media_invariants",        # q59 + q67 + q128 (closed-form invariants)
     "q53_image_layout",
-    # scale joins / frames
+    # scale joins / frames (round-10 in: q117 — SCD2 history build)
+    "q117_scd2_history",
     "q_scale_join_suite",        # q79 + q80 + q83
     # streaming
     "stream_window_suite",       # 4 converged streaming runs

@@ -189,6 +189,18 @@ _BELOW_50_ONLY_OK = {
     # family remain top-50 via q17/q18/q_scale_join_suite, and the
     # free-join queries keep repo-suite parity every run
     "J-free",
+    # round-10 rotation (round-9 verdict #2): the five one-shot
+    # decision-replay ledgers — q151 (S4), q152 (S13), q154 (T8),
+    # q155/q156 (S8/S5) — rotate below 50 after two consecutive
+    # driver-green rounds (r08+r09); each is a single-decision replay
+    # whose invariants stay pinned by its repo tests
+    # (test_ingest/test_sessionizer/test_queue_source/test_warc_source)
+    # and whose oracle runs in the parity suite every round. S8 proper
+    # remains top-50 via stream_window_suite; S4/S13/T8/S5 join the
+    # below-50 allowlist alongside the long-standing T8-shape
+    "S4", "S13", "T8", "S5",
+    # q109/q119's §2.13-layout stays top-50 via q150_curation_dag;
+    # their A13-adjacent tag was already allowlisted above
 }
 
 
