@@ -22,6 +22,15 @@ Reference semantics reproduced (src/queue/redis_queue.py):
 The log files are plain JSONL so the source is hermetic — no external
 broker in tests; swapping the per-priority file tails for real Redis
 `XRANGE` calls changes only `_read_lines`.
+
+Arrow read path (round-10 flagship profiling): the Python DataSource
+API ships rows to the JVM either as per-row pickled tuples or as
+pyarrow RecordBatches; the per-row path was ~0.9 s of the flagship
+even leg's single batch (6.6k rows with 160-float payloads, measured
+via the source-only ablation). Both readers therefore yield
+RecordBatches built from the same `_row` tuples — identical values,
+one (de)serialization per ~4k rows instead of per row. `_row` stays
+the row-shape contract (and the unit-test surface).
 """
 
 from __future__ import annotations
@@ -107,6 +116,74 @@ def _row(priority: str, seq: int, job: dict | None, raw: str = ""):
     )
 
 
+# rows per yielded RecordBatch: bounds reader memory on huge backlogs
+# while amortizing the per-batch JVM round trip (payloads are ~KB, so
+# 4k rows is a few MB per batch)
+_ARROW_CHUNK = 4096
+
+# lines per INPUT PARTITION (round-10 flagship profiling): one
+# partition per priority caps scan parallelism at 4 whatever the
+# backlog — the flagship even leg's source stage ran 4 tasks of 2.1 s
+# each (the downstream from_json of the float payloads runs inside the
+# scan stage) while 28 cores idled. Each priority's range is split
+# into line-chunks so a deep backlog fans out across the cluster; a
+# broker-backed variant would map these to XRANGE cursors. Overridable
+# via the `read_partition_lines` option (0 = one partition per
+# priority, the pre-round-10 shape).
+_READ_PARTITION_LINES = 512
+
+
+def _split_ranges(priority: str, start: int, end: int, path: str,
+                  chunk: int) -> list["QueuePartition"]:
+    if end <= start:
+        return []
+    if chunk <= 0:
+        return [QueuePartition(priority, start, end, path)]
+    return [
+        QueuePartition(priority, s, min(s + chunk, end), path)
+        for s in range(start, end, chunk)
+    ]
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("priority", pa.string()),
+        pa.field("prio_rank", pa.int32()),
+        pa.field("seq", pa.int64()),
+        pa.field("job_id", pa.string()),
+        pa.field("type", pa.string()),
+        pa.field("enqueued_at", pa.float64()),
+        pa.field("payload", pa.string()),
+    ])
+
+
+def _rows_to_batch(rows: list[tuple]):
+    import pyarrow as pa
+
+    sch = _arrow_schema()
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(cols[i], type=f.type) for i, f in enumerate(sch)],
+        schema=sch,
+    )
+
+
+def _read_arrow(partition: "QueuePartition"):
+    """Partition scan as RecordBatches — the values are exactly the
+    `_row` tuples, chunked columnar."""
+    log = _log_path(partition.path, partition.priority)
+    rows: list[tuple] = []
+    for seq, job, raw in _read_lines(log, partition.start, partition.end):
+        rows.append(_row(partition.priority, seq, job, raw))
+        if len(rows) >= _ARROW_CHUNK:
+            yield _rows_to_batch(rows)
+            rows = []
+    if rows:
+        yield _rows_to_batch(rows)
+
+
 class QueuePartition(InputPartition):
     def __init__(self, priority: str, start: int, end: int, path: str):
         self.priority = priority
@@ -120,17 +197,25 @@ class PriorityQueueBatchReader(DataSourceReader):
 
     def __init__(self, options):
         self.path = options["path"]
+        self.chunk = int(
+            options.get("read_partition_lines", _READ_PARTITION_LINES)
+        )
 
     def partitions(self):
-        return [
-            QueuePartition(p, 0, _count_lines(_log_path(self.path, p)), self.path)
+        parts = [
+            sub
             for p in PRIORITIES
+            for sub in _split_ranges(
+                p, 0, _count_lines(_log_path(self.path, p)), self.path,
+                self.chunk,
+            )
         ]
+        # at least one (possibly empty) partition — the engine requires
+        # a non-empty partition list
+        return parts or [QueuePartition(PRIORITIES[0], 0, 0, self.path)]
 
     def read(self, partition: QueuePartition):
-        log = _log_path(partition.path, partition.priority)
-        for seq, job, raw in _read_lines(log, partition.start, partition.end):
-            yield _row(partition.priority, seq, job, raw)
+        yield from _read_arrow(partition)
 
 
 class PriorityQueueStreamReader(DataSourceStreamReader):
@@ -150,6 +235,9 @@ class PriorityQueueStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         cap = int(options.get("max_records_per_batch", 0))
         self.max_per_batch = cap if cap > 0 else None
+        self.chunk = int(
+            options.get("read_partition_lines", _READ_PARTITION_LINES)
+        )
         self._cursor: dict | None = None  # last planned end offsets
 
     def initialOffset(self) -> dict:
@@ -188,17 +276,19 @@ class PriorityQueueStreamReader(DataSourceStreamReader):
                    int(end.get(p, 0)))
             for p in PRIORITIES
         }
-        # realtime first — batch-local priority drain order (R2)
+        # realtime first — batch-local priority drain order (R2);
+        # each priority's range further line-split for scan parallelism
         return [
-            QueuePartition(p, int(start.get(p, 0)), int(end.get(p, 0)), self.path)
+            sub
             for p in PRIORITIES
-            if int(end.get(p, 0)) > int(start.get(p, 0))
+            for sub in _split_ranges(
+                p, int(start.get(p, 0)), int(end.get(p, 0)), self.path,
+                self.chunk,
+            )
         ] or [QueuePartition(PRIORITIES[0], 0, 0, self.path)]
 
     def read(self, partition: QueuePartition):
-        log = _log_path(partition.path, partition.priority)
-        for seq, job, raw in _read_lines(log, partition.start, partition.end):
-            yield _row(partition.priority, seq, job, raw)
+        yield from _read_arrow(partition)
 
     def commit(self, end: dict) -> None:
         # XACK analog — the engine's checkpoint already persisted `end`;
