@@ -74,7 +74,16 @@ def _read_lines(path: str, start: int, end: int):
     """Lines [start, end) of one priority log — the XRANGE analog.
     Yields (seq, job_dict | None, raw_line); None marks a malformed
     entry (the reference tolerates malformed/empty jobs rather than
-    crashing the consumer — tests/unit/test_queue.py:183-222 there)."""
+    crashing the consumer — tests/unit/test_queue.py:183-222 there).
+
+    Positioning caveat: offsets are LINE counts (the contract the
+    checkpoint persists), so each partition skips `start` lines by
+    iterating — with the round-10 range splitting, k partitions of one
+    file read O(k·prefix) bytes total. Fine for the local JSONL
+    representation (skipped lines are never JSON-parsed, and the
+    hermetic logs are MBs); a broker-backed variant replaces this with
+    an XRANGE cursor seek, and a large-file local variant would add a
+    (path, mtime) -> every-Nth-line byte-offset index here."""
     if not os.path.exists(path) or end <= start:
         return
     with open(path, "r") as f:

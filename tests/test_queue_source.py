@@ -403,3 +403,90 @@ class TestOffsetCommitLedger:
                 seqs["min_seq"].iloc[1:].to_numpy()
                 == seqs["committed_offset"].iloc[:-1].to_numpy()
             ).all()
+
+
+def test_arrow_read_path_matches_row_contract(tmp_path):
+    """Round 10: readers yield pyarrow RecordBatches; the batch values
+    must be exactly the `_row` tuples (same order, same types), the
+    range split must tile [start, end) without gap/overlap, and empty
+    ranges must yield no batches."""
+    import pyarrow as pa
+
+    from streamprocess_spark.io.queue_source import (
+        QueuePartition,
+        _read_arrow,
+        _read_lines,
+        _row,
+        _split_ranges,
+        enqueue_job,
+        _log_path,
+    )
+
+    qdir = str(tmp_path / "q")
+    for i in range(25):
+        enqueue_job(qdir, "high", {"job_id": f"j{i}", "type": "t",
+                                   "payload": {"k": i}})
+    # malformed line rides along (dead-letter row contract)
+    with open(_log_path(qdir, "high"), "a") as f:
+        f.write("not json\n")
+
+    parts = _split_ranges("high", 0, 26, qdir, chunk=10)
+    assert [(p.start, p.end) for p in parts] == [(0, 10), (10, 20), (20, 26)]
+    got = []
+    for p in parts:
+        for rb in _read_arrow(p):
+            assert isinstance(rb, pa.RecordBatch)
+            got.extend(tuple(r.values()) for r in rb.to_pylist())
+    ref = [
+        _row("high", seq, job, raw)
+        for seq, job, raw in _read_lines(_log_path(qdir, "high"), 0, 26)
+    ]
+    assert got == ref and len(got) == 26
+    assert list(_read_arrow(QueuePartition("low", 0, 0, qdir))) == []
+
+
+def test_worker_daemon_zipimport_guard(tmp_path):
+    """Round 10: the daemon's mtime guard must skip the directory
+    re-read for an unchanged archive and still re-read when the
+    archive genuinely changes (CPython 3.12 semantics backported)."""
+    import sys
+    import zipfile
+    import zipimport
+
+    from streamprocess_spark.worker_daemon import _invalidate_if_changed
+
+    if sys.version_info >= (3, 12):
+        import pytest
+
+        pytest.skip("guard is a no-op wrapper on 3.12+")
+
+    zpath = str(tmp_path / "mod.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("m1.py", "X = 1\n")
+    zi = zipimport.zipimporter(zpath)
+    assert "m1" in str(zi._files)
+    calls = []
+    orig_read = zipimport._read_directory
+
+    def counting_read(archive):
+        calls.append(archive)
+        return orig_read(archive)
+
+    zipimport._read_directory = counting_read
+    try:
+        _invalidate_if_changed(zi)      # first call records the key
+        n_first = len(calls)
+        _invalidate_if_changed(zi)      # unchanged archive: skipped
+        assert len(calls) == n_first
+        # a genuinely modified archive re-reads (bump mtime + content)
+        import os
+        with zipfile.ZipFile(zpath, "w") as zf:
+            zf.writestr("m1.py", "X = 2\n")
+            zf.writestr("m2.py", "Y = 3\n")
+        st = os.stat(zpath)
+        os.utime(zpath, (st.st_atime, st.st_mtime + 5))
+        _invalidate_if_changed(zi)
+        assert len(calls) > n_first
+        assert "m2" in str(zi._files)
+    finally:
+        zipimport._read_directory = orig_read
