@@ -32,6 +32,7 @@ a future silent inflation cannot land unexplained again.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -151,16 +152,20 @@ def _assert_upscale_id_bounds(sf_dir: str) -> None:
         ("customer", "c_custkey", 10_000_000),
         ("lineitem", "l_orderkey", 10_000_000),
     )
-    con = duckdb.connect()
-    for table, col, bound in checks:
-        path = os.path.join(sf_dir, f"{table}.parquet")
-        if not os.path.exists(path):
-            continue
-        mx = con.execute(f"SELECT max({col}) FROM '{path}'").fetchone()[0]
-        assert mx is None or mx < bound, (
-            f"{table}.{col} max {mx} >= replica shift {bound}: the "
-            f"upscale would collide replica ids with base ids"
-        )
+    with contextlib.closing(duckdb.connect()) as con:
+        for table, col, bound in checks:
+            path = os.path.join(sf_dir, f"{table}.parquet")
+            if not os.path.exists(path):
+                continue
+            mx = con.execute(f"SELECT max({col}) FROM '{path}'").fetchone()[0]
+            if mx is not None and mx >= bound:
+                # a hard error, not an assert: collided replica ids
+                # silently corrupt the upscale, and asserts vanish
+                # under python -O (round-10 advice)
+                raise ValueError(
+                    f"{table}.{col} max {mx} >= replica shift {bound}: the "
+                    f"upscale would collide replica ids with base ids"
+                )
 
 
 def _prestage_tables(d: str) -> None:
@@ -423,13 +428,17 @@ ANN_RECALL_FLOORS = {
         "q49_ann_lsh_topk": 0.6,
         "q73_ann_ivf_topk": 0.9,
         "q99_ann_ivf_trained": 0.7,
-        "q111_pq_ann": 0.18,
+        # round-10 verdict #3: the ADC-top-50 exact-rescore tail lifted
+        # the sf leg 0.22 -> 0.58 and deep 0.46 -> 0.84 (measured at
+        # 1.24x / 1.12x the pure-ADC runtime); floors re-set ~15%
+        # below the new readings
+        "q111_pq_ann": 0.5,
     },
     "deep": {
         "q49_ann_lsh_topk": 0.7,
         "q73_ann_ivf_topk": 0.9,
         "q99_ann_ivf_trained": 0.75,
-        "q111_pq_ann": 0.35,
+        "q111_pq_ann": 0.7,
     },
 }
 
@@ -799,6 +808,46 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
             spark.conf.set(provider_key, prev)
         else:
             spark.conf.unset(provider_key)
+
+    # Local-checkpoint deployment profile A/B (round-10 verdict #4):
+    # the round-10 profile measured ~0.5 s/trigger of local-only
+    # checkpoint overhead (FileContext readlink forks + 4.1 checksum
+    # sidecars, absent libhadoop). The opt-in profile
+    # (session.local_checkpoint_profile_conf, env
+    # SPARK_GRAFT_LOCAL_CHECKPOINT_PROFILE) trades HDFS atomic-rename +
+    # corruption detection for those file ops — right for local/bench
+    # hosts, wrong for HDFS. Record BOTH sides every round: which
+    # profile the session ran (`checkpoint_profile`), plus an even-leg
+    # rerun under the OTHER profile (`local_ckpt` when the session is
+    # default, `default_ckpt` otherwise). Segments are asserted == by
+    # the same delivery loop, so the row is also provider-invariance
+    # evidence.
+    from streamprocess_spark.session import (
+        LOCAL_CHECKPOINT_PROFILE_ENV,
+        _LOCAL_CHECKPOINT_CONF,
+    )
+
+    session_is_local = bool(os.environ.get(LOCAL_CHECKPOINT_PROFILE_ENV))
+    out["checkpoint_profile"] = "local" if session_is_local else "default"
+    ab_leg = "default_ckpt" if session_is_local else "local_ckpt"
+    saved: dict[str, str | None] = {}
+    for ck, cv in _LOCAL_CHECKPOINT_CONF.items():
+        try:
+            saved[ck] = spark.conf.get(ck)
+        except Exception:
+            saved[ck] = None
+        if session_is_local:
+            spark.conf.unset(ck)  # A/B leg = Spark defaults
+        else:
+            spark.conf.set(ck, cv)
+    try:
+        out[ab_leg] = _flagship_once(spark, chunks, ab_leg)
+    finally:
+        for ck, cv in saved.items():
+            if cv is not None:
+                spark.conf.set(ck, cv)
+            else:
+                spark.conf.unset(ck)
     return out
 
 
@@ -1053,6 +1102,15 @@ def main() -> None:
         for leg in ("skew", "scale", "rocksdb", "scale_rocksdb"):
             if fs.get(leg):
                 compact["flagship"][leg] = _tp(fs[leg], cps_key="cps")
+        # checkpoint-profile A/B: the tail byte budget only fits the
+        # headline figure — the leg NAME says which side the session
+        # ran (local_ckpt present = session on Spark defaults and vice
+        # versa); runs/nb live in the full line, and the within-round
+        # 2x gate vs the even leg flags into `flagged` regardless
+        for leg in ("local_ckpt", "default_ckpt"):
+            if fs.get(leg):
+                compact["flagship"][leg] = {
+                    "cps": fs[leg].get("chunks_per_sec")}
     if result.get("streaming"):
         compact["streaming"] = _tp(result["streaming"])
     if result.get("curation"):
@@ -1073,8 +1131,11 @@ def main() -> None:
     flags = sorted(result["regression_gate"]["flagged"])
     # cap so a heavily-flagged round cannot push the headline out of
     # the tail; the full flag dict is in the (truncatable) full line
-    compact["flagged"] = flags[:4]
-    if len(flags) > 4:
+    # (round 11: 4 -> 3 to keep the worst-case tail under budget with
+    # the checkpoint-profile A/B leg added; n_flagged still reports
+    # the true count)
+    compact["flagged"] = flags[:3]
+    if len(flags) > 3:
         compact["n_flagged"] = len(flags)
     print(json.dumps(compact))
     spark.stop()
@@ -1248,7 +1309,12 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     for leg, base_v, base_name in (
             ("skew", even_v, "even"), ("scale", even_v, "even"),
             ("rocksdb", even_v, "even"),
-            ("scale_rocksdb", scale_v, "scale")):
+            ("scale_rocksdb", scale_v, "scale"),
+            # checkpoint-profile A/B (round-10 verdict #4): whichever
+            # side the session did NOT run on — results are asserted
+            # identical by the delivery loop; throughput within 2x
+            ("local_ckpt", even_v, "even"),
+            ("default_ckpt", even_v, "even")):
         leg_v = (fs.get(leg) or {}).get("chunks_per_sec")
         # `is not None`, not truthiness: a leg that ran and delivered 0
         # chunks/s is a total collapse and must flag (the same falsy-0
@@ -1266,7 +1332,8 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     # changing semantics), not a throughput matter
     for key_name, sec in (("flagship", fs),) + tuple(
             (f"flagship_{leg}", fs.get(leg) or {})
-            for leg in ("skew", "scale", "rocksdb", "scale_rocksdb")):
+            for leg in ("skew", "scale", "rocksdb", "scale_rocksdb",
+                        "local_ckpt", "default_ckpt")):
         exp = sec.get("expected_segments")
         got = sec.get("segments")
         if exp is not None and got != exp:

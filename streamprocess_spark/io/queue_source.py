@@ -58,36 +58,82 @@ def _log_path(path: str, priority: str) -> str:
     return os.path.join(path, f"{priority}.jsonl")
 
 
-def _count_lines(path: str) -> int:
-    """Number of COMMITTED (newline-terminated) lines. A producer may
-    be mid-append when latestOffset() runs; counting only terminated
-    lines keeps the offset from claiming a torn partial line that a
-    later read would see differently (the XADD analog is atomic, so a
-    half-written entry must not be an offset)."""
+# block size for the single streaming scan the planner does per log —
+# the file is never slurped whole, so multi-GB backlogs plan in O(1)
+# memory
+_SCAN_BLOCK = 1 << 20
+
+
+def _scan_log(path: str, every: int) -> tuple[int, dict[int, int]]:
+    """One streaming pass over a priority log: returns
+    ``(committed_line_count, {line_no: byte_offset})`` where the index
+    records the byte position of every ``every``-th line start (line 0
+    included). Only newline-TERMINATED lines count — a producer may be
+    mid-append when latestOffset() runs, and a torn partial line must
+    not become an offset (the XADD analog is atomic).
+
+    The index is what makes range-split scans linear: each
+    QueuePartition carries the byte offset of its chunk-grid anchor, so
+    a task seeks instead of line-skipping the file prefix. Without it,
+    L/chunk partitions each re-reading their prefix is O(L²/chunk)
+    line reads per priority (round-10 advice)."""
     if not os.path.exists(path):
-        return 0
+        return 0, {}
+    offsets: dict[int, int] = {0: 0}
+    n = 0
+    pos = 0
     with open(path, "rb") as f:
-        return f.read().count(b"\n")
+        while True:
+            block = f.read(_SCAN_BLOCK)
+            if not block:
+                break
+            at = 0
+            while True:
+                j = block.find(b"\n", at)
+                if j < 0:
+                    break
+                n += 1
+                if every > 0:
+                    offsets[n] = pos + j + 1
+                at = j + 1
+            pos += len(block)
+    if every > 1:
+        offsets = {k: v for k, v in offsets.items() if k % every == 0}
+    return n, offsets
 
 
-def _read_lines(path: str, start: int, end: int):
+def _count_lines(path: str) -> int:
+    """Number of COMMITTED (newline-terminated) lines."""
+    return _scan_log(path, 0)[0]
+
+
+def _read_lines(path: str, start: int, end: int,
+                anchor_line: int = -1, anchor_byte: int = -1):
     """Lines [start, end) of one priority log — the XRANGE analog.
     Yields (seq, job_dict | None, raw_line); None marks a malformed
     entry (the reference tolerates malformed/empty jobs rather than
     crashing the consumer — tests/unit/test_queue.py:183-222 there).
 
-    Positioning caveat: offsets are LINE counts (the contract the
-    checkpoint persists), so each partition skips `start` lines by
-    iterating — with the round-10 range splitting, k partitions of one
-    file read O(k·prefix) bytes total. Fine for the local JSONL
-    representation (skipped lines are never JSON-parsed, and the
-    hermetic logs are MBs); a broker-backed variant replaces this with
-    an XRANGE cursor seek, and a large-file local variant would add a
-    (path, mtime) -> every-Nth-line byte-offset index here."""
+    Offsets are LINE counts (the contract the checkpoint persists).
+    When the partition carries a byte anchor (``anchor_line`` ≤ start
+    with its ``anchor_byte``), the task seeks there and skips at most
+    ``start - anchor_line`` lines — with chunk-grid-aligned splits
+    that is < chunk lines, so a backlog of L lines costs O(L) total
+    I/O across all its partitions instead of O(L²/chunk). Without an
+    anchor (index unavailable) it degrades to the skip-from-zero scan.
+    A broker-backed variant replaces this with an XRANGE cursor seek."""
     if not os.path.exists(path) or end <= start:
         return
-    with open(path, "r") as f:
-        for i, line in enumerate(f):
+    import io as _io
+
+    fb = open(path, "rb")
+    try:
+        i = 0
+        if 0 <= anchor_line <= start and anchor_byte >= 0:
+            fb.seek(anchor_byte)
+            i = anchor_line
+        f = _io.TextIOWrapper(fb, encoding="utf-8")
+        for line in f:
             if i >= end:
                 return
             if i >= start and line.strip():
@@ -98,6 +144,9 @@ def _read_lines(path: str, start: int, end: int):
                 except ValueError:
                     job = None
                 yield i, job, line
+            i += 1
+    finally:
+        fb.close()
 
 
 def _row(priority: str, seq: int, job: dict | None, raw: str = ""):
@@ -143,15 +192,43 @@ _READ_PARTITION_LINES = 512
 
 
 def _split_ranges(priority: str, start: int, end: int, path: str,
-                  chunk: int) -> list["QueuePartition"]:
+                  chunk: int,
+                  index: dict[int, int] | None = None) -> list["QueuePartition"]:
+    """Split [start, end) into scan partitions ALIGNED TO THE GLOBAL
+    chunk grid (boundaries at multiples of ``chunk``), so every
+    sub-range start is a key of the every-``chunk``-lines byte index
+    and its task seeks straight to its data. Only the first sub-range
+    can start off-grid (at ``start`` itself); its task skips at most
+    chunk-1 lines from the preceding grid anchor."""
     if end <= start:
         return []
     if chunk <= 0:
-        return [QueuePartition(priority, start, end, path)]
+        return [_with_anchor(QueuePartition(priority, start, end, path), chunk, index)]
+    bounds = [start]
+    g = (start // chunk + 1) * chunk
+    while g < end:
+        bounds.append(g)
+        g += chunk
+    bounds.append(end)
     return [
-        QueuePartition(priority, s, min(s + chunk, end), path)
-        for s in range(start, end, chunk)
+        _with_anchor(QueuePartition(priority, bounds[i], bounds[i + 1], path),
+                     chunk, index)
+        for i in range(len(bounds) - 1)
     ]
+
+
+def _with_anchor(part: "QueuePartition", chunk: int,
+                 index: dict[int, int] | None) -> "QueuePartition":
+    """Attach the byte offset of the largest indexed line ≤ start."""
+    if index:
+        step = chunk if chunk > 0 else 1
+        anchor = (part.start // step) * step if chunk > 0 else 0
+        while anchor >= 0 and anchor not in index:
+            anchor -= step
+        if anchor >= 0:
+            part.anchor_line = anchor
+            part.anchor_byte = index[anchor]
+    return part
 
 
 def _arrow_schema():
@@ -184,7 +261,11 @@ def _read_arrow(partition: "QueuePartition"):
     `_row` tuples, chunked columnar."""
     log = _log_path(partition.path, partition.priority)
     rows: list[tuple] = []
-    for seq, job, raw in _read_lines(log, partition.start, partition.end):
+    for seq, job, raw in _read_lines(
+        log, partition.start, partition.end,
+        getattr(partition, "anchor_line", -1),
+        getattr(partition, "anchor_byte", -1),
+    ):
         rows.append(_row(partition.priority, seq, job, raw))
         if len(rows) >= _ARROW_CHUNK:
             yield _rows_to_batch(rows)
@@ -194,11 +275,17 @@ def _read_arrow(partition: "QueuePartition"):
 
 
 class QueuePartition(InputPartition):
-    def __init__(self, priority: str, start: int, end: int, path: str):
+    def __init__(self, priority: str, start: int, end: int, path: str,
+                 anchor_line: int = -1, anchor_byte: int = -1):
         self.priority = priority
         self.start = start
         self.end = end
         self.path = path
+        # byte position of line `anchor_line` (≤ start) in the log, or
+        # -1/-1 when no index was available at planning time — the
+        # reader then falls back to skip-from-zero
+        self.anchor_line = anchor_line
+        self.anchor_byte = anchor_byte
 
 
 class PriorityQueueBatchReader(DataSourceReader):
@@ -211,14 +298,12 @@ class PriorityQueueBatchReader(DataSourceReader):
         )
 
     def partitions(self):
-        parts = [
-            sub
-            for p in PRIORITIES
-            for sub in _split_ranges(
-                p, 0, _count_lines(_log_path(self.path, p)), self.path,
-                self.chunk,
+        parts = []
+        for p in PRIORITIES:
+            n, index = _scan_log(_log_path(self.path, p), self.chunk)
+            parts.extend(
+                _split_ranges(p, 0, n, self.path, self.chunk, index)
             )
-        ]
         # at least one (possibly empty) partition — the engine requires
         # a non-empty partition list
         return parts or [QueuePartition(PRIORITIES[0], 0, 0, self.path)]
@@ -248,12 +333,27 @@ class PriorityQueueStreamReader(DataSourceStreamReader):
             options.get("read_partition_lines", _READ_PARTITION_LINES)
         )
         self._cursor: dict | None = None  # last planned end offsets
+        # per-priority every-chunk-lines byte index, refreshed by each
+        # latestOffset scan; the logs are append-only so entries never
+        # go stale — planning reuses it instead of rescanning
+        self._index: dict[str, dict[int, int]] = {}
 
     def initialOffset(self) -> dict:
         return {p: 0 for p in PRIORITIES}
 
+    def _priority_index(self, p: str) -> dict[int, int]:
+        if p not in self._index:  # checkpoint-restart: first call is
+            # partitions() for the recovered batch, before any
+            # latestOffset scan — build the index now
+            _, self._index[p] = _scan_log(_log_path(self.path, p), self.chunk)
+        return self._index[p]
+
     def latestOffset(self) -> dict:
-        avail = {p: _count_lines(_log_path(self.path, p)) for p in PRIORITIES}
+        avail = {}
+        for p in PRIORITIES:
+            n, index = _scan_log(_log_path(self.path, p), self.chunk)
+            avail[p] = n
+            self._index[p] = index
         if self.max_per_batch is None:
             self._cursor = avail
             return avail
@@ -292,7 +392,7 @@ class PriorityQueueStreamReader(DataSourceStreamReader):
             for p in PRIORITIES
             for sub in _split_ranges(
                 p, int(start.get(p, 0)), int(end.get(p, 0)), self.path,
-                self.chunk,
+                self.chunk, self._priority_index(p),
             )
         ] or [QueuePartition(PRIORITIES[0], 0, 0, self.path)]
 

@@ -972,6 +972,7 @@ def pq_ann_topk(
     n_iter: int = 1,
     dim: int = 64,
     k: int = 5,
+    rescore: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, IEEE TPAMI 33(1)):
     split vectors into m subspaces, k-means a codebook per subspace,
@@ -1000,6 +1001,19 @@ def pq_ann_topk(
     to the per-subspace form, oracle-pinned); ADC partials stay bigint
     fixed-point until one final division, so the cross-subspace sum is
     order-independent.
+
+    rescore > 0 adds the standard production tail (Jégou et al. 2011
+    §V.C — IVFADC + re-ranking; round-10 verdict #3): the ADC pass
+    selects the top-`rescore` candidates per query, then ONE more
+    corpus pass fetches just those candidates' full embeddings
+    (broadcast hash semi-join on the n_q·rescore id set — the scan
+    prunes to the candidate rows, nothing shuffles) and the final
+    top-k is ranked by EXACT fixed-point cosine (q48's scorer, bit-
+    identical rounding). Quantization error then only matters for
+    candidate RECALL, not final ordering — recall@5 at the 16x
+    compression point rises from ~0.2 to wherever P(true top-k ∈ ADC
+    top-`rescore`) sits (~3x here), for one cheap extra scan. Output
+    columns become (qid, cid, rank, score=exact cosine).
     """
     sub_dim = dim // m
     v = emb.select("vec_id", "embedding")
@@ -1069,17 +1083,54 @@ def pq_ann_topk(
     )
     # two-level rank — a single per-qid window would funnel a query's
     # whole corpus to one reducer (see cosine_topk)
+    keep = max(k, rescore)
     w_local = Window.partitionBy(
         "qid", F.pmod(F.hash("cid"), F.lit(32))
     ).orderBy(F.desc("adc_score"), F.asc("cid"))
     cand = (
         scored.withColumn("r1", F.row_number().over(w_local))
-        .filter(F.col("r1") <= k)
+        .filter(F.col("r1") <= keep)
         .drop("r1")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("adc_score"), F.asc("cid"))
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= keep
+    )
+    if rescore <= 0:
+        return ranked.filter(F.col("rank") <= k).select(
+            "qid", "cid", "rank", "adc_score"
+        )
+    # exact-rescore tail: the (qid, cid) candidate pairs are a bounded
+    # n_q·rescore set — broadcast them against the corpus ONCE to pull
+    # the candidate embeddings, then rank by q48's exact fixed-point
+    # cosine (identical rounding/tie-breaks, so the oracle replays it)
+    pairs = ranked.select("qid", "cid")
+    c = with_norm(
+        v.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
+        "ce",
+    ).withColumnRenamed("nrm", "cnrm")
+    q = with_norm(
+        v.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        ),
+        "qe",
+    ).withColumnRenamed("nrm", "qnrm")
+    rescored = (
+        c.join(F.broadcast(pairs), "cid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot(F.col("qe"), F.col("ce"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
-        .select("qid", "cid", "rank", "adc_score")
+        .select("qid", "cid", "rank", "score")
     )

@@ -1772,6 +1772,9 @@ def q106_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PQ_M, _PQ_KSUB, _PQ_SUBDIM, _PQ_NQ, _PQ_K = 4, 8, 16, 10, 5
+# ADC-top-R exact-rescore tail (round-10 verdict #3): final ranking by
+# exact cosine over the 50 best ADC candidates per query
+_PQ_RESCORE = 50
 
 
 def _pq_sub_ctes(s: int) -> str:
@@ -1885,12 +1888,41 @@ def _pq_sub_ctes(s: int) -> str:
         FROM codes c JOIN tables t ON t.sub = c.sub AND t.code = c.code
         WHERE c.vec_id != t.qid
         GROUP BY t.qid, c.vec_id
+    ),
+    cand AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_score DESC, cid) AS rn
+            FROM adc
+        ) WHERE rn <= {_PQ_RESCORE}
+    ),
+    rpairs AS (
+        SELECT cand.qid, cand.cid,
+               unnest(q.embedding)::DOUBLE AS a,
+               unnest(c.embedding)::DOUBLE AS b
+        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                  JOIN embeddings c ON c.vec_id = cand.cid
+    ),
+    rdots AS (
+        SELECT qid, cid, {_DOT_FP} AS dot FROM rpairs GROUP BY qid, cid
+    ),
+    rnorms AS (
+        SELECT vec_id, sqrt({_NORM_FP}) AS nrm
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS a FROM embeddings)
+        GROUP BY vec_id
+    ),
+    rescored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS score
+        FROM rdots JOIN rnorms nq ON nq.vec_id = qid
+                   JOIN rnorms nc ON nc.vec_id = cid
     )
-    SELECT qid, cid, rank, adc_score FROM (
-        SELECT qid, cid, adc_score,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY adc_score DESC, cid) AS rank
-        FROM adc
+    SELECT qid, cid, rank, score FROM (
+        SELECT qid, cid, score,
+               cast(row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, cid) AS int)
+                   AS rank
+        FROM rescored
     ) WHERE rank <= {_PQ_K}
     """,
     covers=("§2.13-similarity",),
@@ -1901,15 +1933,19 @@ def _pq_sub_ctes(s: int) -> str:
         "(16x compression — what makes a 100 TB embedding index fit); "
         "queries precompute a broadcastable n_q x m x k_sub "
         "partial-dot table and scoring is a map-side hash join on "
-        "(subspace, code) + one keyed fixed-point sum — corpus "
-        "embeddings are never touched after encoding. Oracle replays "
-        "per-subspace training, encoding, table build, and ADC "
-        "ranking end-to-end.",
+        "(subspace, code) + one keyed fixed-point sum; the ADC top-50 "
+        "per query is then exact-rescored (Jégou §V.C re-ranking, "
+        "round-10 verdict #3) by ONE candidate-pruned corpus pass — "
+        "final ranking is exact cosine, so quantization error only "
+        "costs candidate recall. Oracle replays per-subspace training, "
+        "encoding, table build, ADC candidate ranking and the exact "
+        "rescore end-to-end.",
 )
 def q111_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.pq_ann_topk(
-        emb, n_queries=_PQ_NQ, m=_PQ_M, ksub=_PQ_KSUB, n_iter=1, dim=64, k=_PQ_K
+        emb, n_queries=_PQ_NQ, m=_PQ_M, ksub=_PQ_KSUB, n_iter=1, dim=64,
+        k=_PQ_K, rescore=_PQ_RESCORE,
     )
 
 
@@ -2023,7 +2059,17 @@ def bpe_train(
     out of adjacent pairs before `rounds` merges (possible at depth >>
     distinct-pair count), training stops early — mirroring the
     oracle's empty best{r} cascade. `round_times` (tests) receives one
-    wall-clock float per executed round."""
+    wall-clock float per executed round.
+
+    Checkpoint retention (round-10 advice): each round's eager
+    localCheckpoint would otherwise pin its MEMORY_AND_DISK blocks
+    until Python GC + the JVM ContextCleaner get around to them — at
+    32k-merge depth that accumulates thousands of dead symbol-table
+    generations in the executors' block managers. The trainer now
+    explicitly unpersists round r-1's checkpointed RDD as soon as
+    round r's checkpoint has materialized (and the last one before
+    returning), so live checkpoint storage is exactly one symbol-table
+    generation whatever the depth."""
     import time as _time
 
     vocab = (
@@ -2066,7 +2112,8 @@ def bpe_train(
             break
         pair, freq = best[0]["pair"], int(best[0]["freq"])
         merge_rows.append((r, pair, freq))
-        sym = sym.select(
+        prev = sym
+        sym = prev.select(
             "wcount",
             F.replace(
                 F.col("s"),
@@ -2074,11 +2121,28 @@ def bpe_train(
                 F.lit(f" {pair.replace('  ', '')} "),
             ).alias("s"),
         ).localCheckpoint(eager=True)
+        _release_local_checkpoint(prev)  # new generation is live; drop r-1
         if round_times is not None:
             round_times.append(_time.perf_counter() - t0)
+    _release_local_checkpoint(sym)  # merge table collected; nothing reads sym
     return spark.createDataFrame(
         merge_rows, "rank bigint, pair string, freq bigint"
     )
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically drop a localCheckpoint's storage blocks.
+
+    A localCheckpointed DataFrame's analyzed plan is a LogicalRDD over
+    the persisted (MEMORY_AND_DISK) internal RDD; unpersisting that RDD
+    frees the blocks now instead of whenever Python GC + the JVM
+    ContextCleaner notice. Best-effort: the py4j internals are the
+    classic-mode surface (Spark Connect has no _jdf), and a DataFrame
+    that is not a bare checkpoint leaf simply no-ops into the GC path."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ on local[N]):
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 import zipfile
 
@@ -100,6 +101,8 @@ def get_spark(
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     )
+    for k, v in local_checkpoint_profile_conf().items():
+        builder = builder.config(k, v)
     # Pre-warmed worker daemon (see worker_daemon.py): forked Python
     # workers inherit numpy/pandas/Arrow-serializer imports via
     # copy-on-write instead of re-importing per fresh worker (~0.5 s
@@ -119,40 +122,91 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# Local-filesystem checkpoint deployment profile (round-10 verdict #4).
+# Round-10 profiling measured ~0.5 s/trigger of LOCAL-ONLY streaming
+# checkpoint overhead on hosts without libhadoop: Spark's default
+# CheckpointFileManager resolves through Hadoop's FileContext, which —
+# absent the native lib — forks a `readlink` subprocess per rename,
+# and Spark 4.1's checkpoint checksum sidecars serialize extra file
+# ops through a small pool (A/B: 1.3 s -> 0.73 s per empty trigger).
+# The cure trades DOCUMENTED properties, so it is opt-in, never the
+# default:
+#   - FileSystemBasedCheckpointFileManager writes checkpoint files
+#     without FileContext's atomic-rename guarantee — safe on a local
+#     filesystem / in tests, NOT what you want on HDFS where a crashed
+#     driver mid-rename could leave a torn offset file;
+#   - checksum-off drops Spark 4.1's checkpoint corruption detection.
+# Enable with SPARK_GRAFT_LOCAL_CHECKPOINT_PROFILE=1 for local/bench
+# deployments; a cluster run on HDFS/S3 should leave it unset.
+LOCAL_CHECKPOINT_PROFILE_ENV = "SPARK_GRAFT_LOCAL_CHECKPOINT_PROFILE"
+
+_LOCAL_CHECKPOINT_CONF = {
+    "spark.sql.streaming.checkpointFileManagerClass":
+        "org.apache.spark.sql.execution.streaming.checkpointing."
+        "FileSystemBasedCheckpointFileManager",
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+}
+
+
+def local_checkpoint_profile_conf() -> dict[str, str]:
+    """The session confs the profile applies — {} unless the env gate
+    is set, so default behavior is byte-identical to Spark defaults."""
+    if os.environ.get(LOCAL_CHECKPOINT_PROFILE_ENV):
+        return dict(_LOCAL_CHECKPOINT_CONF)
+    return {}
+
+
 _DAEMON_PROBE: bool | None = None
 
 
 def _prewarmed_daemon_usable() -> bool:
-    """Put the package's parent dir on PYTHONPATH (inherited by the
-    JVM -> daemon launch) and verify a bare interpreter can import the
-    daemon module. Cached — the probe subprocess imports pandas."""
+    """Verify a bare interpreter (with the package's parent dir added
+    to PYTHONPATH) can import the daemon module, and only COMMIT that
+    PYTHONPATH mutation to os.environ when the probe succeeds — a
+    failed or disabled probe leaves the process environment untouched
+    (round-10 advice). Cached — the probe subprocess imports pandas.
+    A skipped/failed probe logs once so bench runs with and without
+    the pre-warmed daemon are distinguishable in their output."""
     global _DAEMON_PROBE
     if _DAEMON_PROBE is not None:
         return _DAEMON_PROBE
     if os.environ.get("SPARK_GRAFT_NO_PREWARM_DAEMON"):
+        print("[session] prewarmed worker daemon disabled "
+              "(SPARK_GRAFT_NO_PREWARM_DAEMON)", file=sys.stderr)
         _DAEMON_PROBE = False
         return False
     import subprocess
-    import sys
 
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
+        probe_pp = (
             f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
         )
+    else:
+        probe_pp = existing
+    env = os.environ.copy()
+    env["PYTHONPATH"] = probe_pp
     try:
         _DAEMON_PROBE = (
             subprocess.run(
                 [sys.executable, "-c",
                  "import streamprocess_spark.worker_daemon"],
-                env=os.environ.copy(),
+                env=env,
                 capture_output=True,
                 timeout=60,
             ).returncode == 0
         )
     except Exception:
         _DAEMON_PROBE = False
+    if _DAEMON_PROBE:
+        # commit the PYTHONPATH the JVM must inherit for the daemon
+        # launch — only now that the probe proved it works
+        os.environ["PYTHONPATH"] = probe_pp
+    else:
+        print("[session] prewarmed worker daemon unavailable "
+              "(import probe failed); using stock pyspark.daemon",
+              file=sys.stderr)
     return _DAEMON_PROBE
 
 

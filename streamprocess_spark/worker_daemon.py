@@ -86,7 +86,10 @@ _orig_invalidate = _zipimport.zipimporter.invalidate_caches
 def _invalidate_if_changed(self):  # noqa: ANN001 - stdlib signature
     try:
         st = _os.stat(self.archive)
-        key = (int(st.st_mtime), st.st_size)
+        # untruncated ns mtime: an archive rebuilt within the same
+        # second (same size) must still invalidate — CPython gh-85108
+        # compares the full-resolution mtime (round-10 advice)
+        key = (st.st_mtime_ns, st.st_size)
     except OSError:
         return _orig_invalidate(self)
     if getattr(self, "_spark_graft_zip_key", None) == key and getattr(

@@ -193,3 +193,21 @@ def test_bpe_train_symbol_table_is_checkpointed_leaf(spark):
         "formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Scan parquet" not in plan and "Join" not in plan, plan
+
+
+def test_bpe_train_releases_prior_checkpoints(spark):
+    """Round-10 advice: each training round localCheckpoints a new
+    symbol-table generation; the prior generation's storage blocks
+    must be unpersisted as soon as the new one materializes, so live
+    checkpoint storage is one generation whatever the merge depth —
+    not thousands of dead generations waiting on GC + ContextCleaner."""
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.plans.llm_pipeline import bpe_train
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = load_tables(spark, SF_DIR)["documents"]
+    out = bpe_train(spark, docs, rounds=8).collect()
+    assert len(out) == 8
+    # everything the trainer pinned has been released again
+    assert jsc.getPersistentRDDs().size() <= before

@@ -490,3 +490,60 @@ def test_worker_daemon_zipimport_guard(tmp_path):
         assert "m2" in str(zi._files)
     finally:
         zipimport._read_directory = orig_read
+
+
+def test_byte_index_seek_matches_skip_scan(tmp_path):
+    """Round 11 (advice): the planner's every-chunk-lines byte index
+    lets each range-split task seek to its grid anchor instead of
+    line-skipping the file prefix. Values must be identical either
+    way, off-grid starts (checkpoint restarts) must anchor to the
+    preceding grid line, and splits must align to the GLOBAL chunk
+    grid so at most one partition per range starts off-grid."""
+    from streamprocess_spark.io.queue_source import (
+        _log_path,
+        _read_lines,
+        _scan_log,
+        _split_ranges,
+        enqueue_job,
+    )
+
+    qdir = str(tmp_path / "q")
+    for i in range(57):
+        enqueue_job(qdir, "normal", {"job_id": f"j{i}", "type": "t",
+                                     "payload": {"k": i, "pad": "x" * i}})
+    log = _log_path(qdir, "normal")
+    n, index = _scan_log(log, 10)
+    assert n == 57
+    assert sorted(index) == [0, 10, 20, 30, 40, 50]
+    # index byte offsets are real line starts
+    with open(log, "rb") as f:
+        data = f.read()
+    for ln, off in index.items():
+        assert off == 0 or data[off - 1] == ord("\n")
+
+    # off-grid start (restart at line 13): splits align to the grid
+    parts = _split_ranges("normal", 13, 57, qdir, chunk=10, index=index)
+    assert [(p.start, p.end) for p in parts] == [
+        (13, 20), (20, 30), (30, 40), (40, 50), (50, 57)]
+    assert [(p.anchor_line) for p in parts] == [10, 20, 30, 40, 50]
+    got = [
+        (seq, job)
+        for p in parts
+        for seq, job, _ in _read_lines(log, p.start, p.end,
+                                       p.anchor_line, p.anchor_byte)
+    ]
+    ref = [(seq, job) for seq, job, _ in _read_lines(log, 13, 57)]
+    assert got == ref and len(got) == 44
+
+    # a seek-anchored read never touches bytes before its anchor:
+    # truncating the prefix under the anchor still reads correctly
+    p = parts[1]  # [20, 30) anchored at line 20
+    hole = bytearray(data)
+    for b in range(index[20]):
+        hole[b] = ord("#")  # corrupt everything before the anchor
+    mutated = str(tmp_path / "mut.jsonl")
+    with open(mutated, "wb") as f:
+        f.write(bytes(hole))
+    via_seek = [(s, j) for s, j, _ in _read_lines(
+        mutated, p.start, p.end, p.anchor_line, p.anchor_byte)]
+    assert via_seek == [(s, j) for s, j, _ in _read_lines(log, 20, 30)]
