@@ -2994,3 +2994,132 @@ def q152_oneof_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("failed_job_id"), F.lit("-")).alias("fid_min"),
         F.coalesce(F.max("failed_job_id"), F.lit("-")).alias("fid_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_codec_ingest_suite — per-codec S15 evidence umbrella (round-10
+# verdict #2)
+# ---------------------------------------------------------------------------
+
+# Every per-codec ingest query carries format-specific md5/pixel-sum
+# legs that individually never faced the driver gate. This umbrella
+# reduces EACH constituent's full output — every row, every column —
+# to digest rows the driver can hash: one row per (format,
+# doc_id%5 residue bucket) with the row count and a checksum that is
+# the mod-P sum of a canonical per-row md5. Any single-value change in
+# any constituent's output perturbs its bucket's chk, so one
+# driver-green sweep of this query is bit-exactness evidence for every
+# S15 codec path at once (the reference decodes these via PIL/cv2/
+# soundfile — src/preprocessing/*; here each is a from-scratch codec).
+#
+# The bucket is a residue class, not the fixture's native variant id —
+# the variant cycles differ per format (doc_id%5 PNG variants, %3
+# frame shapes, ...), but the chk covers all columns of all rows
+# regardless; the 5-way split just localizes a failure to a fixture
+# subset. Constituents stay registered and individually parity-checked
+# every round.
+#
+# Determinism: canonical row string = '|'-joined columns (all int or
+# ascii-string typed — asserted by tests/test_plan_lint.py), nulls as
+# '∅'; per-row hash = first 60 bits of md5, reduced mod P so the
+# per-bucket sum stays exactly representable in both engines' int64.
+
+_CODEC_CHK_MOD = 999_999_999_999_989  # largest prime < 1e15
+
+# (fmt tag, constituent query, column order) — the column lists are
+# hardcoded so the DuckDB oracle can replay the same canonical string
+# without a live schema; test_plan_lint pins them to the builders.
+CODEC_SUITE: tuple[tuple[str, str, tuple[str, ...]], ...] = (
+    ("png", "q92_png_ingest", ("doc_id", "png_w", "png_h", "px_sum")),
+    ("flac", "q100_flac_ingest",
+     ("doc_id", "n_samples", "ssum16", "mag_sum")),
+    ("jpeg", "q101_jpeg_ingest", ("doc_id", "jpeg_w", "jpeg_h", "px_sum")),
+    ("containers", "q115_document_containers",
+     ("doc_id", "tiff_px_sum", "pdf_px_sum", "n_pdf_images")),
+    ("cjpeg", "q129_color_jpeg_ingest",
+     ("doc_id", "jpeg_w", "jpeg_h", "subsample", "y_sum", "cb_sum",
+      "cr_sum")),
+    ("mp3", "q130_mpeg_probe",
+     ("doc_id", "layer", "sample_rate", "channels", "n_frames",
+      "duration_ms", "avg_kbps")),
+    ("avi", "q131_avi_frames", ("doc_id", "frame_idx", "luma_sum",
+                                "motion")),
+    ("opus", "q132_opus_probe",
+     ("doc_id", "channels", "pre_skip", "n_packets", "duration_ms",
+      "toc_duration_ms", "modes")),
+    ("mp4", "q133_mp4_frames",
+     ("doc_id", "codec", "duration_ms", "frame_idx", "luma_sum")),
+    ("mkv", "q134_mkv_frames",
+     ("doc_id", "doctype", "codec", "duration_ms", "frame_idx",
+      "luma_sum")),
+    ("cdc", "q135_cdc_dedup",
+     ("doc_id", "payload_len", "dup_group", "group_size")),
+    ("gif", "q136_gif_ingest",
+     ("doc_id", "gif_w", "gif_h", "n_frames", "px_sum", "px_sum_all")),
+    ("warc", "q143_warc_ingest",
+     ("doc_id", "n_records", "n_responses", "n_ok", "body_bytes",
+      "body_md5_fp")),
+    ("h264", "q146_h264_ipcm",
+     ("doc_id", "n_frames", "height", "width", "luma_sum")),
+    ("warcsrc", "q147_warc_source_scan",
+     ("doc_id", "n_responses", "n_ok", "body_bytes", "body_md5_fp")),
+)
+
+
+def _codec_suite_oracle() -> str:
+    legs = []
+    for fmt, qname, cols in CODEC_SUITE:
+        canon = ", ".join(
+            f"coalesce(cast({c} AS VARCHAR), '∅')" for c in cols
+        )
+        inner = QUERIES[qname].oracle_sql()
+        legs.append(f"""
+    SELECT '{fmt}' AS fmt, cast(doc_id % 5 AS INT) AS bucket,
+           count(*) AS n_rows,
+           cast(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 15))
+                    ::BIGINT % {_CODEC_CHK_MOD}) AS BIGINT) AS chk
+    FROM ({inner}) {fmt}_t
+    GROUP BY 2""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "q_codec_ingest_suite",
+    oracle=_codec_suite_oracle,
+    covers=("S15", "§2.13-multimodal"),
+    doc="Per-codec ingest evidence umbrella: digests (count + mod-P "
+        "sum of per-row md5) of the full output of all 15 per-format "
+        "ingest queries — PNG, FLAC, baseline/progressive JPEG, "
+        "TIFF+PDF containers, color JPEG, MP3 probe, AVI-MJPEG, Opus "
+        "probe, MP4, Matroska, CDC chunking, GIF, WARC ingest, H.264 "
+        "I_PCM, WARC DataSource scan — one driver-hashed row per "
+        "(format, doc_id%5 bucket). Scale shape: each constituent is "
+        "its own map-only decode pass + small aggregate; the union "
+        "adds no shuffle or collect.",
+)
+def q_codec_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for fmt, qname, cols in CODEC_SUITE:
+        df = QUERIES[qname].builder(spark, sf_dir)
+        canon = F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols],
+        )
+        h = (
+            F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+            % F.lit(_CODEC_CHK_MOD)
+        )
+        leg = (
+            df.select(
+                (F.col("doc_id") % 5).cast("int").alias("bucket"),
+                h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("h").cast("bigint").alias("chk"),
+            )
+            .select(F.lit(fmt).alias("fmt"), "bucket", "n_rows", "chk")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

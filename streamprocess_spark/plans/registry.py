@@ -137,11 +137,31 @@ TOP50: tuple[str, ...] = (
     # q127_data_splits, q145_url_curation, q126_retrieve_rerank — plus
     # q97_kmeans (the foundation of the trained-ANN family),
     # q110_kmv_distinct, q117_scd2_history, q120_image_phash_dedup.
+    # Round-11 rotation (round-10 verdict #1 + #2): eleven swaps toward
+    # the never-evidenced set. OUT, all driver-green >=2 consecutive
+    # rounds and tag-redundant with remaining top-50 entries:
+    # q112/q124/q141/q144/q116/q118 (round-9 ins, green r09+r10;
+    # §2.13-text carried by q104/q105/q106/q127/q145/q126/q_text_suite/
+    # q_corpus_suite), q99/q122/q135/q139 (round-8 ins, green r08-r10;
+    # similarity via q97/q111/q113/q125, dedup via q106/q_doc_
+    # signatures/q149/q86/q87, multimodal via q120/q_codec_ingest_
+    # suite; q135/q139 stay soak-measured every round) and
+    # q48_embedding_topk (green r01-r10; stays the ann_recall ground
+    # truth every bench run). IN, each verified bit-exact at sf0.01
+    # (driver-grade full-registry pre-check) before the swap:
+    # q_dsp_parity (the umbrella carrying the F4/F5/F8/CLAHE/cubic/
+    # warpAffine/h264_i16 parity legs), q138_ocr_chain_parity,
+    # q140_frame_features, q123_corpus_admission,
+    # q142_nb_quality_classifier, q121_autoscaler_sim,
+    # q86_dup_clusters, q87_canonical_corpus, q113_feature_hashing,
+    # q125_embedding_drift, plus q_codec_ingest_suite (verdict #2: one
+    # driver-hashed row per (format, bucket) covering every S15 codec
+    # path's full output).
     "q1_pricing_summary",
     "q150_curation_dag",
-    "q112_bpe_train",
-    "q124_bpe_apply",
-    "q141_sequence_packing",
+    "q_dsp_parity",
+    "q138_ocr_chain_parity",
+    "q140_frame_features",
     # dataflow / queue engine
     "q_queue_admin",             # q11 + q12 + q13
     "q14_json_envelope",
@@ -172,26 +192,30 @@ TOP50: tuple[str, ...] = (
     "q126_retrieve_rerank",
     "q_text_suite",              # q40 + q41 + q42
     "q_doc_signatures",          # q43 + q44 + q46
-    "q144_html_extract",
+    "q123_corpus_admission",
     "q108_udaf_energy",          # §2.12 UDAF leg; q47's dedup tag redundant
-    "q48_embedding_topk",
-    "q116_lm_perplexity",
-    "q118_domain_mixing",
+    "q142_nb_quality_classifier",
+    "q121_autoscaler_sim",
+    "q86_dup_clusters",
+    "q87_canonical_corpus",
     "q_corpus_suite",            # q74 + q75 + q85 + q87 + q88
     # similarity / sketches — round-10 ins: q97 is the trainer the
     # whole trained-ANN family (q99/q111/q103/q149) rests on; q110 the
-    # KMV distinct sketch
+    # KMV distinct sketch; round-11 ins: q113/q125 (the §2.13 text-
+    # embedding + drift-monitor legs that never faced the driver).
+    # q111 STAYS a third round: its operating point changed this round
+    # (ADC-top-50 exact-rescore tail, round-10 verdict #3) and the new
+    # oracle needs fresh driver evidence.
     "q97_kmeans",
     "q110_kmv_distinct",
-    # round-8 rotation: first driver-grade evidence for these
-    "q99_ann_ivf_trained",
+    "q113_feature_hashing",
+    "q125_embedding_drift",
     "q111_pq_ann",
-    "q122_incremental_dedup",
-    "q135_cdc_dedup",
-    "q139_substring_spans",
     "q149_semdedup_scale",
-    # multimodal (round-10 in: q120 — §2.13-multimodal x dedup)
+    # multimodal (round-10 in: q120 — §2.13-multimodal x dedup;
+    # round-11 in: the per-codec S15 evidence umbrella)
     "q120_image_phash_dedup",
+    "q_codec_ingest_suite",
     "q_audio_suite",             # q50 + q51 + q52 + q57 + q58 + WAV
     "q_image_suite",             # q54 + q60..q64 + q66
     "q_inference_suite",         # q55 + q56 + dual OCR engines

@@ -129,7 +129,8 @@ def test_compact_tail_line_is_small_enough():
         "flagship": {"chunks_per_sec": 99999.9, "runs": [999.99, 999.99],
                      "nb": [9999, 9999],
                      "skew": leg(2), "scale": leg(1),
-                     "rocksdb": leg(2), "scale_rocksdb": leg(1)},
+                     "rocksdb": leg(2), "scale_rocksdb": leg(1),
+                     "local_ckpt": {"cps": 99999.9}},
         "streaming": {"rows_per_sec": 999999.9, "runs": [999.99, 999.99],
                       "nb": [999, 999]},
         "curation": {"docs_per_sec": 99999.9, "verified": True},
@@ -138,7 +139,7 @@ def test_compact_tail_line_is_small_enough():
             leg_: {q: [0.9999, 0.99]
                    for q in ("q49", "q73", "q99", "q111")}
             for leg_ in ("sf", "deep")},
-        "flagged": [f"deep:q{i}_some_flagged_query" for i in range(4)],
+        "flagged": [f"deep:q{i}_some_flagged_query" for i in range(3)],
         "n_flagged": 99,
     }
     assert len(json.dumps(compact)) < 1900, len(json.dumps(compact))

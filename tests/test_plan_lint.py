@@ -75,7 +75,11 @@ _MAX_SCANS_PER_TABLE = 8
 # pruned pass. The operators a 100 TB job would actually run are the
 # individual registered legs (q59/q67/q128/q143/q146/...), each of
 # which IS under the bound.
-_ALLOWED_MANY_SCANS = {"q_dsp_parity", "q_media_invariants"}
+# evidence umbrellas: each scan is a DISTINCT constituent leg of a
+# tagged union (one per codec/DSP kernel), not re-executed iterative
+# lineage — the scans-per-table bound exists to catch the latter
+_ALLOWED_MANY_SCANS = {"q_dsp_parity", "q_media_invariants",
+                       "q_codec_ingest_suite"}
 
 _BATCH_QUERIES = sorted(
     n for n in QUERIES if not n.startswith("stream_")
@@ -247,3 +251,22 @@ def test_new_exemptions_broadcast_only_bounded_sides(spark):
     plan = _plan(spark, "q118_domain_mixing")
     assert tree(plan).count("BroadcastNestedLoopJoin") == 1
     assert "tot" in plan
+
+
+def test_codec_suite_column_pins_match_builders(spark):
+    """Round-11 (verdict #2): q_codec_ingest_suite's DuckDB oracle
+    replays each constituent's canonical row string from a HARDCODED
+    column list (no live schema at SQL-resolution time). Pin that list
+    to the actual builder schemas — names, order, and the int/string
+    type restriction the canonical '|'-join depends on (doubles would
+    need fixed-point normalization; none exist in the family)."""
+    from streamprocess_spark.plans.composites import CODEC_SUITE
+    from streamprocess_spark.plans.registry import QUERIES
+
+    assert len(CODEC_SUITE) == 15
+    ok_types = {"bigint", "int", "smallint", "string"}
+    for fmt, qname, cols in CODEC_SUITE:
+        df = QUERIES[qname].builder(spark, SF_DIR)
+        assert tuple(df.columns) == cols, (fmt, qname, df.columns)
+        for _, dtype in df.dtypes:
+            assert dtype in ok_types, (qname, dtype)
