@@ -176,3 +176,37 @@ def test_autoscaler_state_continues_across_microbatches(spark, tmp_path):
         "scale_up", "no_change", "no_change", "scale_down"
     ]
     assert list(got["replicas"]) == list(want["replicas"]) == [5, 5, 5, 1]
+
+
+def test_local_checkpoint_profile_gated_and_settable(spark):
+    """Round-10 verdict #4: the local-checkpoint deployment profile is
+    env-gated (defaults byte-identical to Spark defaults) and both its
+    confs exist in this Spark build and are session-settable — the
+    bench A/B leg flips them at runtime. Engagement is measured, not
+    assumed: the round-11 empty-trigger probe read ~170 ms/trigger
+    under the profile vs ~510 ms on defaults (see SURVEY §8)."""
+    import os
+
+    from streamprocess_spark.session import (
+        _LOCAL_CHECKPOINT_CONF,
+        LOCAL_CHECKPOINT_PROFILE_ENV,
+        local_checkpoint_profile_conf,
+    )
+
+    assert not os.environ.get(LOCAL_CHECKPOINT_PROFILE_ENV)
+    assert local_checkpoint_profile_conf() == {}
+    os.environ[LOCAL_CHECKPOINT_PROFILE_ENV] = "1"
+    try:
+        assert local_checkpoint_profile_conf() == _LOCAL_CHECKPOINT_CONF
+    finally:
+        del os.environ[LOCAL_CHECKPOINT_PROFILE_ENV]
+    saved = {}
+    for k, v in _LOCAL_CHECKPOINT_CONF.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)       # must not raise (runtime-settable)
+        assert spark.conf.get(k) == v
+    for k, v in saved.items():
+        spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
