@@ -3123,3 +3123,131 @@ def q_codec_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_longtail_suite — evidence umbrella for the long-tail thin queries
+# (round-11; round-10 verdict "evidence gap" follow-through)
+# ---------------------------------------------------------------------------
+
+# The q_codec_ingest_suite digest pattern, generalized to the remaining
+# oracle-backed thin queries that never individually faced the driver
+# gate and are not constituents of an existing driver-green umbrella:
+# scalar builtins, label centroids, stratified sampling, SimHash /
+# LSH-band pair enumeration, the analytic-function suite, vocab top-k,
+# int8 quantization, tokenizer counts, winnowing fingerprints, the
+# pivot matrix, MJPEG frame features, G.711 ingest, video dedup and
+# audio-fingerprint dedup. One digest row per constituent: row count +
+# mod-P sum of per-row md5 over the canonical '|'-joined column string.
+# DOUBLE columns (q81.spend_pct, q88.amax — both bit-identical across
+# engines, proven by the per-query parity suite every round) are
+# normalized to fixed-point floor(x*1e6) BIGINTs before joining, so
+# engine float-FORMATTING differences (Java Double.toString vs DuckDB
+# shortest-roundtrip) never reach the hash. Registered below slot 50:
+# round-12 rotation fodder, driver-grade pre-checkable by the sf0.01
+# full-registry sweep like every rotation candidate.
+
+# (fmt, query, columns) — a plain string column hashes raw; a
+# ("name", "f6") pair is fixed-point-normalized. Pinned to the live
+# builder schemas by tests/test_plan_lint.py.
+LONGTAIL_SUITE: tuple[tuple[str, str, tuple], ...] = (
+    ("builtins", "q65_scalar_builtins",
+     ("doc_id", "tag", "head50", "wc", "ceil100", "p2", "text_md5",
+      "lang_b64")),
+    ("centroids", "q74_label_centroids", ("label", "dim", "n", "sum_fp")),
+    ("sample", "q75_stratified_sample",
+     ("lang", "n_total", "n_sampled", "first_sampled")),
+    ("simhash_pairs", "q76_simhash_pairs", ("doc_a", "doc_b", "hamming")),
+    ("dedup_pipe", "q77_dedup_pipeline",
+     ("doc_a", "doc_b", "n_shared_bands")),
+    ("analytics", "q81_analytic_suite",
+     ("o_orderkey", "o_custkey", "order_seq", "gap_s_prev", "gap_s_next",
+      "spend_rank", "spend_dense_rank", "spend_quartile",
+      ("spend_pct", "f6"))),
+    ("vocab", "q85_vocab_topk", ("token", "n")),
+    ("quantize", "q88_embedding_quantize",
+     ("vec_id", ("amax", "f6"), "n_saturated", "recon_err_fp")),
+    ("tokens", "q94_token_counts",
+     ("doc_id", "ws_tokens", "bpe_tokens", "alpha_tokens", "num_tokens",
+      "chars_per_tok_fp")),
+    ("winnow", "q95_winnowing",
+     ("doc_id", "n_fingerprints", "fp_sum", "fp_min")),
+    ("pivot", "q107_pivot_matrix",
+     ("cohort", "click", "error", "purchase", "signup", "view")),
+    ("video", "q93_video_frames",
+     ("doc_id", "frame_idx", "luma_sum", "motion")),
+    ("g711", "q96_g711_ingest",
+     ("doc_id", "n_samples", "ssum14", "mag_sum")),
+    ("vdedup", "q98_video_dedup",
+     ("luma_sum", "n_frames", "n_docs", "canonical")),
+    ("afp", "q114_audio_fingerprint_dedup", ("sig", "n_docs", "canonical")),
+)
+
+
+def _canon_sql(col) -> str:
+    if isinstance(col, tuple):
+        name, kind = col
+        assert kind == "f6", kind
+        return (f"coalesce(cast(cast(floor({name} * 1000000.0) AS BIGINT) "
+                f"AS VARCHAR), '∅')")
+    return f"coalesce(cast({col} AS VARCHAR), '∅')"
+
+
+def _canon_spark(col):
+    if isinstance(col, tuple):
+        name, kind = col
+        assert kind == "f6", kind
+        return F.coalesce(
+            F.floor(F.col(name) * 1000000.0).cast("bigint").cast("string"),
+            F.lit("∅"),
+        )
+    return F.coalesce(F.col(col).cast("string"), F.lit("∅"))
+
+
+def _longtail_oracle() -> str:
+    legs = []
+    for fmt, qname, cols in LONGTAIL_SUITE:
+        canon = ", ".join(_canon_sql(c) for c in cols)
+        inner = QUERIES[qname].oracle_sql()
+        legs.append(f"""
+    SELECT '{fmt}' AS fmt, count(*) AS n_rows,
+           cast(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 15))
+                    ::BIGINT % {_CODEC_CHK_MOD}) AS BIGINT) AS chk
+    FROM ({inner}) {fmt}_t""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "q_longtail_suite",
+    oracle=_longtail_oracle,
+    covers=("§2.10-builtins", "§2.6-free-analytics", "§2.13-text",
+            "§2.13-dedup", "§2.13-similarity", "§2.13-multimodal",
+            "A12-adjacent", "W3-adjacent", "S15"),
+    doc="Long-tail evidence umbrella: digest rows (count + mod-P sum "
+        "of per-row md5 over canonical column strings, doubles "
+        "fixed-point-normalized) of the full output of the 15 "
+        "oracle-backed thin queries that never individually faced the "
+        "driver gate and sit outside existing umbrellas — q65 scalar "
+        "builtins, q74 label centroids, q75 stratified sample, q76 "
+        "SimHash pairs, q77 dedup pipeline, q81 analytic functions, "
+        "q85 vocab top-k, q88 int8 quantization, q94 token counts, "
+        "q95 winnowing, q107 pivot, q93 MJPEG frames, q96 G.711, q98 "
+        "video dedup, q114 audio-fingerprint dedup. Scale shape: a "
+        "union of the constituents' own plans, each reduced map-side "
+        "to one digest row; no new shuffle or collect.",
+)
+def q_longtail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for fmt, qname, cols in LONGTAIL_SUITE:
+        df = QUERIES[qname].builder(spark, sf_dir)
+        canon = F.concat_ws("|", *[_canon_spark(c) for c in cols])
+        h = (
+            F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+            % F.lit(_CODEC_CHK_MOD)
+        )
+        leg = df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("bigint").alias("chk"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "chk")
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -79,7 +79,7 @@ _MAX_SCANS_PER_TABLE = 8
 # tagged union (one per codec/DSP kernel), not re-executed iterative
 # lineage — the scans-per-table bound exists to catch the latter
 _ALLOWED_MANY_SCANS = {"q_dsp_parity", "q_media_invariants",
-                       "q_codec_ingest_suite"}
+                       "q_codec_ingest_suite", "q_longtail_suite"}
 
 _BATCH_QUERIES = sorted(
     n for n in QUERIES if not n.startswith("stream_")
@@ -270,3 +270,26 @@ def test_codec_suite_column_pins_match_builders(spark):
         assert tuple(df.columns) == cols, (fmt, qname, df.columns)
         for _, dtype in df.dtypes:
             assert dtype in ok_types, (qname, dtype)
+
+
+def test_longtail_suite_column_pins_match_builders(spark):
+    """q_longtail_suite's oracle replays canonical strings from
+    hardcoded column lists — pin them to the live builder schemas.
+    Double-typed columns must be declared ('name', 'f6') so the
+    fixed-point normalization (not raw float formatting) reaches the
+    hash; everything else must be int/string typed."""
+    from streamprocess_spark.plans.composites import LONGTAIL_SUITE
+    from streamprocess_spark.plans.registry import QUERIES
+
+    assert len(LONGTAIL_SUITE) == 15
+    ok_raw = {"bigint", "int", "smallint", "string"}
+    for fmt, qname, cols in LONGTAIL_SUITE:
+        df = QUERIES[qname].builder(spark, SF_DIR)
+        names = tuple(c[0] if isinstance(c, tuple) else c for c in cols)
+        assert tuple(df.columns) == names, (fmt, qname, df.columns)
+        kinds = {c[0]: "f6" for c in cols if isinstance(c, tuple)}
+        for cname, dtype in df.dtypes:
+            if kinds.get(cname) == "f6":
+                assert dtype in {"double", "float"}, (qname, cname, dtype)
+            else:
+                assert dtype in ok_raw, (qname, cname, dtype)
