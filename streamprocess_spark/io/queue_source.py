@@ -93,12 +93,10 @@ def _scan_log(path: str, every: int) -> tuple[int, dict[int, int]]:
                 if j < 0:
                     break
                 n += 1
-                if every > 0:
+                if every > 0 and n % every == 0:
                     offsets[n] = pos + j + 1
                 at = j + 1
             pos += len(block)
-    if every > 1:
-        offsets = {k: v for k, v in offsets.items() if k % every == 0}
     return n, offsets
 
 
