@@ -3251,3 +3251,88 @@ def q_longtail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("fmt"), "n_rows", "chk")
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_thin_kernels_suite — evidence umbrella for the thin audio/image
+# kernel queries (round-11, same digest pattern)
+# ---------------------------------------------------------------------------
+
+# The audio/image THIN queries are semantically composed into
+# q_audio_suite / q_image_suite / q_inference_suite (driver-green), but
+# their own registered outputs never individually faced the driver
+# gate. This umbrella digests each one's full output directly — one
+# driver-hashed row per query — so a single driver-green sweep is
+# bit-exactness evidence for the exact rows each thin query serves.
+# q78_segment_udtf is deliberately excluded (its native row-based UDTF
+# plan carries BatchEvalPython by API contract and would need a lint
+# exemption for the whole umbrella; its §2.12-udtf id is driver-green
+# via q18/q53/q_inference_suite); the stream_* thin variants run real
+# streaming queries and stay covered by the driver-green stream suites.
+
+THIN_KERNELS_SUITE: tuple[tuple[str, str, tuple], ...] = (
+    ("adecode", "q50_audio_decode",
+     ("doc_id", "n_samples", "ssum_fp", "sabs_fp")),
+    ("vad", "q51_audio_vad", ("doc_id", "n_frames", "n_speech")),
+    ("resample", "q52_audio_resample", ("doc_id", "n_out", "ssum_even_fp")),
+    ("ivalidate", "q54_image_validate", ("reason", "n_docs")),
+    ("ocr", "q55_ocr_lines", ("doc_id", "idx", "text", "conf_pct")),
+    ("stt", "q56_transcribe_segments",
+     ("doc_id", "n_segments", "language")),
+    ("mono", "q57_audio_mono", ("doc_id", "n_mono", "msum_fp")),
+    ("anorm", "q58_audio_normalize", ("doc_id", "n_pos", "ssum_fp")),
+    ("binarize", "q60_image_binarize", ("doc_id", "n_dark")),
+    ("tables", "q61_image_tables",
+     ("doc_id", "tidx", "x", "y", "width", "height")),
+    ("crop", "q62_image_crop", ("doc_id", "crop_w", "crop_h")),
+    ("denoise", "q63_image_denoise_chain", ("doc_id", "n_dark")),
+    ("bbox", "q64_bbox_quad",
+     ("event_id", "bbox_x", "bbox_y", "bbox_w", "bbox_h")),
+    ("resize", "q66_image_resize", ("doc_id", "n_dark_2x")),
+    ("gsets", "q82_grouping_sets",
+     ("status", "prio", "n_orders", "total_fp")),
+)
+
+
+def _thin_kernels_oracle() -> str:
+    legs = []
+    for fmt, qname, cols in THIN_KERNELS_SUITE:
+        canon = ", ".join(_canon_sql(c) for c in cols)
+        inner = QUERIES[qname].oracle_sql()
+        legs.append(f"""
+    SELECT '{fmt}' AS fmt, count(*) AS n_rows,
+           cast(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 15))
+                    ::BIGINT % {_CODEC_CHK_MOD}) AS BIGINT) AS chk
+    FROM ({inner}) {fmt}_t""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "q_thin_kernels_suite",
+    oracle=_thin_kernels_oracle,
+    covers=("F1", "F2", "F3", "F7", "F9", "F15", "F17", "F19", "F20",
+            "F22", "F23", "F24", "F25", "F27", "A2", "T4", "R5",
+            "free-grouping-sets", "§3.2", "§3.3"),
+    doc="Thin-kernel evidence umbrella: digest rows over the full "
+        "output of the 15 audio/image/aggregation thin queries (audio "
+        "decode/VAD/resample/mono/normalize, image validate/binarize/"
+        "tables/crop/denoise/resize, OCR lines, transcribe segments, "
+        "bbox quad, grouping sets) — one driver-hashed row each. "
+        "Scale shape: union of the constituents' own map-only plans, "
+        "each reduced to one digest row; no new shuffle or collect.",
+)
+def q_thin_kernels_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for fmt, qname, cols in THIN_KERNELS_SUITE:
+        df = QUERIES[qname].builder(spark, sf_dir)
+        canon = F.concat_ws("|", *[_canon_spark(c) for c in cols])
+        h = (
+            F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+            % F.lit(_CODEC_CHK_MOD)
+        )
+        leg = df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("bigint").alias("chk"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "chk")
+        out = leg if out is None else out.unionByName(leg)
+    return out

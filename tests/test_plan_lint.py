@@ -79,7 +79,8 @@ _MAX_SCANS_PER_TABLE = 8
 # tagged union (one per codec/DSP kernel), not re-executed iterative
 # lineage — the scans-per-table bound exists to catch the latter
 _ALLOWED_MANY_SCANS = {"q_dsp_parity", "q_media_invariants",
-                       "q_codec_ingest_suite", "q_longtail_suite"}
+                       "q_codec_ingest_suite", "q_longtail_suite",
+                       "q_thin_kernels_suite"}
 
 _BATCH_QUERIES = sorted(
     n for n in QUERIES if not n.startswith("stream_")
@@ -293,3 +294,19 @@ def test_longtail_suite_column_pins_match_builders(spark):
                 assert dtype in {"double", "float"}, (qname, cname, dtype)
             else:
                 assert dtype in ok_raw, (qname, cname, dtype)
+
+
+def test_thin_kernels_suite_column_pins_match_builders(spark):
+    """q_thin_kernels_suite: same pin as the codec/longtail umbrellas —
+    hardcoded oracle column lists == live builder schemas, int/string
+    types only (no doubles in this family)."""
+    from streamprocess_spark.plans.composites import THIN_KERNELS_SUITE
+    from streamprocess_spark.plans.registry import QUERIES
+
+    assert len(THIN_KERNELS_SUITE) == 15
+    ok_types = {"bigint", "int", "smallint", "string"}
+    for fmt, qname, cols in THIN_KERNELS_SUITE:
+        df = QUERIES[qname].builder(spark, SF_DIR)
+        assert tuple(df.columns) == cols, (fmt, qname, df.columns)
+        for _, dtype in df.dtypes:
+            assert dtype in ok_types, (qname, dtype)
