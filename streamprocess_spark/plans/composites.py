@@ -3021,8 +3021,11 @@ def q152_oneof_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: canonical row string = '|'-joined columns (all int or
 # ascii-string typed — asserted by tests/test_plan_lint.py), nulls as
-# '∅'; per-row hash = first 60 bits of md5, reduced mod P so the
-# per-bucket sum stays exactly representable in both engines' int64.
+# '∅'; per-row hash = first 60 bits of md5 reduced mod P; the
+# per-group sum accumulates in decimal(38,0) (Spark) / HUGEINT
+# (DuckDB) — exact and order-independent at ANY row count — and the
+# final chk is (Σ h) mod P, back in int64 on both engines (a plain
+# bigint sum overflowed Spark's ANSI long at sf0.1 row counts).
 
 _CODEC_CHK_MOD = 999_999_999_999_989  # largest prime < 1e15
 
@@ -3077,7 +3080,8 @@ def _codec_suite_oracle() -> str:
     SELECT '{fmt}' AS fmt, cast(doc_id % 5 AS INT) AS bucket,
            count(*) AS n_rows,
            cast(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 15))
-                    ::BIGINT % {_CODEC_CHK_MOD}) AS BIGINT) AS chk
+                    ::BIGINT % {_CODEC_CHK_MOD})
+                % {_CODEC_CHK_MOD} AS BIGINT) AS chk
     FROM ({inner}) {fmt}_t
     GROUP BY 2""")
     return " UNION ALL ".join(legs)
@@ -3117,7 +3121,9 @@ def q_codec_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum("h").cast("bigint").alias("chk"),
+                F.pmod(F.sum(F.col("h").cast("decimal(38,0)")),
+                       F.lit(_CODEC_CHK_MOD).cast("decimal(38,0)"))
+                .cast("bigint").alias("chk"),
             )
             .select(F.lit(fmt).alias("fmt"), "bucket", "n_rows", "chk")
         )
@@ -3212,7 +3218,8 @@ def _longtail_oracle() -> str:
         legs.append(f"""
     SELECT '{fmt}' AS fmt, count(*) AS n_rows,
            cast(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 15))
-                    ::BIGINT % {_CODEC_CHK_MOD}) AS BIGINT) AS chk
+                    ::BIGINT % {_CODEC_CHK_MOD})
+                % {_CODEC_CHK_MOD} AS BIGINT) AS chk
     FROM ({inner}) {fmt}_t""")
     return " UNION ALL ".join(legs)
 
@@ -3247,7 +3254,9 @@ def q_longtail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         leg = df.select(h.alias("h")).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("h").cast("bigint").alias("chk"),
+            F.pmod(F.sum(F.col("h").cast("decimal(38,0)")),
+                       F.lit(_CODEC_CHK_MOD).cast("decimal(38,0)"))
+                .cast("bigint").alias("chk"),
         ).select(F.lit(fmt).alias("fmt"), "n_rows", "chk")
         out = leg if out is None else out.unionByName(leg)
     return out
@@ -3302,7 +3311,8 @@ def _thin_kernels_oracle() -> str:
         legs.append(f"""
     SELECT '{fmt}' AS fmt, count(*) AS n_rows,
            cast(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 15))
-                    ::BIGINT % {_CODEC_CHK_MOD}) AS BIGINT) AS chk
+                    ::BIGINT % {_CODEC_CHK_MOD})
+                % {_CODEC_CHK_MOD} AS BIGINT) AS chk
     FROM ({inner}) {fmt}_t""")
     return " UNION ALL ".join(legs)
 
@@ -3332,7 +3342,9 @@ def q_thin_kernels_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         leg = df.select(h.alias("h")).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("h").cast("bigint").alias("chk"),
+            F.pmod(F.sum(F.col("h").cast("decimal(38,0)")),
+                       F.lit(_CODEC_CHK_MOD).cast("decimal(38,0)"))
+                .cast("bigint").alias("chk"),
         ).select(F.lit(fmt).alias("fmt"), "n_rows", "chk")
         out = leg if out is None else out.unionByName(leg)
     return out
