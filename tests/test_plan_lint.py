@@ -310,3 +310,30 @@ def test_thin_kernels_suite_column_pins_match_builders(spark):
         assert tuple(df.columns) == cols, (fmt, qname, df.columns)
         for _, dtype in df.dtypes:
             assert dtype in ok_types, (qname, dtype)
+
+
+def test_stream_thin_suite_column_pins_match_builders(spark):
+    """stream_thin_suite: oracle column lists == live converged-sink
+    schemas; timestamps must be declared ('name','us') and doubles
+    ('name','f6') so canonicalization (epoch µs / fixed point), not
+    raw formatting, reaches the hash. Running the builders executes
+    eight real availableNow streams — this test IS the structural pin
+    for the umbrella, so the cost is accepted."""
+    from streamprocess_spark.plans.composites import STREAM_THIN_SUITE
+    from streamprocess_spark.plans.registry import QUERIES
+
+    assert len(STREAM_THIN_SUITE) == 8
+    ok_raw = {"bigint", "int", "smallint", "string"}
+    for fmt, qname, cols in STREAM_THIN_SUITE:
+        df = QUERIES[qname].builder(spark, SF_DIR)
+        names = tuple(c[0] if isinstance(c, tuple) else c for c in cols)
+        assert tuple(df.columns) == names, (fmt, qname, df.columns)
+        kinds = {c[0]: c[1] for c in cols if isinstance(c, tuple)}
+        for cname, dtype in df.dtypes:
+            kind = kinds.get(cname)
+            if kind == "f6":
+                assert dtype in {"double", "float"}, (qname, cname, dtype)
+            elif kind == "us":
+                assert dtype.startswith("timestamp"), (qname, cname, dtype)
+            else:
+                assert dtype in ok_raw, (qname, cname, dtype)
