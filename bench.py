@@ -428,17 +428,18 @@ ANN_RECALL_FLOORS = {
         "q49_ann_lsh_topk": 0.6,
         "q73_ann_ivf_topk": 0.9,
         "q99_ann_ivf_trained": 0.7,
-        # round-10 verdict #3: the ADC-top-50 exact-rescore tail lifted
-        # the sf leg 0.22 -> 0.58 and deep 0.46 -> 0.84 (measured at
-        # 1.24x / 1.12x the pure-ADC runtime); floors re-set ~15%
-        # below the new readings
-        "q111_pq_ann": 0.5,
+        # round-10 verdict #3: the ADC-top-R exact-rescore tail. The
+        # round-11 depth sweep (table at llm_pipeline._PQ_RESCORE)
+        # showed cost flat in R, so R=200 ships: sf leg 0.22 -> 0.82,
+        # deep 0.46 -> 0.90 at ~the pure-ADC runtime; floors re-set
+        # ~15% below the new readings
+        "q111_pq_ann": 0.7,
     },
     "deep": {
         "q49_ann_lsh_topk": 0.7,
         "q73_ann_ivf_topk": 0.9,
         "q99_ann_ivf_trained": 0.75,
-        "q111_pq_ann": 0.7,
+        "q111_pq_ann": 0.8,
     },
 }
 

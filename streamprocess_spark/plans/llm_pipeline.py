@@ -1773,8 +1773,18 @@ def q106_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_KSUB, _PQ_SUBDIM, _PQ_NQ, _PQ_K = 4, 8, 16, 10, 5
 # ADC-top-R exact-rescore tail (round-10 verdict #3): final ranking by
-# exact cosine over the 50 best ADC candidates per query
-_PQ_RESCORE = 50
+# exact cosine over the R best ADC candidates per query. Measured
+# depth sweep (round 11, sf0.1 leg / jittered-deep leg, min-of-2):
+#   R=0   0.22 / 0.46 recall@5   3.2 / 3.8 s
+#   R=25  0.46 / 0.84            4.7 / 5.5 s
+#   R=50  0.58 / 0.84            4.6 / 5.6 s
+#   R=100 0.70 / 0.86            4.2 / 5.7 s
+#   R=200 0.82 / 0.90            4.0 / 5.7 s
+# Cost is FLAT in R (the one candidate-fetch corpus pass dominates;
+# the n_q·R exact scores are trivial), so R=200 is strictly better at
+# this corpus scale — recall then tracks P(true top-5 ∈ ADC top-200).
+# At 100 TB the fetch stays one broadcast-semi-join pass whatever R.
+_PQ_RESCORE = 200
 
 
 def _pq_sub_ctes(s: int) -> str:
@@ -1933,7 +1943,7 @@ def _pq_sub_ctes(s: int) -> str:
         "(16x compression — what makes a 100 TB embedding index fit); "
         "queries precompute a broadcastable n_q x m x k_sub "
         "partial-dot table and scoring is a map-side hash join on "
-        "(subspace, code) + one keyed fixed-point sum; the ADC top-50 "
+        "(subspace, code) + one keyed fixed-point sum; the ADC top-200 "
         "per query is then exact-rescored (Jégou §V.C re-ranking, "
         "round-10 verdict #3) by ONE candidate-pruned corpus pass — "
         "final ranking is exact cosine, so quantization error only "
