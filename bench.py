@@ -764,14 +764,18 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
 
     # 1,000-stream leg (round-7 verdict #8): the state-store growth
     # story — bounded per-key state, T8 reaping — exercised at 10x the
-    # stream count. Single run (the workload is ~10x the even leg's;
-    # chunks/s, not wall time, is the gated figure) and gated within 2x
-    # of the 100-stream throughput like the skew leg.
+    # stream count. Round 11: min-of-2 like the other legs — the legs
+    # were single-run when they took minutes, but post-daemon they run
+    # ~7-8 s, and the scale_rocksdb/scale provider-parity gate divides
+    # two single-run readings, whose independent noise produced a
+    # spurious 0.48 ratio flag on an untouched tree (two same-day runs
+    # read 9.6k/9.0k green). Min-of-2 on BOTH sides stabilizes the
+    # ratio for ~15 s of bench time.
     chunks_scale = chunks_from_events(
         ev, DEFAULT_CONFIG, max_users=SCALE_STREAMS
     )
     out["scale"] = _flagship_once(
-        spark, chunks_scale, f"scale-{SCALE_STREAMS}", n_runs=1
+        spark, chunks_scale, f"scale-{SCALE_STREAMS}"
     )
 
     # RocksDB state-store leg (round-9 verdict #5): the even/skew/scale
@@ -802,7 +806,6 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
         # IN-MEMORY scale leg (not the even leg) in _regression_gate.
         out["scale_rocksdb"] = _flagship_once(
             spark, chunks_scale, f"scale-{SCALE_STREAMS}-rocksdb",
-            n_runs=1,
         )
     finally:
         if prev:
@@ -1092,9 +1095,13 @@ def main() -> None:
             keep[cps_key] = sec["chunks_per_sec"]
         if sec.get("rows_per_sec") is not None:
             keep["rows_per_sec"] = sec["rows_per_sec"]
-        for k in ("runs", "nb"):
-            if sec.get(k) is not None:
-                keep[k] = sec[k]
+        # per-pass seconds at 1 decimal in the tail (byte budget; the
+        # full line above keeps 2) — adjudication needs the cold/warm
+        # split and cross-pass shape, not centiseconds
+        if sec.get("runs") is not None:
+            keep["runs"] = [round(r, 1) for r in sec["runs"]]
+        if sec.get("nb") is not None:
+            keep["nb"] = sec["nb"]
         return keep
 
     fs = result.get("flagship") or {}
