@@ -242,6 +242,12 @@ SOAK_QUERIES = (
     # corpus-wide shuffle (gram-hash counts) — its x100 behavior was
     # the scale-credibility gap in the dedup story
     "q139_substring_spans",
+    # round-11 verdict #3: the one dedup-family member with an
+    # ITERATIVE corpus-wide stage (hash-min connected components);
+    # convergence cost tracks duplicate-cluster diameter, which the
+    # replica-heavy upscale makes adversarial. The _SOAK_EXTRA builder
+    # records the per-leg convergence-round count (cc_rounds).
+    "q86_dup_clusters",
 )
 # Dropped from the soak by the round-8 timing-action audit (see
 # TIMING_ACTION):
@@ -297,9 +303,41 @@ def _soak_semdedup_scaled(spark, sf_dir: str):
                            threshold=0.35)
 
 
+# per-leg side-channel notes from _SOAK_EXTRA builders (cleared per
+# soak entry by _bench_soak, appended once per builder invocation)
+_SOAK_LEG_NOTES: dict[str, list] = {}
+
+
+def _soak_dup_clusters(spark, sf_dir: str):
+    """q86's exact operator (minhash candidate pairs -> hash-min
+    connected components) with the convergence-round count recorded
+    per invocation: rounds needed = component diameter, the quantity
+    the replica-heavy upscale stresses (round-11 verdict #3)."""
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.operators import dedup as D
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs, "doc_id", "text").select(
+        "doc_a", "doc_b"
+    )
+    stats: dict = {}
+    out = D.connected_components(pairs, stats=stats)
+    _SOAK_LEG_NOTES.setdefault("q86_dup_clusters", []).append(
+        stats.get("rounds")
+    )
+    print(f"# soak q86 convergence rounds: {stats.get('rounds')}",
+          file=sys.stderr)
+    return out
+
+
 # soak entries that are bench-level builders rather than registered
 # queries (deployment-parameterized variants of registered operators)
-_SOAK_EXTRA = {"q149_semdedup_scale_auto": _soak_semdedup_scaled}
+_SOAK_EXTRA = {
+    "q149_semdedup_scale_auto": _soak_semdedup_scaled,
+    # same operator as the registered q86, via the stats-recording
+    # wrapper above
+    "q86_dup_clusters": _soak_dup_clusters,
+}
 
 
 def ensure_soak_dir(sf_dir: str, factor: int = SOAK_FACTOR) -> str:
@@ -358,6 +396,7 @@ def _bench_soak(spark, sf_dir: str) -> dict:
         )
         if builder is None:
             continue
+        _SOAK_LEG_NOTES.pop(name, None)
         lo = float("inf")
         for _ in range(2):   # min-of-2 at x10: the short leg is the
             t0 = time.perf_counter()           # noise-sensitive one
@@ -386,6 +425,11 @@ def _bench_soak(spark, sf_dir: str) -> dict:
             "lo_sec": round(lo, 4), "hi_sec": round(hi, 4),
             "rows_hi": int(rows_hi), "ratio": round(ratio, 2),
         }
+        notes = _SOAK_LEG_NOTES.pop(name, None)
+        if notes:
+            # one entry per builder invocation, in run order (x10
+            # passes first, then x100)
+            out[name]["cc_rounds"] = notes
         print(f"# soak {name}: x{DEEP_FACTOR} {lo:.3f}s -> "
               f"x{SOAK_FACTOR} {hi:.3f}s (ratio {ratio:.1f}x, "
               f"{rows_hi} rows)", file=sys.stderr)
@@ -1126,8 +1170,12 @@ def main() -> None:
             "docs_per_sec": result["curation"].get("docs_per_sec"),
             "verified": result["curation"].get("verified")}
     if result.get("soak"):
+        # short `qNN` keys (round 12: the q86 leg pushed the worst-case
+        # tail over budget on full names; ann_recall already uses the
+        # same prefix scheme). _regression_gate resolves history under
+        # either key form.
         compact["soak"] = {"queries": {
-            q: s.get("ratio")
+            q.split("_")[0]: s.get("ratio")
             for q, s in (result["soak"].get("queries") or {}).items()}}
     # recall evidence (round-9 verdict: the r09 tail could not prove the
     # floors were met): per leg, {query-prefix: [reading, floor]}
@@ -1277,7 +1325,12 @@ def _regression_gate(result: dict, here: str | None = None) -> dict:
     for q, s in ((result.get("soak") or {}).get("queries") or {}).items():
         hist = []
         for _, r in q_rounds[-3:]:
-            ref = ((r.get("soak") or {}).get("queries") or {}).get(q)
+            sq = (r.get("soak") or {}).get("queries") or {}
+            # history keys may be full query names (rounds <=11) or the
+            # compact-tail short `qNN` prefixes (round 12+)
+            ref = sq.get(q)
+            if ref is None:
+                ref = sq.get(q.split("_")[0])
             # history may be the full dict (old full-line artifacts) or
             # the flattened compact-tail float (round 10+)
             if isinstance(ref, dict):

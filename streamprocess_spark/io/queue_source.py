@@ -59,8 +59,10 @@ def _log_path(path: str, priority: str) -> str:
 
 
 # block size for the single streaming scan the planner does per log —
-# the file is never slurped whole, so multi-GB backlogs plan in O(1)
-# memory
+# the file is never slurped whole: the scan holds one block at a time
+# (O(block) buffer) and retains only the every-Nth-line byte index
+# (O(lines/chunk) entries, cached on the reader), so multi-GB backlogs
+# plan without ever materializing the log
 _SCAN_BLOCK = 1 << 20
 
 

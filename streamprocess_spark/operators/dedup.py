@@ -137,7 +137,7 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 25, stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: undirected candidate pairs →
     ``(doc_id, cluster_id)`` where cluster_id is the minimum doc id in
@@ -158,6 +158,11 @@ def connected_components(
         iterative-DataFrame failure mode at scale;
       - convergence is detected with a scalar changed-count per round
         (a driver-side scalar, not a data collect).
+
+    ``stats``, when given, receives ``{"rounds": r}`` — the number of
+    label-propagation rounds executed before convergence (including
+    the final no-change round). Convergence cost depends on component
+    diameter, so soak runs record this per leg.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -170,7 +175,9 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges_sym.join(labels, edges_sym["src"] == labels["node"])
             .groupBy("dst")
@@ -195,6 +202,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

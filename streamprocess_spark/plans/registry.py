@@ -157,6 +157,22 @@ TOP50: tuple[str, ...] = (
     # q125_embedding_drift, plus q_codec_ingest_suite (verdict #2: one
     # driver-hashed row per (format, bucket) covering every S15 codec
     # path's full output).
+    # Round-12 rotation (round-11 verdict #1 + #2): four swaps that
+    # complete the evidence-breadth program. OUT, all driver-green in
+    # BOTH CORRECTNESS_r10 and r11 and tag-redundant: q104_repetition_
+    # filter, q105_pii_scrub, q127_data_splits (§2.13-text carried by
+    # q106/q123/q142/q145/q126/q_text_suite/q_corpus_suite; their
+    # -adjacent tags are long-standing _BELOW_50_ONLY_OK entries) and
+    # q110_kmv_distinct (A5-adjacent/free-approx-distinct likewise;
+    # A5 proper stays top-50 via q20). IN, each verified bit-exact at
+    # sf0.001/sf0.01/sf0.1 before the swap (PARITY_SF001_r11 +
+    # PARITY_SF01_r11 cover all four): the three pre-verified digest
+    # umbrellas q_longtail_suite (15 never-evidenced thin queries),
+    # q_thin_kernels_suite (15 thin audio/image kernels q50-q66
+    # family), stream_thin_suite (8 streaming variants), plus
+    # stream_autoscaler_blend (verdict #2 — the one named evidence
+    # hole: its GroupState blend recurrence gets a direct driver slot;
+    # the oracle is cheap at the gate's sf0.01).
     "q1_pricing_summary",
     "q150_curation_dag",
     "q_dsp_parity",
@@ -184,10 +200,7 @@ TOP50: tuple[str, ...] = (
     # LLM data pipeline — round-10 ins: the curation/audit family that
     # q150 composes, individually under the driver gate for the first
     # time
-    "q104_repetition_filter",
-    "q105_pii_scrub",
     "q106_contamination",
-    "q127_data_splits",
     "q145_url_curation",
     "q126_retrieve_rerank",
     "q_text_suite",              # q40 + q41 + q42
@@ -204,10 +217,9 @@ TOP50: tuple[str, ...] = (
     # KMV distinct sketch; round-11 ins: q113/q125 (the §2.13 text-
     # embedding + drift-monitor legs that never faced the driver).
     # q111 STAYS a third round: its operating point changed this round
-    # (ADC-top-50 exact-rescore tail, round-10 verdict #3) and the new
+    # (ADC-top-200 exact-rescore tail, round-10 verdict #3) and the new
     # oracle needs fresh driver evidence.
     "q97_kmeans",
-    "q110_kmv_distinct",
     "q113_feature_hashing",
     "q125_embedding_drift",
     "q111_pq_ann",
@@ -216,6 +228,11 @@ TOP50: tuple[str, ...] = (
     # round-11 in: the per-codec S15 evidence umbrella)
     "q120_image_phash_dedup",
     "q_codec_ingest_suite",
+    # round-12 ins: the two batch evidence umbrellas (each digests the
+    # FULL output of 15 never-driver-evidenced constituents into
+    # driver-hashable rows; see their registrations in composites.py)
+    "q_longtail_suite",
+    "q_thin_kernels_suite",
     "q_audio_suite",             # q50 + q51 + q52 + q57 + q58 + WAV
     "q_image_suite",             # q54 + q60..q64 + q66
     "q_inference_suite",         # q55 + q56 + dual OCR engines
@@ -228,6 +245,11 @@ TOP50: tuple[str, ...] = (
     "stream_window_suite",       # 4 converged streaming runs
     "stream_state_suite",        # session-window + stream-join + top-k
     "sessionize_batch_segments",  # T1/T6/T7 sessionizer (recursive-CTE oracle)
+    # round-12 ins: the streaming evidence umbrella (8 streaming
+    # variants digested) + the last named evidence hole — the
+    # GroupState autoscaler blend twin, directly under the driver gate
+    "stream_thin_suite",
+    "stream_autoscaler_blend",
 )
 
 

@@ -189,6 +189,24 @@ def test_soak_gate_uses_median_window(tmp_path):
     assert fl["window"] == [4.0, 20.0, 20.0, 20.0] and fl["median"] == 20.0
 
 
+def test_soak_gate_resolves_compact_short_keys(tmp_path):
+    """Round 12: the compact tail keys soak legs by `qNN` prefix to fit
+    the byte budget; the gate must find history recorded under either
+    the full name or the short key."""
+    for n in (4, 5, 6):
+        _write_round(tmp_path, n, _base_round(
+            timing_action="noop_write",
+            soak={"queries": {"q86": 4.0}}))   # short-key float history
+    now = {"timing_action": "noop_write",
+           "soak": {"queries": {"q86_dup_clusters": {
+               "lo_sec": 1.0, "hi_sec": 40.0, "ratio": 40.0}}}}
+    # median(4,4,4,40)=4 < bar, but 40 > 2x hard bar -> still flags;
+    # the window proves the short-key history was resolved
+    out = _regression_gate(now, here=str(tmp_path))
+    fl = out["flagged"]["soak:q86_dup_clusters"]
+    assert fl["window"] == [4.0, 4.0, 4.0, 40.0]
+
+
 def test_soak_gate_history_is_methodology_matched(tmp_path):
     """count()-era soak ratios under-measured q103/q149-class queries
     (the eliminated-join artifact), so they must not vouch for — or

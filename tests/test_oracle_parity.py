@@ -8,7 +8,7 @@ whole registry against a larger corpus in one command, e.g.
         python -m pytest tests/test_oracle_parity.py -q
 
 (the full sf0.1 sweep takes ~1h, dominated by the DuckDB recursive-CTE
-oracles of the autoscaler family; see SURVEY §8 for the recorded runs).
+oracles of the autoscaler family; see HISTORY.md for the recorded runs).
 
 Round-9 verdict #8: when SPARK_GRAFT_PARITY_SF_DIR is set, the sweep
 also writes its per-query pass table to a committed JSON artifact

@@ -184,7 +184,7 @@ def test_local_checkpoint_profile_gated_and_settable(spark):
     confs exist in this Spark build and are session-settable — the
     bench A/B leg flips them at runtime. Engagement is measured, not
     assumed: the round-11 empty-trigger probe read ~170 ms/trigger
-    under the profile vs ~510 ms on defaults (see SURVEY §8)."""
+    under the profile vs ~510 ms on defaults (see HISTORY.md)."""
     import os
 
     from streamprocess_spark.session import (
@@ -201,12 +201,17 @@ def test_local_checkpoint_profile_gated_and_settable(spark):
     finally:
         del os.environ[LOCAL_CHECKPOINT_PROFILE_ENV]
     saved = {}
-    for k, v in _LOCAL_CHECKPOINT_CONF.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-        spark.conf.set(k, v)       # must not raise (runtime-settable)
-        assert spark.conf.get(k) == v
-    for k, v in saved.items():
-        spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    try:
+        for k, v in _LOCAL_CHECKPOINT_CONF.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)   # must not raise (runtime-settable)
+            assert spark.conf.get(k) == v
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
