@@ -25,8 +25,9 @@ from streamprocess_spark.session import get_spark  # noqa: E402
 
 
 def main(names: list[str]) -> None:
-    from streamprocess_spark.plans import QUERIES
+    from streamprocess_spark.plans import QUERIES, query_map
 
+    query_map()          # populate the registry
     spark = get_spark()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     d100 = bench.ensure_soak_dir(sf_dir, factor=100)

@@ -34,6 +34,23 @@ def test_edge_direction_is_irrelevant(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 5: 1}
 
 
+def test_stats_records_convergence_rounds(spark):
+    """The soak's cc_rounds observability: `stats` receives the number
+    of propagation rounds run (diameter-dependent, includes the final
+    no-change confirm round) and results are unaffected."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["doc_a", "doc_b"]
+    )
+    stats: dict = {}
+    rows = connected_components(df, stats=stats).collect()
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == {
+        n: 1 for n in range(1, 7)
+    }
+    # a 6-node path has diameter 5; hash-min label propagation needs
+    # several rounds but must converge well inside max_iter=25
+    assert 2 <= stats["rounds"] <= 25
+
+
 def _union_find_min_labels(edges):
     """Pure-python reference: min node id per component."""
     parent = {}
