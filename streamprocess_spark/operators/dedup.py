@@ -97,10 +97,7 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
     Single explode over an inline struct array — NOT a union of
     per-band selects: a union would make Catalyst recompute the whole
     signature subtree (shingle explode + groupBy shuffle) once per
-    band per join side, turning one document scan into 2·N_BANDS scans
-    at 100 TB. One pass also keeps the left/right subplans of the
-    candidate self-join identical, so the band-key exchange is built
-    once and reused."""
+    band, turning one document scan into N_BANDS scans at 100 TB."""
     bands_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -119,7 +116,20 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
     Join is keyed on (band, band_key) — bucket-local pair expansion
-    only, the scalable path at 100 TB."""
+    only, the scalable path at 100 TB.
+
+    The self-join carries an explicit MERGE hint (round-12 measured
+    A/B at sf0.1 / ×10 / ×100: 0.54/0.97/3.80 s vs auto-planned
+    0.66/1.24/4.79 s vs a collect_list bucket-grouping form
+    0.49/1.30/4.04 s). Left to size estimates, Catalyst broadcasts one
+    side — i.e. collects the ENTIRE banded corpus (2·N_BANDS·n rows)
+    to the driver and recomputes the signature subtree (tokenize →
+    shingle explode → md5 → 8-way min) under the broadcast, both
+    unbounded at 100 TB. With the merge hint the two sides are
+    byte-identical shuffle subtrees, so AQE's exchange reuse computes
+    the signature + band exchange ONCE and sorts it twice — no driver
+    collect, no duplicate subtree, shuffle bytes linear in the corpus
+    regardless of duplication rate."""
     bands = minhash_bands(minhash_signatures(df, id_col, text_col))
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
@@ -128,7 +138,7 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), "band", "band_key"
     )
     return (
-        left.join(right, ["band", "band_key"])
+        left.join(right.hint("merge"), ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))

@@ -365,7 +365,10 @@ _NORM_FP = (
 def q48_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.cosine_topk(emb, queries, k=5)
+    # collected_queries: 10 probe vectors are bounded metadata — the
+    # Arrow block scorer replaces the broadcast-NLJ per-pair HOF dot
+    # (round-12, bit-identical, ~30% faster; see cosine_topk docstring)
+    return S.cosine_topk(emb, queries, k=5, collected_queries=True)
 
 
 @register(
@@ -2467,6 +2470,12 @@ def q118_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(vs_index and within_batch) are tagged in one output.",
 )
 def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 note: a collect_list bucket-grouping rewrite and a
+    # merge-hinted join variant were both measured against this form at
+    # sf0.1/×10/×100 (0.86/1.22/4.67 s here vs 1.17/1.47/4.63 bucket,
+    # 0.96/1.34/4.92 merge) — the original shape wins or ties at every
+    # scale (AQE exchange reuse already dedupes the shared band
+    # subtree at runtime), so it stays.
     docs = load_tables(spark, sf_dir)["documents"]
     bands = D.minhash_bands(D.minhash_signatures(docs, "doc_id", "text"))
     idx = bands.filter(F.col("doc_id") % 2 == 0)
@@ -3269,8 +3278,23 @@ def q139_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "s"),
     )
     hashed = grams.select("doc_id", "pos", token_hash(F.col("s")).alias("h"))
-    dupes = hashed.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    marked = hashed.join(dupes, "h").select("doc_id", "pos")
+    # Duplicated-gram marking as ONE pass: count(*) over (partition by
+    # h) — a single (doc_id, pos, h) exchange keyed on h. The previous
+    # groupBy-h → semi-join-back form computed the whole gram subtree
+    # (tokenize → 8-gram posexplode → md5) TWICE (once under the
+    # aggregate, once under the join probe) and its `dupes` build side
+    # grows with the duplicated-hash count — on the ×100 replicated
+    # soak corpus nearly every gram is duplicated, so the join side
+    # approached the full distinct-hash set (the measured 12.4× soak
+    # ratio). The window form's shuffle is corpus-linear and carries 20
+    # bytes/row regardless of duplication rate.
+    wh = Window.partitionBy("h")
+    marked = (
+        hashed
+        .withColumn("hcnt", F.count(F.lit(1)).over(wh))
+        .filter(F.col("hcnt") > 1)
+        .select("doc_id", "pos")
+    )
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
@@ -3467,12 +3491,16 @@ def q141_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q142_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
-    # metadata weak label: broadcastable (one row per doc, two cols)
+    # round 12: the weak label rides the token explode — the previous
+    # `toks.join(broadcast(labels), doc_id)` broadcast a one-row-per-
+    # DOC table (corpus-sized, unbounded at 100 TB) to re-attach a
+    # column that comes from the very same scan. Zero joins now.
     labels = docs.select("doc_id", (F.col("lang") == "en").alias("hi"))
-    lt = toks.join(F.broadcast(labels), "doc_id")
+    lt = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("hi"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
     cls = lt.groupBy("tok").agg(
         F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("c0"),

@@ -90,15 +90,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     cutoff = F.lit("1998-03-15").cast("timestamp")
+    # Aggregate lineitem revenue per orderkey BEFORE the join (guide:
+    # aggregate before you shuffle). o_orderdate/o_orderpriority are
+    # functionally dependent on the unique o_orderkey, so grouping the
+    # filtered lineitem alone is equivalent to the post-join 3-column
+    # groupBy — and it both shrinks the lineitem build/broadcast side
+    # ~4x (one row per order, not per line item) and deletes the
+    # post-join aggregation exchange: the join output feeds
+    # TakeOrderedAndProject directly.
+    rev = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
     return (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < cutoff)
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > cutoff)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .join(rev, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -128,11 +139,22 @@ def q2_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return (
+    # Fact-first join order: lineitem is the probe side of every join, so
+    # it is scanned once and never built/broadcast. Written dim-first,
+    # Catalyst picked BuildRight on the (dims ⋈ lineitem) join and
+    # broadcast the whole fact table — a 6M-row driver collect at the
+    # deep leg and unbounded at 100 TB. The r/n/s chain is explicitly
+    # broadcast (truly tiny); orders/customer joins carry no hint so the
+    # planner stays free to pick SMJ/shuffled-hash at real scale.
+    dims = (
         F.broadcast(t["region"].filter(F.col("r_name").isin("ASIA", "EUROPE")))
         .join(F.broadcast(t["nation"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(t["lineitem"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             t["orders"].filter(
                 F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")

@@ -130,13 +130,17 @@ def test_no_quadratic_joins_or_row_python(spark, name):
 
 
 def test_exemption_broadcast_side_is_the_small_side(spark):
-    """The q48 nested loop must broadcast the bounded query set, never
-    the corpus: the BroadcastNestedLoopJoin's build side has to sit
-    under a BroadcastExchange fed by the vec_id<10 filter."""
+    """q48 must never move the corpus to the small side. Round 12: the
+    bounded query set is COLLECTED into the Arrow block scorer
+    (cosine_topk collected_queries arm), so the scoring pass is a
+    map-only ArrowEvalPython over the corpus scan — no join operator
+    of any kind in the plan, and in particular no nested loop whose
+    build side could silently flip to the corpus. q72 (corpus-sized
+    query side) still exercises the broadcast arm."""
     plan = _plan(spark, "q48_embedding_topk")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "BroadcastExchange" in plan
-    assert "vec_id" in plan and "< 10" in plan.replace("(", " ").replace(")", " ")
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,8 @@ aid."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from streamprocess_spark.plans import query_map
@@ -52,14 +54,19 @@ def test_no_cartesian_products_anywhere(spark):
 def test_minhash_band_plan_is_single_pass(spark):
     """The banding explode must not multiply the signature subtree:
     one aggregate per join side, bounded exchange count (a per-band
-    union regressed this to 18 exchanges / 8 scans)."""
+    union regressed this to 18 exchanges / 8 scans). Round 12: the
+    candidate self-join must be the MERGE-hinted sort-merge form — a
+    broadcast build here means the ENTIRE banded corpus is collected
+    to the driver (unbounded at 100 TB), and the merge form's
+    byte-identical shuffle subtrees are what AQE's exchange reuse
+    dedupes at runtime (the measured win at every scale)."""
     plan = _plan(spark, "q45_minhash_lsh")
-    n_exchanges = sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "Reused" not in line
+    n_exchanges = len(
+        re.findall(r"^\(\d+\) (?:Broadcast)?Exchange", plan, re.MULTILINE)
     )
-    assert n_exchanges <= 8, f"minhash plan regressed: {n_exchanges} exchanges"
+    assert n_exchanges <= 6, f"minhash plan regressed: {n_exchanges} exchanges"
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_range_join_is_equi_not_nested_loop(spark):

@@ -48,6 +48,25 @@ def test_ann_is_subset_ranking(results):
         assert -1.0 <= r.cos_sim <= 1.0
 
 
+def test_cosine_topk_collected_arm_bit_equal(spark):
+    """Round-12: cosine_topk(collected_queries=True) — the Arrow block
+    scorer q48 ships — must be row-for-row identical to the broadcast
+    HOF arm: same fixed-point per-term arithmetic (floor(x·y·1e12)
+    int64), same rounding/tie-breaks in Catalyst."""
+    from pyspark.sql import functions as F
+
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.operators.similarity import cosine_topk
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk(
+        emb, queries, k=5, collected_queries=True).collect()))
+    assert a == b
+    assert len(a) == 50
+
+
 def test_kmeans_inertia_decreases_and_deterministic(spark):
     """Lloyd invariants: every vector assigned exactly once; mean
     round-6 cosine distance to the assigned centroid does not increase
