@@ -711,7 +711,12 @@ def _flagship_once(spark, chunks, label: str, n_runs: int = 2) -> dict:
                 )
                 if delivered >= expected_n:
                     break
-                time.sleep(0.2)
+                # 50 ms poll (round 13; was 200 ms): the poll cadence is
+                # measurement-completion latency, not pipeline work — a
+                # coarse poll adds up to its full period to every leg's
+                # wall reading. listdir of a few-thousand-file dir is
+                # ~1 ms, so the finer poll costs nothing measurable.
+                time.sleep(0.05)
             el = time.perf_counter() - t0
             # drain before stop (outside the timed region): stopping
             # while a 200ms trigger is mid-flight aborts its micro-batch
@@ -830,17 +835,22 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
     # provider-invariant (segments == expected is asserted by the same
     # delivery loop) and throughput is gated within 2x of the even leg
     # in _regression_gate, alongside skew/scale.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = None
-    try:
-        prev = spark.conf.get(provider_key)
-    except Exception:
-        prev = None
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    # Round-13 (round-12 verdict #1): the RocksDB legs run the engine's
+    # RocksDB deployment profile — provider + changelog checkpointing
+    # (see session.rocksdb_state_conf for the measured attribution:
+    # full-snapshot zip+sync dominated every micro-batch commit).
+    # Results are provider-invariant (segments == expected asserted by
+    # the delivery loop, same as every leg).
+    from streamprocess_spark.session import rocksdb_state_conf
+
+    rocks_conf = rocksdb_state_conf()
+    saved_rocks: dict[str, str | None] = {}
+    for ck, cv in rocks_conf.items():
+        try:
+            saved_rocks[ck] = spark.conf.get(ck)
+        except Exception:
+            saved_rocks[ck] = None
+        spark.conf.set(ck, cv)
     try:
         out["rocksdb"] = _flagship_once(spark, chunks, "rocksdb")
         # Round-10 verdict #3: run RocksDB where it matters — the
@@ -852,10 +862,11 @@ def _bench_flagship(spark, sf_dir: str) -> dict:
             spark, chunks_scale, f"scale-{SCALE_STREAMS}-rocksdb",
         )
     finally:
-        if prev:
-            spark.conf.set(provider_key, prev)
-        else:
-            spark.conf.unset(provider_key)
+        for ck, cv in saved_rocks.items():
+            if cv is not None:
+                spark.conf.set(ck, cv)
+            else:
+                spark.conf.unset(ck)
 
     # Local-checkpoint deployment profile A/B (round-10 verdict #4):
     # the round-10 profile measured ~0.5 s/trigger of local-only
@@ -1078,6 +1089,16 @@ def main() -> None:
     if per_query:
         deep_dir_r = None if os.environ.get("SPARK_GRAFT_SKIP_DEEP") \
             else ensure_deep_dir(sf_dir)
+        # Round-13 (round-12 verdict #6, additive-only): retries are
+        # INTERLEAVED — one pass over every flagged query, then a
+        # second — instead of 2 back-to-back runs per query, so a
+        # transient host burst cannot poison both samples of one query
+        # (the same rationale as the headline loop's interleaving).
+        # Each pass additionally times one fixed cheap REFERENCE query
+        # (untouched code, sub-second): if the reference also reads
+        # slow, the flag window was host weather — recorded under
+        # retried["_ref"], never used in any gate decision.
+        resolved: list[tuple[str, str, str, str]] = []
         for key in per_query:
             if key.startswith("deep:"):
                 section, q, tdir = "deep", key[5:], deep_dir_r
@@ -1085,20 +1106,37 @@ def main() -> None:
                 section, q, tdir = "queries", key, sf_dir
             if tdir is None:
                 continue
+            resolved.append((key, section, q, tdir))
+        firsts: dict[str, float] = {}
+        bests: dict[str, float] = {}
+        for key, section, q, tdir in resolved:
             target = result[section]["queries"] if section == "deep" \
                 else result["queries"]
-            best = target[q]
-            for _ in range(2):
+            firsts[key] = target[q]
+            bests[key] = target[q]
+        ref_name = "q55_ocr_lines" if "q55_ocr_lines" in QUERIES \
+            else bench_names[0]
+        ref_runs: list[float] = []
+        for _pass in range(2):
+            for key, section, q, tdir in resolved:
                 t0 = time.perf_counter()
                 _run_full(QUERIES[q].builder(spark, tdir))
-                best = min(best, time.perf_counter() - t0)
-            print(f"# gate retry {key}: {target[q]:.3f}s -> {best:.3f}s",
+                bests[key] = min(bests[key], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _run_full(QUERIES[ref_name].builder(spark, sf_dir))
+            ref_runs.append(round(time.perf_counter() - t0, 4))
+        for key, section, q, tdir in resolved:
+            target = result[section]["queries"] if section == "deep" \
+                else result["queries"]
+            best = bests[key]
+            print(f"# gate retry {key}: {firsts[key]:.3f}s -> {best:.3f}s",
                   file=sys.stderr)
             # round-6 verdict #1: the retry must not erase the flagged
             # measurement — record both so a flagged-then-cleared query
             # is machine-readable round-over-round
-            retried[key] = {"first": target[q], "retry": round(best, 4)}
+            retried[key] = {"first": firsts[key], "retry": round(best, 4)}
             target[q] = round(best, 4)
+        retried["_ref"] = {"query": ref_name, "runs": ref_runs}
         if "deep" in result:
             result["deep"]["value"] = round(
                 sum(result["deep"]["queries"].values()), 4)

@@ -378,26 +378,50 @@ def cdc_near_dup_groups(
     Scale: one explode, one chunk-hash equi-join (bucket-local), one
     per-pair aggregation; chunks seen in > max_chunk_freq docs are
     dropped before pairing (boilerplate cap, same role as LSH band
-    caps) so no hash bucket can go quadratic."""
-    ex = (
-        chunked.select(
-            F.col(id_col),
-            # DISTINCT-hash count, not raw chunk count: `shared` below
-            # counts distinct hashes, so both sides of the Jaccard
-            # ratio must use set semantics — duplicate-counted chunks
-            # (zero padding, repeated headers) would otherwise deflate
-            # the ratio and miss true duplicates (round-4 advice)
-            F.size(F.array_distinct(F.col("chunks.chunk_hash")))
-            .cast("long").alias("n_chunks"),
-            F.aggregate(
-                "chunks", F.lit(0).cast("long"),
-                lambda a, c: a + c["chunk_len"].cast("long"),
-            ).alias("payload_len"),
-            F.explode("chunks").alias("c"),
-        )
-        .select(id_col, "n_chunks", "payload_len",
-                F.col("c.chunk_hash").alias("chunk_hash"))
-        .distinct()                               # set semantics per doc
+    caps) so no hash bucket can go quadratic.
+
+    Round-13 single-pass restructure (q139/q45 treatment + guide §8
+    "decide with small rows" — the chunking UDF chain above this
+    operator is the expensive stage, and the old plan executed it
+    THREE times: once per self-join side, once for the all-docs
+    payload_len table, with one join side ADDITIONALLY collected into
+    a BroadcastExchange, unbounded at 100 TB):
+      - the per-doc proxy (id, payload_len, distinct chunk-hash set —
+        the §8 "fingerprint table": a few dozen bytes per doc, no
+        payload bytes) is materialized ONCE with an eager
+        localCheckpoint, the same within-run lineage-control pattern
+        as connected_components — every run recomputes it from the
+        parquet inputs; nothing persists across runs. The UDF chain
+        now executes exactly once however many consumers the plan has;
+      - set semantics come from the proxy's ``array_distinct`` instead
+        of explode + ``.distinct()`` — deletes one full-data shuffle
+        per join side;
+      - the pair self-join carries the q45 MERGE hint: left to size
+        estimates Catalyst planned BroadcastHashJoin whose build side
+        was the ENTIRE capped chunk table (unbounded); the merge sides
+        are byte-identical subtrees over the checkpointed proxy, so
+        AQE exchange reuse computes the band-style window exchange
+        once and sorts it twice;
+      - the all-docs (id, payload_len) side is a map over the proxy —
+        zero-chunk (empty-payload) docs keep their output row exactly
+        as before (their empty hash set never reaches the explode)."""
+    per_doc = chunked.select(
+        F.col(id_col),
+        F.aggregate(
+            "chunks", F.lit(0).cast("long"),
+            lambda a, c: a + c["chunk_len"].cast("long"),
+        ).alias("payload_len"),
+        # DISTINCT hashes: `shared` below counts distinct hashes, so
+        # both sides of the Jaccard ratio must use set semantics —
+        # duplicate-counted chunks (zero padding, repeated headers)
+        # would otherwise deflate the ratio and miss true duplicates
+        # (round-4 advice)
+        F.array_distinct(F.col("chunks.chunk_hash")).alias("hashes"),
+    ).localCheckpoint(eager=True)
+    ex = per_doc.select(
+        F.col(id_col),
+        F.size("hashes").cast("long").alias("n_chunks"),
+        F.explode("hashes").alias("chunk_hash"),
     )
     capped = (
         ex.withColumn(
@@ -416,7 +440,7 @@ def cdc_near_dup_groups(
         "chunk_hash",
     )
     pairs = (
-        a.join(b, "chunk_hash")
+        a.join(b.hint("merge"), "chunk_hash")
         .filter(F.col("ida") != F.col("idb"))
         .groupBy("ida", "idb", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -429,13 +453,9 @@ def cdc_near_dup_groups(
         F.min("idb").alias("min_neighbor"),
         (F.count(F.lit(1)) + 1).alias("group_size"),
     )
-    docs = chunked.select(
-        F.col(id_col),
-        F.aggregate(
-            "chunks", F.lit(0).cast("long"),
-            lambda a_, c: a_ + c["chunk_len"].cast("long"),
-        ).alias("payload_len"),
-    )
+    # all-docs (id, payload_len): a map over the checkpointed proxy —
+    # no UDF re-execution, no extra shuffle
+    docs = per_doc.select(id_col, "payload_len")
     return (
         docs.join(neigh, id_col, "left")
         .select(

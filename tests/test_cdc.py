@@ -173,6 +173,51 @@ class TestSparkOp:
         # doc can reach jaccard 0.5 on its distinct majority
         assert all(r.dup_group == r.doc_id for r in out)
 
+    def test_empty_payload_doc_keeps_its_row(self, spark):
+        """A zero-chunk (empty-payload) doc must appear in the output
+        as a singleton with payload_len 0 — the pre-round-13 contract,
+        preserved across the single-pass restructure (the proxy keeps
+        its row; only the pair path drops it)."""
+        rng = np.random.default_rng(5)
+        rows = [
+            (0, b""),
+            (1, rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        chunked = df.select(
+            "doc_id", cdc_chunks_udf()(F.col("payload")).alias("chunks")
+        )
+        out = {r.doc_id: r for r in cdc_near_dup_groups(chunked).collect()}
+        assert set(out) == {0, 1}
+        assert out[0].payload_len == 0
+        assert out[0].dup_group == 0 and out[0].group_size == 1
+
+    def test_near_dup_groups_single_udf_pass_plan(self, spark):
+        """Round-13 invariant: the operator materializes the per-doc
+        proxy once (eager localCheckpoint), so the RETURNED plan holds
+        ZERO Python-UDF nodes (every consumer reads the checkpoint)
+        and the pair self-join is a merge join with no
+        BroadcastExchange — the old plan re-ran the chunking UDF chain
+        per consumer and collected one join side into a broadcast
+        (unbounded at scale)."""
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, rng.integers(0, 256, 3000, dtype=np.uint8).tobytes())
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        chunked = df.select(
+            "doc_id", cdc_chunks_udf()(F.col("payload")).alias("chunks")
+        )
+        out = cdc_near_dup_groups(chunked)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = out._jdf.queryExecution().explainString(mode)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastExchange" not in plan
+        assert "SortMergeJoin" in plan
+
     def test_repeated_chunks_use_set_semantics(self, spark):
         """Round-4 advice: payloads dominated by REPEATED identical
         chunks (zero padding — a long zero run chunks into identical

@@ -69,6 +69,30 @@ def test_minhash_band_plan_is_single_pass(spark):
     assert "BroadcastExchange" not in plan
 
 
+def test_cc_family_candidate_pair_plan_no_broadcast(spark):
+    """Round-12 verdict #7: q86/q87's committed plan dumps are vacuous
+    (connected_components localCheckpoints eagerly, so the registered
+    query's plan is a 2-node ExistingRDD scan) — pin the PRE-checkpoint
+    candidate-pair subtree those queries actually execute instead.
+    It must carry the q45 invariants: merge-form self-join, zero
+    BroadcastExchange (a broadcast build here collects the whole
+    banded corpus to the driver — unbounded at 100 TB)."""
+    from streamprocess_spark.io.tables import load_tables
+    from streamprocess_spark.operators import dedup as D
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    pairs = D.minhash_candidates(docs, "doc_id", "text").select(
+        "doc_a", "doc_b"
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pairs._jdf.queryExecution().explainString(mode)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     """q80's whole point: the bounded range join must plan as a hash/
     sort-merge equi-join on (user, bucket), never the nested-loop the
