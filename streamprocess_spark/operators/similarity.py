@@ -356,7 +356,15 @@ def _score_udf(packed, grouped: bool):
     for the whole stage) or bloats plan-build by seconds per query.
     The numpy batch matmul shape does the same arithmetic at memory
     bandwidth, and the centroids ride in the closure so assignment is
-    a pure MAP stage — no join, no broadcast, no shuffle."""
+    a pure MAP stage — no join, no broadcast, no shuffle.
+
+    (Round 13 measured and REJECTED batch-local replica factoring here
+    — np.unique each batch / per-group subset, score distinct vectors
+    once, scatter by inverse. Replicas cluster by VALUE in the
+    downstream pair scorer, where the factoring won 75x, but they have
+    no file-order locality, so Arrow batches carry few duplicates and
+    the extra sorts made the x1000 Lloyd turn 8.5 s -> 40.6 s. See
+    OPTIMIZATION_r13.md.)"""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -747,36 +755,76 @@ def _cluster_pair_stats(
     n_pruned replays the JVM rule per kept pair: vx if sx > sy, vy if
     sy > sx, else max(vx, vy), distinct-counted (sx/sy are the round-6
     assignment scores, so the compares see identical doubles). Block
-    size caps the (b, n, dim) float64 intermediate at ~50M elements,
-    so oversized clusters spill to more blocks instead of OOMing."""
+    size caps the (b, m, dim) float64 intermediate at ~50M elements,
+    so oversized clusters spill to more blocks instead of OOMing.
+
+    Round-13 unique-vector factoring (the q149 x1000 profile measured
+    this scorer at 280 s of the 320 s total — scripts/q149_profile.py):
+    a dedup corpus is replica-heavy BY DEFINITION, and the block
+    product did full n² work per cluster even when the cluster was
+    99.9% byte-identical copies. Byte-identical embeddings in one
+    cluster carry identical assignment scores (s is a pure function of
+    the embedding and the group's shared centroids — asserted, with a
+    brute-force fallback), so the pair decisions factor EXACTLY over
+    unique vectors:
+      - dots/cosines are computed once per unique pair (and once per
+        unique self-pair), with the identical floor arithmetic — only
+        byte-identical rows merge (np.unique axis=0 compares raw
+        bytes), so every computed double is the one the n² loop
+        produced;
+      - pair counts multiply out combinatorially: c_u*c_w per
+        qualifying cross pair, C(c_u,2) per qualifying self pair;
+      - the pruned-id DISTINCT count replays the per-pair rule in
+        aggregate. For x < y the rule prunes x iff sx > sy, else y.
+        Cross pair (u,w), s_u > s_w: every replica of u is the pruned
+        side in every pairing (as x when smaller, as y when larger) →
+        all of I_u. Equal s: each pair prunes its max id → the union
+        minus its overall minimum. Self pair: all of I_u except
+        min(I_u).
+    Cost: O(m² · dim) for m unique vectors + O(n log n) to group —
+    identical to before when every row is unique, linear in the
+    replica count otherwise.
+
+    Also returns n_members (= cluster row count): the callers
+    previously computed it with a SECOND full aggregation of the
+    assignment (re-executing the whole Lloyd lineage) joined back to
+    these stats; the scorer already holds every member, so counting
+    here deletes that corpus pass, its shuffle and the join
+    (guide §2.4)."""
     import numpy as np
 
     fields = {f.name: f.dataType for f in a.schema.fields}
     out_schema = T.StructType(
         [T.StructField(kcol, fields[kcol]) for kcol in keys]
         + [
+            T.StructField("n_members", T.LongType()),
             T.StructField("n_dup_pairs", T.LongType()),
             T.StructField("n_pruned", T.LongType()),
         ]
     )
     cut = _round6_ge_cut(threshold)
 
-    def stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = list(keys) + ["n_dup_pairs", "n_pruned"]
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({c: [] for c in cols})
-        pdf = pdf.sort_values("vec_id")  # i<j blocks => vx<vy directly
-        E = np.array(list(pdf["embedding"]), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        s = pdf["s"].to_numpy()
+    def pair_flags(E: "np.ndarray", s: "np.ndarray", min_id: "np.ndarray",
+                   cnt: "np.ndarray"):
+        """Qualify/prune flags over the m unique vectors. Returns
+        (n_pairs, prune_all, prune_nonmin): n_pairs is the replica-
+        weighted qualifying pair count; prune_all[u] means every id of
+        u is pruned; prune_nonmin[u] means every id but min(I_u)."""
+        m = len(s)
         vn = np.floor(E * E * DOT_SCALE).astype(np.int64).sum(axis=1)
         nrm = np.sqrt(vn / DOT_SCALE)
-        b = max(1, 50_000_000 // (n * E.shape[1]))
+        prune_all = np.zeros(m, dtype=bool)
+        prune_nonmin = np.zeros(m, dtype=bool)
         n_pairs = 0
-        pruned_chunks = []
-        for i0 in range(0, n - 1, b):
-            i1 = min(i0 + b, n - 1)
+        # self pairs (replicas of one unique vector): raw(u,u) via the
+        # exact expression the n² loop used for identical rows
+        raw_self = (vn / DOT_SCALE) / (nrm * nrm)
+        self_q = (cnt >= 2) & (raw_self >= cut)
+        n_pairs += int((cnt[self_q] * (cnt[self_q] - 1) // 2).sum())
+        prune_nonmin |= self_q
+        b = max(1, 50_000_000 // max(1, m * E.shape[1]))
+        for i0 in range(0, m - 1, b):
+            i1 = min(i0 + b, m - 1)
             blk = (
                 np.floor(E[i0:i1, None, :] * E[None, :, :] * DOT_SCALE)
                 .astype(np.int64)
@@ -784,21 +832,55 @@ def _cluster_pair_stats(
             )
             raw = (blk / DOT_SCALE) / (nrm[i0:i1, None] * nrm[None, :])
             for li in range(i1 - i0):
-                gi = i0 + li
-                j = np.nonzero(raw[li, gi + 1:] >= cut)[0] + gi + 1
+                u = i0 + li
+                j = np.nonzero(raw[li, u + 1:] >= cut)[0] + u + 1
                 if not len(j):
                     continue
-                n_pairs += len(j)
-                sx, sy = s[gi], s[j]
-                pruned = np.where(
-                    sx > sy, ids[gi],
-                    np.where(sy > sx, ids[j], np.maximum(ids[gi], ids[j])),
-                )
-                pruned_chunks.append(np.unique(pruned))
-        if not n_pairs:
-            return pd.DataFrame({c: [] for c in cols})
-        n_pruned = len(np.unique(np.concatenate(pruned_chunks)))
+                n_pairs += int((cnt[u] * cnt[j]).sum())
+                su, sj = s[u], s[j]
+                if (su > sj).any():
+                    prune_all[u] = True
+                prune_all[j[sj > su]] = True
+                eq = j[sj == su]
+                if len(eq):
+                    prune_nonmin[u] = True
+                    prune_nonmin[eq] = True
+                    if (min_id[eq] < min_id[u]).any():
+                        prune_all[u] = True
+                    prune_all[eq[min_id[eq] > min_id[u]]] = True
+        return n_pairs, prune_all, prune_nonmin
+
+    def stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
         row = {kcol: [pdf[kcol].iloc[0]] for kcol in keys}
+        row["n_members"] = [n]
+        if n < 2:
+            row["n_dup_pairs"] = [0]
+            row["n_pruned"] = [0]
+            return pd.DataFrame(row)
+        pdf = pdf.sort_values("vec_id")  # first occurrence => min id
+        E = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        s = pdf["s"].to_numpy()
+        uniqE, first, inv, cnt = np.unique(
+            E, axis=0, return_index=True, return_inverse=True,
+            return_counts=True,
+        )
+        if not (s == s[first][inv]).all():
+            # an identical embedding carried two different scores —
+            # impossible for the production callers (s is derived from
+            # the embedding and the group's centroids), but fall back
+            # to the literal per-row scorer rather than miscount
+            uniqE, first = E, np.arange(n)
+            cnt = np.ones(n, dtype=np.int64)
+        n_pairs, prune_all, prune_nonmin = pair_flags(
+            uniqE, s[first], ids[first], cnt.astype(np.int64)
+        )
+        n_pruned = int(
+            np.where(
+                prune_all, cnt, np.where(prune_nonmin, cnt - 1, 0)
+            ).sum()
+        )
         row["n_dup_pairs"] = [n_pairs]
         row["n_pruned"] = [n_pruned]
         return pd.DataFrame(row)
@@ -835,17 +917,17 @@ def semdedup(
     """
     assigned, _ = kmeans_fit(emb, k=k, n_iter=n_iter, dim=dim)
     a = assigned.select("vec_id", "embedding", "bucket", "s")
-    # within-cluster pair STATS via the Arrow block scorer: one shuffle
-    # of the assignment, block-matmul fixed-point dots, counts
-    # aggregated inside the scorer (O(clusters) output rows however
-    # duplicate-heavy the corpus — see _cluster_pair_stats)
-    pair_stats = _cluster_pair_stats(a, ["bucket"], threshold)
-    members = a.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
-    return members.join(pair_stats, "bucket", "left").select(
+    # within-cluster pair STATS via the Arrow block scorer: ONE shuffle
+    # of the assignment, block-matmul fixed-point dots, counts AND the
+    # member count aggregated inside the scorer (O(clusters) output
+    # rows however duplicate-heavy the corpus — see _cluster_pair_stats;
+    # round 13 folded n_members in, deleting the second full
+    # aggregation of the assignment and the join back)
+    return _cluster_pair_stats(a, ["bucket"], threshold).select(
         "bucket",
         "n_members",
-        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
-        F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        F.col("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
+        F.col("n_pruned").cast("bigint").alias("n_pruned"),
     )
 
 
@@ -1058,17 +1140,13 @@ def semdedup_scaled(
     assigned, _ = kmeans_fit_grouped(v, k=k, n_iter=n_iter, dim=dim)
     a = assigned.select("coarse", "vec_id", "embedding", "bucket", "s")
     # within-(group, cluster) pair STATS via the Arrow block scorer —
-    # see semdedup / _cluster_pair_stats
-    pair_stats = _cluster_pair_stats(a, ["coarse", "bucket"], threshold)
-    members = a.groupBy("coarse", "bucket").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return members.join(pair_stats, ["coarse", "bucket"], "left").select(
+    # see semdedup / _cluster_pair_stats (n_members folded in, round 13)
+    return _cluster_pair_stats(a, ["coarse", "bucket"], threshold).select(
         "coarse",
         "bucket",
         "n_members",
-        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
-        F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        F.col("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
+        F.col("n_pruned").cast("bigint").alias("n_pruned"),
     )
 
 

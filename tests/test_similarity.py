@@ -287,3 +287,130 @@ def test_ivf_assign_honors_probe_beyond_two(spark):
     for vid, bs in b3.items():
         assert len(bs) == 3 and len(set(bs)) == 3, (vid, bs)
         assert bs[:2] == b2[vid], (vid, bs, b2[vid])
+
+
+# ---------------------------------------------------------------------------
+# Round-13 unique-vector factoring of _cluster_pair_stats: pin the
+# factored counts against a literal per-pair reference (the pre-r13
+# implementation's exact rule) on adversarial fixtures — replica-heavy
+# corpora, round-6 score ties across DISTINCT vectors, and the
+# inconsistent-score fallback.
+# ---------------------------------------------------------------------------
+
+
+def _pair_stats_reference(rows, threshold):
+    """The pre-round-13 per-pair loop, verbatim semantics: for every
+    pair vx < vy with round-6 cosine >= threshold (floor(x*y*1e12)
+    fixed-point dots), count it, and prune vx if sx > sy else vy if
+    sy > sx else max(vx, vy); n_pruned distinct-counts the pruned."""
+    import numpy as np
+
+    from streamprocess_spark.operators.similarity import (
+        DOT_SCALE, _round6_ge_cut,
+    )
+
+    cut = _round6_ge_cut(threshold)
+    rows = sorted(rows)  # by vec_id
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    s = np.array([r[2] for r in rows], dtype=np.float64)
+    vn = np.floor(E * E * DOT_SCALE).astype(np.int64).sum(axis=1)
+    nrm = np.sqrt(vn / DOT_SCALE)
+    n_pairs, pruned = 0, set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dot = int(np.floor(E[i] * E[j] * DOT_SCALE)
+                      .astype(np.int64).sum())
+            raw = (dot / DOT_SCALE) / (nrm[i] * nrm[j])
+            if raw >= cut:
+                n_pairs += 1
+                if s[i] > s[j]:
+                    pruned.add(int(ids[i]))
+                elif s[j] > s[i]:
+                    pruned.add(int(ids[j]))
+                else:
+                    pruned.add(int(max(ids[i], ids[j])))
+    return n_pairs, len(pruned)
+
+
+@pytest.mark.parametrize("case", ["replicas", "ties", "fallback"])
+def test_cluster_pair_stats_factoring_matches_per_pair_rule(spark, case):
+    import numpy as np
+
+    from streamprocess_spark.operators.similarity import _cluster_pair_stats
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(6, 8))
+    # three near-dup families + noise, then exact replicas with
+    # distinct ids — the x1000 soak corpus shape
+    vecs, scores = [], []
+    for i, b in enumerate(base):
+        vecs.append(b)
+        scores.append(round(0.5 + 0.01 * i, 6))
+    vecs.append(base[0] + 1e-9)            # near-dup, distinct bytes
+    scores.append(scores[0])               # round-6 TIE across vectors
+    rows = []
+    vid = 0
+    for v, sc in zip(vecs, scores):
+        reps = 4 if case in ("replicas", "fallback") else 1
+        for r in range(reps):
+            sc_r = sc
+            if case == "fallback" and r == 3:
+                sc_r = sc + 0.25           # replica with a DIFFERENT
+                # score: production can't produce this, the factoring
+                # must detect it and take the per-row path
+            rows.append((vid, [float(x) for x in v], sc_r))
+            vid += 7                       # non-dense ids
+    threshold = 0.2
+    df = spark.createDataFrame(
+        [(0, i, e, s) for (i, e, s) in rows],
+        "bucket long, vec_id long, embedding array<double>, s double",
+    )
+    got = _cluster_pair_stats(df, ["bucket"], threshold).collect()
+    assert len(got) == 1
+    ref_pairs, ref_pruned = _pair_stats_reference(
+        [(i, e, s) for (i, e, s) in rows], threshold
+    )
+    assert got[0].n_members == len(rows)
+    assert got[0].n_dup_pairs == ref_pairs, case
+    assert got[0].n_pruned == ref_pruned, case
+
+
+def test_cluster_pair_stats_randomized_against_per_pair_rule(spark):
+    """Property sweep: random clusters with random replica
+    multiplicities and quantized scores (forcing cross-vector ties)
+    must match the per-pair reference exactly, for several seeds and
+    thresholds."""
+    import numpy as np
+
+    from streamprocess_spark.operators.similarity import _cluster_pair_stats
+
+    clusters = []
+    all_rows = []
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n_uniq = int(rng.integers(1, 8))
+        vid = int(rng.integers(0, 50))
+        rows = []
+        for _ in range(n_uniq):
+            v = [float(x) for x in rng.normal(size=6)]
+            sc = round(float(rng.integers(0, 4)) / 4.0, 6)  # tie-prone
+            for _ in range(int(rng.integers(1, 5))):
+                rows.append((vid, v, sc))
+                vid += int(rng.integers(1, 9))
+        clusters.append((seed, rows))
+        all_rows.extend((seed, i, e, s) for (i, e, s) in rows)
+    df = spark.createDataFrame(
+        all_rows,
+        "bucket long, vec_id long, embedding array<double>, s double",
+    )
+    threshold = 0.1
+    got = {r.bucket: r for r in
+           _cluster_pair_stats(df, ["bucket"], threshold).collect()}
+    for seed, rows in clusters:
+        ref_pairs, ref_pruned = _pair_stats_reference(
+            [(i, e, s) for (i, e, s) in rows], threshold
+        )
+        g = got[seed]
+        assert g.n_members == len(rows), seed
+        assert (g.n_dup_pairs, g.n_pruned) == (ref_pairs, ref_pruned), seed
